@@ -1,0 +1,122 @@
+"""Main-content extraction: a Readability/trafilatura-style block scorer over
+the canonical page — the north-rule addition that generalizes the reference's
+region-based "keep the meaningful part of the page" behavior (the hat/table
+regions of app.py:93-96 keep structure; this stage keeps prose).
+
+``ContentScorer`` is a stateful stage (compiled patterns + weight vector
+built once per actor, the app.py:44-48 load-once pattern).  Scoring is a
+deterministic linear model over per-block text features: stopword ratio,
+punctuation density, word count, digit ratio, uppercase ratio, and
+boilerplate-marker hits.  Blocks scoring >= the threshold are content;
+everything else is boilerplate and gets stripped.
+"""
+from __future__ import annotations
+
+import re
+
+from ..layouts import BOILERPLATE_MARKERS, CONTENT_SCORE_THRESHOLD, STOPWORDS
+from .render import BODY_START_LINE
+
+SPAN_HEADER = "header"
+SPAN_CODE = "code"
+SPAN_TABLE = "table"
+SPAN_CONTENT = "content"
+SPAN_BOILER = "boilerplate"
+
+_WORD_PUNCT = re.compile(r"[^\wёЁ]+", re.U)
+
+
+class ContentScorer:
+    """Load-once boilerplate model; ``score_block`` is pure and deterministic."""
+
+    def __init__(self) -> None:
+        self._markers = tuple(BOILERPLATE_MARKERS)
+        self._stop = STOPWORDS
+        self._threshold = CONTENT_SCORE_THRESHOLD
+
+    def score_block(self, text: str) -> float:
+        words = text.split()
+        n_words = len(words)
+        if n_words == 0:
+            return -1.0
+        lowered = text.lower()
+        toks = [t for t in (_WORD_PUNCT.sub("", w).lower() for w in words) if t]
+        stop_ratio = sum(t in self._stop for t in toks) / max(1, len(toks))
+        punct_density = sum(text.count(c) for c in ".,;:!?") / n_words
+        letters = sum(c.isalpha() for c in text)
+        upper_ratio = (sum(c.isupper() for c in text) / letters) if letters else 0.0
+        digit_ratio = sum(c.isdigit() for c in text) / len(text)
+        marker_count = sum(lowered.count(m) for m in self._markers)
+        score = (
+            1.5 * stop_ratio
+            + (0.4 if n_words >= 8 else 0.0)
+            + 0.3 * min(punct_density, 1.0)
+            - 2.0 * marker_count
+            - (1.0 if upper_ratio > 0.5 else 0.0)
+            - 1.0 * digit_ratio
+        )
+        return round(score, 4)
+
+    def extract(self, lines: list[str]) -> tuple[str, list[dict]]:
+        """(extracted_text, spans) for a canonical page.
+
+        Spans carry (start, end) char offsets into the newline-joined page
+        string, a kind tag and the block score; blocks in the body area are
+        classified content/boilerplate, table rows and the header/code
+        strips are tagged structurally."""
+        # line start offsets into the page string
+        offsets = []
+        pos = 0
+        for ln in lines:
+            offsets.append(pos)
+            pos += len(ln) + 1
+
+        spans: list[dict] = []
+        kept: list[str] = []
+
+        # structural spans above the body area (header / code strips)
+        for li in range(min(BODY_START_LINE, len(lines))):
+            ln = lines[li]
+            if ln.strip():
+                kind = SPAN_CODE if ("[" in ln and "]" in ln) else SPAN_HEADER
+                spans.append({"start": offsets[li], "end": offsets[li] + len(ln),
+                              "kind": kind, "score": 1.0})
+
+        # body blocks: contiguous non-blank, non-table line runs
+        block_lines: list[tuple[int, str]] = []
+
+        def flush_block() -> None:
+            if not block_lines:
+                return
+            text = " ".join(ln.strip() for _, ln in block_lines)
+            score = self.score_block(text)
+            first, last = block_lines[0][0], block_lines[-1][0]
+            kind = SPAN_CONTENT if score >= self._threshold else SPAN_BOILER
+            spans.append({"start": offsets[first],
+                          "end": offsets[last] + len(lines[last]),
+                          "kind": kind, "score": score})
+            if kind == SPAN_CONTENT:
+                kept.append(text)
+            block_lines.clear()
+
+        table_first = table_last = None
+        for li in range(BODY_START_LINE, len(lines)):
+            ln = lines[li]
+            if ln.count("|") >= 2:
+                flush_block()
+                if table_first is None:
+                    table_first = li
+                table_last = li
+            elif ln.strip():
+                block_lines.append((li, ln))
+            else:
+                flush_block()
+        flush_block()
+
+        if table_first is not None:
+            spans.append({"start": offsets[table_first],
+                          "end": offsets[table_last] + len(lines[table_last]),
+                          "kind": SPAN_TABLE, "score": 1.0})
+
+        spans.sort(key=lambda s: s["start"])
+        return "\n\n".join(kept), spans

@@ -1,0 +1,218 @@
+"""Score-table extraction over the canonical text page: the analog of the
+YOLO cell detector + row grouping (/root/reference/utils/Yolo_cell_rec.py:6-79),
+the config-driven parse (utils/table_rec.py:10-97) and the config-free
+pairing parse (utils/table_rec_noconf.py:25-179).
+
+The detector scans page lines for pipe-delimited cell rows; each cell gets a
+``[x1, y1, x2, y2]`` box in virtual pixels and a detection confidence (the
+YOLO box-conf analog).  All grouping / slicing / merge heuristics are ported
+verbatim — they are load-bearing for per-turn equality:
+
+- conf >= 0.5 and y1 in [1500, 3300] filter      (Yolo_cell_rec.py:34)
+- y-center sort + 20 px row grouping             (Yolo_cell_rec.py:45-67)
+- ``len(table_rows) > 2 -> None`` config abort   (table_rec.py:21-22)
+- rows==1 -> ``rows[1][1:-2]``; rows==2 -> ``rows[1][1:] + rows[3][1:-2]``
+                                                 (table_rec.py:23-26)
+- near-dup pop while ``|next_x - cur_x| <= 50``  (table_rec.py:29-37)
+- odd-row-count drop of rows with <= 3 cells     (table_rec_noconf.py:45-48)
+- 2/4/6-row pairing with the width-30 heuristic  (table_rec_noconf.py:51-63)
+"""
+from __future__ import annotations
+
+from ..layouts import (
+    CHAR_W,
+    CONF_THRESHOLD,
+    DET_CONF_CONTENT,
+    DET_CONF_EMPTY,
+    DET_CONF_SPECK,
+    DET_CONF_SPECK_EXTRA,
+    LINE_H,
+    MAX_Y,
+    MIN_Y,
+    NEAR_DUP_X,
+    ROW_THRESHOLD,
+    SPECK_CHARS,
+    WIDTH_DELTA,
+)
+from .classify import GlyphClassifier
+
+Box = list[float]  # [x1, y1, x2, y2]
+
+
+class CellDetector:
+    """Stateful cell detector — the YOLO model analog (app.py:47-48).
+
+    ``extra=True`` is the permissive secondary model (cell_detect_extra.pt,
+    used only as the last fallback, app.py:201): it detects faint speck-only
+    cells that the primary model drops below the 0.5 confidence threshold.
+    """
+
+    def __init__(self, extra: bool = False) -> None:
+        self.extra = extra
+        self._speck_conf = DET_CONF_SPECK_EXTRA if extra else DET_CONF_SPECK
+
+    def detect(self, lines: list[str]) -> list[tuple[Box, float]]:
+        """All candidate cell boxes on the page with confidences."""
+        out: list[tuple[Box, float]] = []
+        for li, ln in enumerate(lines):
+            if ln.count("|") < 2:
+                continue
+            pipes = [i for i, c in enumerate(ln) if c == "|"]
+            y1, y2 = float(li * LINE_H), float((li + 1) * LINE_H)
+            for a, b in zip(pipes, pipes[1:]):
+                content = ln[a + 1 : b]
+                stripped = content.strip()
+                if not stripped:
+                    conf = DET_CONF_EMPTY
+                elif all(c in SPECK_CHARS for c in stripped):
+                    conf = self._speck_conf
+                else:
+                    conf = DET_CONF_CONTENT
+                out.append(([float((a + 1) * CHAR_W), y1, float(b * CHAR_W), y2], conf))
+        return out
+
+
+def cell_text(lines: list[str], box: Box) -> str:
+    """Rect crop of a cell's text — ``image[y1:y2, x1:x2]``
+    (table_rec.py:55-56)."""
+    li = int(box[1]) // LINE_H
+    c1, c2 = int(box[0]) // CHAR_W, int(box[2]) // CHAR_W
+    if li < 0 or li >= len(lines) or c2 <= c1:
+        return ""
+    return lines[li][c1:c2]
+
+
+def extract_table_rows(lines: list[str], detector: CellDetector) -> list[list[Box]]:
+    """Detect, filter, y-group and x-sort cell boxes into rows —
+    extract_table_rows (Yolo_cell_rec.py:6-79), ported loop-for-loop."""
+    detections = detector.detect(lines)
+    filtered = [box for box, conf in detections
+                if conf >= CONF_THRESHOLD and MIN_Y <= box[1] <= MAX_Y]
+    if not filtered:
+        return []
+
+    filtered.sort(key=lambda b: (b[1] + b[3]) / 2)
+
+    row_groups: list[list[Box]] = []
+    current_row: list[Box] = []
+    y_prev = None
+    for box in filtered:
+        y_current = (box[1] + box[3]) / 2
+        if y_prev is not None and abs(y_current - y_prev) > ROW_THRESHOLD:
+            row_groups.append(sorted(current_row, key=lambda b: (b[0] + b[2]) / 2))
+            current_row = []
+        current_row.append(box)
+        y_prev = y_current
+    if current_row:
+        row_groups.append(sorted(current_row, key=lambda b: (b[0] + b[2]) / 2))
+    return row_groups
+
+
+def _merge_near_dups(cells: list[Box]) -> None:
+    """In-place pop of near-duplicate detections — table_rec.py:29-37."""
+    i = 0
+    while i < len(cells) - 1:
+        current_x = cells[i][0]
+        next_x = cells[i + 1][0]
+        if abs(next_x - current_x) <= NEAR_DUP_X:
+            cells.pop(i + 1)
+        else:
+            i += 1
+
+
+def _classify_cells(
+    lines: list[str], cells: list[Box], model: GlyphClassifier
+) -> list[tuple[int, float, Box]]:
+    """Crop + preprocess + classify each cell (table_rec.py:54-69), with the
+    per-cell ``predict`` calls batched into one model call — the explicit
+    fix of the reference's per-cell-predict inefficiency (table_rec.py:67)."""
+    valid: list[tuple[Box, str]] = []
+    for cell in cells:
+        txt = cell_text(lines, cell)
+        if not txt:          # cell_img.size == 0 -> skip (table_rec.py:58-60)
+            continue
+        tok = txt.strip()
+        if not tok:          # preprocess returned None -> skip (table_rec.py:63-65)
+            continue
+        valid.append((cell, tok))
+    preds = model.predict_many([tok for _, tok in valid])
+    return [(digit, prob, cell) for (cell, _), (digit, prob) in zip(valid, preds)]
+
+
+def recognize_table(
+    lines: list[str],
+    model: GlyphClassifier,
+    detector: CellDetector,
+    config: dict,
+) -> list[tuple[int, float, Box]] | None:
+    """Config-driven table parse — recognize_table (table_rec.py:10-97)."""
+    table_rows = extract_table_rows(lines, detector)
+
+    filtered_cells: list[Box] = []
+    if len(table_rows) > 2:
+        return None
+    if config["rows"] == 1:
+        filtered_cells = table_rows[1][1:-2]
+    if config["rows"] == 2:
+        filtered_cells = table_rows[1][1:] + table_rows[3][1:-2]
+
+    if len(filtered_cells) != config["total_cells"]:
+        _merge_near_dups(filtered_cells)
+    if len(filtered_cells) != config["total_cells"]:
+        return None
+
+    return _classify_cells(lines, filtered_cells, model)
+
+
+def get_cell_width(cell: Box) -> float:
+    """table_rec_noconf.py:13-22."""
+    return cell[2] - cell[0]
+
+
+def filter_cells(
+    table_rows: list[list[Box]],
+) -> tuple[list[Box] | None, list[Box] | None]:
+    """Task/value cell pairing — filter_cells (table_rec_noconf.py:25-65),
+    ported branch-for-branch including the width heuristic."""
+    if len(table_rows) % 2 != 0:
+        table_rows = [row for row in table_rows if len(row) > 3]
+        if len(table_rows) % 2 != 0:
+            return None, None
+    if len(table_rows) == 2:
+        return table_rows[0][1:-2], table_rows[1][1:-2]
+    elif len(table_rows) == 4:
+        first_cell_width = get_cell_width(table_rows[2][0])
+        second_cell_width = get_cell_width(table_rows[2][1])
+        if first_cell_width - second_cell_width > WIDTH_DELTA:
+            return (table_rows[0][1:] + table_rows[2][1:-2],
+                    table_rows[1][1:] + table_rows[3][1:-2])
+        else:
+            return (table_rows[0][1:] + table_rows[2][:-2],
+                    table_rows[1][1:] + table_rows[3][:-2])
+    elif len(table_rows) == 6:
+        return (table_rows[1][1:] + table_rows[4][1:-2],
+                table_rows[2][1:] + table_rows[5][1:-2])
+    return None, None
+
+
+def recognize_table_all(
+    lines: list[str],
+    model: GlyphClassifier,
+    detector: CellDetector,
+) -> tuple[list[str] | None, list[tuple[int, float, Box]] | None]:
+    """Config-free table parse — recognize_table_all
+    (table_rec_noconf.py:68-179): pairing, near-dup merge, count validation,
+    positional task names."""
+    table_rows = extract_table_rows(lines, detector)
+    filtered_cells_tasks, filtered_cells_mnist = filter_cells(table_rows)
+    if not filtered_cells_mnist or not filtered_cells_tasks:
+        return None, None
+
+    if len(filtered_cells_mnist) != len(filtered_cells_tasks):
+        _merge_near_dups(filtered_cells_mnist)
+    if len(filtered_cells_mnist) != len(filtered_cells_tasks):
+        return None, None
+
+    tasks = [str(i) for i in range(1, len(filtered_cells_tasks) + 1)]
+    scores = _classify_cells(lines, filtered_cells_mnist, model)
+    return tasks, scores
