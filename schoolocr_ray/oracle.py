@@ -3,15 +3,18 @@ library, mirroring how the reference's DAG runs without HTTP in
 /root/reference/scripts/app_debug/debug_utils.py:129-248.
 
 ``extract_turn`` is the per-turn analog of the ``POST /recognize`` handler
-(/root/reference/app.py:150-240): decode -> hat OCR + parse (with the
-hat_reserve retry, app.py:169-172) -> config-key lookup (app.py:176-183) ->
-participant-code extraction (app.py:186-191) -> the three-step table fallback
-chain (app.py:196-201) -> assembly with sentinel decode, 2-decimal rounding,
-task-name zip, total score and low-confidence warnings (app.py:204-229).
+(/root/reference/app.py:150-240).  It is deliberately decomposed into the
+exact passes the Ray pipeline runs as separate stages —
 
-The Ray pipeline stages call the exact same functions, so pipeline-vs-oracle
-per-turn equality is structural, and the tests only have to prove that the
-distributed plumbing (batching, shuffles, ordering, resume) preserves it.
+  decode_pass        ≈ app.py:157-160  (b64decode + decode_image)
+  header_code_pass   ≈ app.py:162-191  (hat OCR + parse + reserve retry,
+                                        config lookup, participant code)
+  table_pass         ≈ app.py:193-229  (3-step fallback chain + assembly)
+  content_pass       — the north-rule main-content stage
+
+— so pipeline-vs-oracle per-turn equality is structural, and tests only have
+to prove the distributed plumbing (batching, shuffles, ordering, resume)
+preserves it.
 """
 from __future__ import annotations
 
@@ -21,15 +24,18 @@ from .functions.classify import GlyphClassifier
 from .functions.code_rec import recognize_code
 from .functions.content import SPAN_CONTENT, ContentScorer
 from .functions.header import build_class_key, parse_hat_text, recognize_hat
-from .functions.render import KIND_TOOL, decode_payload
+from .functions.render import KIND_INVALID, KIND_TOOL, decode_payload
 from .functions.table_rec import CellDetector, recognize_table, recognize_table_all
 from .layouts import CHAR_W, CLASS_DASH, CLASS_X, LAYOUTS, LINE_H, LOW_CONF, REGIONS
 from .textpage import extract_region, page_lines
 
+ERR_DECODE = "500: Неверный формат изображения"
 ERR_HAT = "Не удалось определить предмет, класс или вариант"
 ERR_CODE = "Не удалось распознать код участника"
 ERR_TABLE = "Не удалось распознать таблицу"
 WARN_NO_CONFIG = "Не найдена существующая конфигурация для таблиц"
+
+DOC_CLASS_TOOL = "tool"
 
 
 @dataclass
@@ -52,84 +58,69 @@ def default_models() -> ExtractorModels:
     return _DEFAULT_MODELS
 
 
-def _empty_result() -> dict:
-    return {
-        "payload_kind": None,
-        "doc_class": None,
-        "subject": None,
-        "grade": None,
-        "variant": None,
-        "participant_code": None,
-        "extracted_text": None,
-        "spans": [],
-        "table_cells": [],
-        "total_score": 0,
-        "errors": [],
-        "warnings": [],
-    }
-
-
-def extract_turn(text: str | None, models: ExtractorModels | None = None) -> dict:
-    """One turn in, one extraction record out. Never raises: undecodable
-    payloads degrade to an errors-populated row (the row-level analog of the
-    reference's HTTP-500 path, app.py:242-245)."""
-    models = models or default_models()
-    out = _empty_result()
-    errors: list[str] = []
-    warnings: list[str] = []
-    out["errors"] = errors
-    out["warnings"] = warnings
-
+def decode_pass(text: str | None) -> tuple[str, str]:
+    """(kind, page); undecodable payloads degrade to (KIND_INVALID, "") —
+    the row-level analog of the reference's HTTP-500 path (app.py:242-245)."""
     try:
-        kind, page = decode_payload(text)
-    except ValueError as e:
-        out["payload_kind"] = "invalid"
-        errors.append(f"500: {e}")
-        return out
-    out["payload_kind"] = kind
+        return decode_payload(text)
+    except ValueError:
+        return KIND_INVALID, ""
 
+
+def header_code_pass(kind: str, page: str, models: ExtractorModels) -> dict:
+    """Hat OCR + metadata parse (with hat_reserve retry), config-key lookup,
+    participant-code extraction — app.py:162-191."""
+    out = {"doc_class": None, "subject": None, "grade": None, "variant": None,
+           "participant_code": None, "errors": [], "warnings": []}
+    if kind == KIND_INVALID:
+        out["errors"].append(ERR_DECODE)
+        return out
     if kind == KIND_TOOL:
-        # Transcript-native pass-through: minimal strip, whole payload is
-        # main content; no hat/code/table semantics apply.
-        out["doc_class"] = "tool"
-        out["extracted_text"] = page
-        out["spans"] = [{"start": 0, "end": len(page), "kind": SPAN_CONTENT, "score": 1.0}]
+        out["doc_class"] = DOC_CLASS_TOOL
         return out
 
-    lines = page_lines(page)
-
-    # --- hat: OCR + parse, with the reserve-region retry (app.py:163-174)
     hat_text = recognize_hat(extract_region(page, REGIONS["hat"]))
     subject, grade, variant = parse_hat_text(hat_text)
     if not subject or not grade:
         hat_text = recognize_hat(extract_region(page, REGIONS["hat_reserve"]))
         subject, grade, variant = parse_hat_text(hat_text)
     if not subject or not grade:
-        errors.append(ERR_HAT)
+        out["errors"].append(ERR_HAT)
 
-    # --- config key lookup (app.py:176-183); note the reference mutates
-    # `subject` (space-strip) before both the key build and the response.
+    # config key lookup (app.py:176-183); the reference mutates `subject`
+    # (space-strip) before both the key build and the response.
     key = None
     if subject and grade:
         subject = subject.replace(" ", "")
         key = build_class_key(subject, grade)
         if key not in LAYOUTS:
             key = None
-            warnings.append(WARN_NO_CONFIG)
+            out["warnings"].append(WARN_NO_CONFIG)
     out["subject"] = subject
     out["grade"] = grade
     out["variant"] = variant
     out["doc_class"] = key
 
-    # --- participant code (app.py:186-191)
     try:
         out["participant_code"] = recognize_code(
             extract_region(page, REGIONS["code"]), models.classifier
         )
     except Exception:
-        errors.append(ERR_CODE)
+        out["errors"].append(ERR_CODE)
+    return out
 
-    # --- table fallback chain (app.py:193-201)
+
+def table_pass(kind: str, page: str, doc_class: str | None,
+               models: ExtractorModels) -> dict:
+    """Three-step table fallback chain (app.py:193-201) + assembly with
+    sentinel decode, rounding, task zip, total score and low-confidence
+    warnings (app.py:204-229)."""
+    out = {"table_cells": [], "total_score": 0, "errors": [], "warnings": []}
+    if kind in (KIND_INVALID, KIND_TOOL):
+        return out
+    lines = page_lines(page)
+
+    key = doc_class if doc_class in LAYOUTS else None
     recognized = []
     task_numbers: list[str] = []
     if key:
@@ -142,37 +133,66 @@ def extract_turn(text: str | None, models: ExtractorModels | None = None) -> dic
                 lines, models.classifier, models.detector_extra
             )
 
-    # --- assembly (app.py:204-229)
-    total_score = 0
-    table_cells: list[dict] = []
     if not recognized:
-        errors.append(ERR_TABLE)
-    else:
-        low_confidence: list[str] = []
-        for i, (digit, prob, box) in enumerate(recognized):
-            digit = int(digit)
-            prob = round(float(prob), 2)
-            if i < len(task_numbers):
-                task_name = task_numbers[i]
-                display = "-" if digit == CLASS_DASH else ("x" if digit == CLASS_X else str(digit))
-                table_cells.append({
-                    "row": int(box[1]) // LINE_H,
-                    "col": int(box[0]) // CHAR_W,
-                    "task": task_name,
-                    "value": display,
-                    "conf": prob,
-                })
-                if prob < LOW_CONF:
-                    low_confidence.append(task_name)
-                if digit not in (CLASS_DASH, CLASS_X):
-                    total_score += digit
-        if low_confidence:
-            warnings.append(f"Низкая уверенность в заданиях: {', '.join(low_confidence)}")
-    out["table_cells"] = table_cells
-    out["total_score"] = total_score
+        out["errors"].append(ERR_TABLE)
+        return out
 
-    # --- main-content extraction (north-rule stage)
-    extracted_text, spans = models.scorer.extract(lines)
-    out["extracted_text"] = extracted_text
-    out["spans"] = spans
+    total_score = 0
+    low_confidence: list[str] = []
+    for i, (digit, prob, box) in enumerate(recognized):
+        digit = int(digit)
+        prob = round(float(prob), 2)
+        if i < len(task_numbers):
+            task_name = task_numbers[i]
+            display = "-" if digit == CLASS_DASH else ("x" if digit == CLASS_X else str(digit))
+            out["table_cells"].append({
+                "row": int(box[1]) // LINE_H,
+                "col": int(box[0]) // CHAR_W,
+                "task": task_name,
+                "value": display,
+                "conf": prob,
+            })
+            if prob < LOW_CONF:
+                low_confidence.append(task_name)
+            if digit not in (CLASS_DASH, CLASS_X):
+                total_score += digit
+    if low_confidence:
+        out["warnings"].append(f"Низкая уверенность в заданиях: {', '.join(low_confidence)}")
+    out["total_score"] = total_score
     return out
+
+
+def content_pass(kind: str, page: str, models: ExtractorModels) -> dict:
+    """Main-content extraction (north-rule stage): Readability-style block
+    scoring for page payloads; minimal-strip pass-through for tool output."""
+    if kind == KIND_INVALID:
+        return {"extracted_text": None, "spans": []}
+    if kind == KIND_TOOL:
+        return {"extracted_text": page,
+                "spans": [{"start": 0, "end": len(page),
+                           "kind": SPAN_CONTENT, "score": 1.0}]}
+    extracted_text, spans = models.scorer.extract(page_lines(page))
+    return {"extracted_text": extracted_text, "spans": spans}
+
+
+def extract_turn(text: str | None, models: ExtractorModels | None = None) -> dict:
+    """One turn in, one extraction record out; never raises."""
+    models = models or default_models()
+    kind, page = decode_pass(text)
+    hdr = header_code_pass(kind, page, models)
+    tbl = table_pass(kind, page, hdr["doc_class"], models)
+    cnt = content_pass(kind, page, models)
+    return {
+        "payload_kind": kind,
+        "doc_class": hdr["doc_class"],
+        "subject": hdr["subject"],
+        "grade": hdr["grade"],
+        "variant": hdr["variant"],
+        "participant_code": hdr["participant_code"],
+        "extracted_text": cnt["extracted_text"],
+        "spans": cnt["spans"],
+        "table_cells": tbl["table_cells"],
+        "total_score": tbl["total_score"],
+        "errors": hdr["errors"] + tbl["errors"],
+        "warnings": hdr["warnings"] + tbl["warnings"],
+    }

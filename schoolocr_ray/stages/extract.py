@@ -1,0 +1,151 @@
+"""Ray Data stages for the extraction DAG (SURVEY.md §3.1):
+
+    read_parquet(transcripts)
+      -> map_batches(sniff_render)            # stateless tasks  (S3+S4+S5)
+      -> map_batches(HeaderCodeStage, ...)    # actor pool       (M3-M6, A4)
+      -> map_batches(TableStage, ...)         # actor pool       (A1-A3, M8-M21)
+      -> map_batches(ContentStage, ...)       # actor pool       (north-rule)
+
+All stages are Arrow-in/Arrow-out (``batch_format="pyarrow"``,
+``zero_copy_batch=True``); intermediate columns (``payload_kind``, ``page``,
+partial ``errors``/``warnings`` lists) ride along as regular Arrow columns
+and ``page`` is dropped by the final stage.  Stateful model bundles are
+built once per actor in ``__init__`` — the app.py:44-48 load-once pattern —
+never per batch.
+
+Per-row failures degrade to errors-populated rows inside the batch fn, so a
+Ray task retry can never double-process a partially-failed batch into
+different output (SURVEY.md §7.4).
+"""
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..oracle import (
+    ExtractorModels,
+    content_pass,
+    decode_pass,
+    header_code_pass,
+    table_pass,
+)
+from ..schema import SPAN_TYPE, TABLE_CELL_TYPE
+
+
+def sniff_render(batch: pa.Table) -> pa.Table:
+    """Stateless decode stage: payload sniff + parse + render to the
+    canonical page (decode_image analog, app.py:74-90)."""
+    kinds: list[str] = []
+    pages: list[str] = []
+    for text in batch.column("text").to_pylist():
+        kind, page = decode_pass(text)
+        kinds.append(kind)
+        pages.append(page)
+    return batch.append_column("payload_kind", pa.array(kinds, pa.string())) \
+                .append_column("page", pa.array(pages, pa.string()))
+
+
+class HeaderCodeStage:
+    """Actor: hat OCR + metadata parse + config lookup + participant code.
+
+    State: the glyph classifier (code-digit model analog, app.py:45)."""
+
+    def __init__(self) -> None:
+        self.models = ExtractorModels()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("payload_kind").to_pylist()
+        pages = batch.column("page").to_pylist()
+        cols = {k: [] for k in ("doc_class", "subject", "grade", "variant",
+                                "participant_code", "errors", "warnings")}
+        for kind, page in zip(kinds, pages):
+            res = header_code_pass(kind, page, self.models)
+            for k in cols:
+                cols[k].append(res[k])
+        for name in ("doc_class", "subject", "grade", "variant", "participant_code"):
+            batch = batch.append_column(name, pa.array(cols[name], pa.string()))
+        batch = batch.append_column("errors", pa.array(cols["errors"], pa.list_(pa.string())))
+        batch = batch.append_column("warnings", pa.array(cols["warnings"], pa.list_(pa.string())))
+        return batch
+
+
+class TableStage:
+    """Actor: cell detection + fallback chain + classification + assembly.
+
+    State: primary + secondary detectors and the cell classifier
+    (app.py:46-48); per-cell predict calls are batched per Arrow batch,
+    fixing the reference's per-cell-predict inefficiency (table_rec.py:67)."""
+
+    def __init__(self) -> None:
+        self.models = ExtractorModels()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("payload_kind").to_pylist()
+        pages = batch.column("page").to_pylist()
+        classes = batch.column("doc_class").to_pylist()
+        errors = batch.column("errors").to_pylist()
+        warnings = batch.column("warnings").to_pylist()
+        cells_col, totals = [], []
+        for i, (kind, page, doc_class) in enumerate(zip(kinds, pages, classes)):
+            res = table_pass(kind, page, doc_class, self.models)
+            cells_col.append(res["table_cells"])
+            totals.append(res["total_score"])
+            errors[i] = errors[i] + res["errors"]
+            warnings[i] = warnings[i] + res["warnings"]
+        batch = batch.drop_columns(["errors", "warnings"])
+        batch = batch.append_column("table_cells", pa.array(cells_col, pa.list_(TABLE_CELL_TYPE)))
+        batch = batch.append_column("total_score", pa.array(totals, pa.int32()))
+        batch = batch.append_column("errors", pa.array(errors, pa.list_(pa.string())))
+        batch = batch.append_column("warnings", pa.array(warnings, pa.list_(pa.string())))
+        return batch
+
+
+class ContentStage:
+    """Actor: Readability-style main-content extraction; drops the ``page``
+    working column (the last stage that needs it).
+
+    State: the compiled content scorer."""
+
+    def __init__(self) -> None:
+        self.models = ExtractorModels()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("payload_kind").to_pylist()
+        pages = batch.column("page").to_pylist()
+        texts, spans_col = [], []
+        for kind, page in zip(kinds, pages):
+            res = content_pass(kind, page, self.models)
+            texts.append(res["extracted_text"])
+            spans_col.append(res["spans"])
+        batch = batch.drop_columns(["page"])
+        batch = batch.append_column("extracted_text", pa.array(texts, pa.string()))
+        batch = batch.append_column("spans", pa.array(spans_col, pa.list_(SPAN_TYPE)))
+        return batch
+
+
+class FusedExtractStage:
+    """Single-actor variant running the whole post-read chain — fewer
+    inter-stage block handoffs; used where stage-level pipelining doesn't
+    pay (the semantics are identical because every stage calls the same
+    oracle passes)."""
+
+    def __init__(self) -> None:
+        self.models = ExtractorModels()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..oracle import extract_turn
+
+        recs = [extract_turn(t, self.models) for t in batch.column("text").to_pylist()]
+        for name in ("payload_kind", "doc_class", "subject", "grade",
+                     "variant", "participant_code", "extracted_text"):
+            batch = batch.append_column(name, pa.array([r[name] for r in recs], pa.string()))
+        batch = batch.append_column(
+            "spans", pa.array([r["spans"] for r in recs], pa.list_(SPAN_TYPE)))
+        batch = batch.append_column(
+            "table_cells", pa.array([r["table_cells"] for r in recs], pa.list_(TABLE_CELL_TYPE)))
+        batch = batch.append_column(
+            "total_score", pa.array([r["total_score"] for r in recs], pa.int32()))
+        batch = batch.append_column(
+            "errors", pa.array([r["errors"] for r in recs], pa.list_(pa.string())))
+        batch = batch.append_column(
+            "warnings", pa.array([r["warnings"] for r in recs], pa.list_(pa.string())))
+        return batch

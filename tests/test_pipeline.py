@@ -1,0 +1,99 @@
+"""Ray pipeline correctness: per-turn equality vs the oracle (the primary
+gate, FIXTURES.md §5.1), stable ordering from shuffled input (§5.2), planted
+scenario outcomes, and exact dedup."""
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from schoolocr_ray.oracle import extract_turn
+from schoolocr_ray.pipelines.extract import (
+    dedup_turns,
+    hash_partition_ids,
+    run_extract,
+    with_partition_id,
+)
+
+EXTRACT_COLS = ["payload_kind", "doc_class", "subject", "grade", "variant",
+                "participant_code", "extracted_text", "spans", "table_cells",
+                "total_score", "errors", "warnings"]
+
+
+def _norm(v):
+    """Normalize nested values for comparison across Arrow round-trips."""
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return [_norm(x) for x in v]
+    return v
+
+
+@pytest.mark.parametrize("mode", ["staged", "fused"])
+def test_per_turn_equality_vs_oracle(ray_session, small_corpus, mode):
+    path, table, _ = small_corpus
+    ds = run_extract(path, mode=mode, num_partitions=8)
+    got = {(r["conv_id"], r["turn_idx"]): r for r in ds.take_all()}
+    assert len(got) == table.num_rows
+
+    texts = dict(zip(zip(table["conv_id"].to_pylist(), table["turn_idx"].to_pylist()),
+                     table["text"].to_pylist()))
+    n_checked = 0
+    for key, text in texts.items():
+        want = extract_turn(text)
+        have = got[key]
+        for col in EXTRACT_COLS:
+            assert _norm(have[col]) == _norm(want[col]), (key, col, have[col], want[col])
+        n_checked += 1
+    assert n_checked == table.num_rows
+
+
+def test_order_restored_within_partitions(ray_session, small_corpus):
+    path, _, _ = small_corpus
+    ds = run_extract(path, mode="fused", num_partitions=8)
+    # within each output block-run of a part_id, rows are (conv_id, turn_idx)
+    # sorted despite the shuffled input row order
+    df = ds.to_pandas()
+    for pid, g in df.groupby("part_id", sort=False):
+        keys = list(zip(g["conv_id"], g["turn_idx"]))
+        assert keys == sorted(keys), f"partition {pid} not ordered"
+    # partition assignment is the deterministic hash
+    expect_pid = hash_partition_ids(df["conv_id"].to_numpy(), 8)
+    assert (df["part_id"].to_numpy() == expect_pid).all()
+
+
+def test_planted_scenarios(ray_session, small_corpus):
+    path, _, truth = small_corpus
+    ds = run_extract(path, mode="fused", num_partitions=8)
+    got = {(r["conv_id"], r["turn_idx"]): r for r in ds.take_all()}
+    tdf = truth.to_pandas()
+    assert set(tdf["scenario"]) >= {
+        "html_1band", "html_2band", "html_reserve_header", "pdfish_1band",
+        "pdfish_neardup", "pdfish_speck", "unknown_class", "tool_output",
+        "malformed_empty", "malformed_cells", "html_casual"}
+    for r in tdf.to_dict("records"):
+        out = got[(r["conv_id"], r["turn_idx"])]
+        has_err = len(out["errors"]) > 0
+        if r.get("exp_has_errors") is not None and not pd.isna(r["exp_has_errors"]):
+            assert has_err == r["exp_has_errors"], (r, out["errors"])
+        if isinstance(r.get("exp_doc_class"), str):
+            assert out["doc_class"] == r["exp_doc_class"]
+        if r.get("exp_total_score") is not None and not pd.isna(r["exp_total_score"]):
+            assert out["total_score"] == int(r["exp_total_score"])
+        if isinstance(r.get("exp_participant_code"), str):
+            assert out["participant_code"] == r["exp_participant_code"]
+        if r.get("exp_config_miss") is True:
+            assert "Не найдена существующая конфигурация для таблиц" in list(out["warnings"])
+
+
+def test_exact_dedup(ray_session, small_corpus):
+    import ray.data
+
+    path, table, _ = small_corpus
+    # duplicate the input: every (conv_id, turn_idx) appears twice
+    ds = ray.data.read_parquet(path)
+    ds = ds.union(ray.data.read_parquet(path))
+    ds = with_partition_id(ds, 8)
+    before = ds.count()
+    deduped = dedup_turns(ds)
+    assert before == 2 * table.num_rows
+    assert deduped.count() == table.num_rows
