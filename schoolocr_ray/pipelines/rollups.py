@@ -1,0 +1,147 @@
+"""Aggregation pipelines over the extracted table — the engine analogs of the
+reference's stats machinery (SURVEY.md §2.5):
+
+- G1/G4  conversation roll-ups        (total scores, per-group counters;
+         scripts/app_interaction/test_app_all.py:44-85)
+- G3     job counters                  (test_app.py:18-53)
+- G5     confidence histogram          (scripts/app_interaction/stat_app.py:47-77)
+- G6     recognized/unrecognized split (stat_app.py:29-33)
+- S9     error-corpus extraction       (scripts/find_error_files.py:12-65)
+
+Each wide aggregate pre-aggregates inside ``map_batches`` (one partial row
+per key per batch) before the ``groupby`` so the shuffle moves partials, not
+rows (SURVEY.md guide: aggregation at scale).
+"""
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Sum
+
+from ..layouts import LOW_CONF
+
+
+def conv_rollup(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-conversation roll-up: n_turns, sum of total_score, error/warning
+    turn counts, max turn_idx.  Partial-aggregates per batch first."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "conv_id": batch.column("conv_id").to_pylist(),
+            "turn_idx": batch.column("turn_idx").to_pylist(),
+            "total_score": batch.column("total_score").to_pylist(),
+            "n_err": [len(e) > 0 for e in batch.column("errors").to_pylist()],
+            "n_warn": [len(w) > 0 for w in batch.column("warnings").to_pylist()],
+        })
+        g = df.groupby("conv_id", sort=False).agg(
+            n_turns=("turn_idx", "size"),
+            sum_score=("total_score", "sum"),
+            error_turns=("n_err", "sum"),
+            warning_turns=("n_warn", "sum"),
+            max_turn_idx=("turn_idx", "max"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("conv_id").aggregate(
+        Sum("n_turns", alias_name="n_turns"),
+        Sum("sum_score", alias_name="sum_score"),
+        Sum("error_turns", alias_name="error_turns"),
+        Sum("warning_turns", alias_name="warning_turns"),
+        Max("max_turn_idx", alias_name="max_turn_idx"),
+    )
+
+
+def confidence_histogram(ds: ray.data.Dataset, n_bins: int = 10) -> ray.data.Dataset:
+    """G5: histogram of table-cell confidences in 10 bins — bin-id projection
+    + partial counts per batch, then a tiny groupby."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[int, int] = {}
+        for cells in batch.column("table_cells").to_pylist():
+            for c in cells:
+                b = min(int(c["conf"] * n_bins), n_bins - 1)
+                counts[b] = counts.get(b, 0) + 1
+        return pa.Table.from_pydict({
+            "bin": pa.array(sorted(counts), pa.int32()),
+            "n": pa.array([counts[b] for b in sorted(counts)], pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("bin").aggregate(Sum("n", alias_name="n"))
+
+
+def quality_bands(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Confidence quality bands: perfect >=0.9 / good >=0.8 / acceptable
+    >=0.7 / poor — verbatim thresholds from stats.py:27-34."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = {"perfect": 0, "good": 0, "acceptable": 0, "poor": 0}
+        for cells in batch.column("table_cells").to_pylist():
+            for c in cells:
+                p = c["conf"]
+                if p >= 0.9:
+                    counts["perfect"] += 1
+                elif p >= 0.8:
+                    counts["good"] += 1
+                elif p >= 0.7:
+                    counts["acceptable"] += 1
+                else:
+                    counts["poor"] += 1
+        return pa.Table.from_pydict({
+            "band": pa.array(list(counts), pa.string()),
+            "n": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("band").aggregate(Sum("n", alias_name="n"))
+
+
+def recognized_split(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """G6: docs with vs without a recognized participant code."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        rec = pc.is_valid(batch.column("participant_code"))
+        return pa.Table.from_pydict({"recognized": rec})
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True) \
+             .groupby("recognized").aggregate(Count(alias_name="n"))
+
+
+def error_corpus(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """S9: rows whose errors list is non-empty — the retry corpus."""
+
+    def keep_errors(batch: pa.Table) -> pa.Table:
+        mask = pc.greater(pc.list_value_length(batch.column("errors")), 0)
+        return batch.filter(mask)
+
+    return ds.map_batches(keep_errors, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def low_confidence_tasks(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """G2 roll-up: per doc_class, how many cells fell under the warning
+    threshold (app.py:222)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows: dict[str, list[int]] = {}
+        classes = batch.column("doc_class").to_pylist()
+        for dc, cells in zip(classes, batch.column("table_cells").to_pylist()):
+            key = dc if dc is not None else "<none>"
+            agg = rows.setdefault(key, [0, 0])
+            for c in cells:
+                agg[0] += 1
+                if c["conf"] < LOW_CONF:
+                    agg[1] += 1
+        return pa.Table.from_pydict({
+            "doc_class": pa.array(list(rows), pa.string()),
+            "n_cells": pa.array([v[0] for v in rows.values()], pa.int64()),
+            "n_low_conf": pa.array([v[1] for v in rows.values()], pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("doc_class").aggregate(
+        Sum("n_cells", alias_name="n_cells"),
+        Sum("n_low_conf", alias_name="n_low_conf"),
+    )

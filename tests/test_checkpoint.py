@@ -1,0 +1,99 @@
+"""Checkpoint/resume + roll-up tests (FIXTURES.md §5.3, SURVEY.md §5.2)."""
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+
+def test_job_write_and_resume(ray_session, small_corpus, tmp_path):
+    from schoolocr_ray.pipelines.job import run_job
+    from schoolocr_ray.state.checkpoint import job_report, read_output
+
+    path, table, _ = small_corpus
+    out = str(tmp_path / "out")
+    manifest = run_job(path, out, num_partitions=8)
+    assert manifest["n_turns"].sum() == table.num_rows
+    assert set(manifest["status"]) == {"done"}
+    report = job_report(manifest)
+    assert report["n_turns"] == table.num_rows
+    assert report["partitions"] == len(manifest)
+
+    # output is complete, sorted per partition, readable
+    got = read_output(out).to_pandas()
+    assert len(got) == table.num_rows
+    for pid, g in got.groupby("part_id"):
+        keys = list(zip(g["conv_id"], g["turn_idx"]))
+        assert keys == sorted(keys)
+
+    # simulate a crash: delete K manifest rows + their data, then resume
+    mdir = os.path.join(out, "manifest")
+    names = sorted(os.listdir(mdir))
+    killed = names[:3]
+    killed_pids = []
+    for name in killed:
+        with open(os.path.join(mdir, name)) as f:
+            killed_pids.append(json.load(f)["part_id"])
+        os.remove(os.path.join(mdir, name))
+    before_mtimes = {
+        pid: os.path.getmtime(os.path.join(out, f"part_id={pid}", "data.parquet"))
+        for pid in manifest["part_id"] if pid not in killed_pids
+    }
+    manifest2 = run_job(path, out, num_partitions=8)
+    assert manifest2["n_turns"].sum() == table.num_rows
+    # completed partitions were skipped (files untouched)
+    for pid, mt in before_mtimes.items():
+        assert os.path.getmtime(os.path.join(out, f"part_id={pid}", "data.parquet")) == mt
+    # final output identical row set
+    got2 = read_output(out).to_pandas()
+    a = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = got2.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert a["conv_id"].equals(b["conv_id"]) and a["turn_idx"].equals(b["turn_idx"])
+    assert a["extracted_text"].equals(b["extracted_text"])
+    assert a["total_score"].equals(b["total_score"])
+
+
+def test_rollups(ray_session, small_corpus):
+    from schoolocr_ray.oracle import extract_turn
+    from schoolocr_ray.pipelines.extract import run_extract
+    from schoolocr_ray.pipelines import rollups
+
+    path, table, _ = small_corpus
+    ds = run_extract(path, mode="fused", num_partitions=8, ordered=False)
+
+    # oracle-side expectations
+    texts = list(zip(table["conv_id"].to_pylist(), table["text"].to_pylist()))
+    want = [(c, extract_turn(t)) for c, t in texts]
+
+    conv = rollups.conv_rollup(ds).to_pandas().set_index("conv_id")
+    exp_turns = pd.Series([c for c, _ in want]).value_counts()
+    assert int(conv["n_turns"].sum()) == table.num_rows
+    for cid, n in exp_turns.items():
+        assert conv.loc[cid, "n_turns"] == n
+    exp_score = {}
+    for c, w in want:
+        exp_score[c] = exp_score.get(c, 0) + w["total_score"]
+    for cid, s in exp_score.items():
+        assert conv.loc[cid, "sum_score"] == s
+
+    hist = rollups.confidence_histogram(ds).to_pandas()
+    exp_cells = sum(len(w["table_cells"]) for _, w in want)
+    assert int(hist["n"].sum()) == exp_cells
+
+    bands = rollups.quality_bands(ds).to_pandas()
+    assert int(bands["n"].sum()) == exp_cells
+
+    split = rollups.recognized_split(ds).to_pandas().set_index("recognized")
+    exp_rec = sum(1 for _, w in want if w["participant_code"] is not None)
+    assert int(split.loc[True, "n"]) == exp_rec
+    assert int(split.loc[False, "n"]) == table.num_rows - exp_rec
+
+    errs = rollups.error_corpus(ds)
+    exp_err = sum(1 for _, w in want if w["errors"])
+    assert errs.count() == exp_err
+
+    low = rollups.low_confidence_tasks(ds).to_pandas()
+    exp_low = sum(1 for _, w in want for c in w["table_cells"] if c["conf"] < 0.6)
+    assert int(low["n_low_conf"].sum()) == exp_low
