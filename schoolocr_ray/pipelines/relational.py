@@ -1,0 +1,147 @@
+"""Relational operator coverage over the driver's TPC-H-ish tables —
+the engine analogs of the reference's lookup/aggregation machinery
+(SURVEY.md §2.4/§2.5), each with a DuckDB-checkable twin in
+``__ray_entry__.oracle_sql``.
+
+Scale patterns (SURVEY.md §4.2):
+- dimension tables are broadcast once (``ray.put`` driver-side, pandas merge
+  per batch) — never shuffled (J1);
+- semi-joins broadcast the key set and filter inside ``map_batches`` (J2);
+- every groupby pre-aggregates per batch so the shuffle moves partials;
+- float aggregates use per-row integer "cents" (``floor(x*100)``) so
+  Ray-vs-SQL equality is exact regardless of summation order.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _cents(values) -> np.ndarray:
+    return np.floor(np.asarray(values, dtype=np.float64) * 100).astype(np.int64)
+
+
+def events_stats(sf_dir: str) -> ray.data.Dataset:
+    """G3/G4 analog: counters per event_type (count + exact integer-cents
+    sum), partial-aggregated per batch."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": batch.column("event_type").to_pylist(),
+                           "cents": _cents(batch.column("value").to_numpy())})
+        g = df.groupby("event_type", sort=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+             .groupby("event_type").aggregate(
+                 Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+
+
+def events_histogram(sf_dir: str) -> ray.data.Dataset:
+    """G5 analog: value histogram, bin = min(floor(value/50), 9)."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy()
+        bins = np.minimum(np.floor(v / 50.0).astype(np.int64), 9)
+        uniq, counts = np.unique(bins, return_counts=True)
+        return pa.Table.from_pydict({"bin": pa.array(uniq, pa.int64()),
+                                     "n": pa.array(counts, pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+             .groupby("bin").aggregate(Sum("n", alias_name="n"))
+
+
+def customers_per_region(sf_dir: str) -> ray.data.Dataset:
+    """J1 analog: broadcast hash join customer ⋈ nation ⋈ region (dimension
+    side shipped once via ray.put, looked up per batch) + grouped rollup."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"]).to_pandas()
+    nat2reg = dict(zip(
+        nation["n_nationkey"],
+        nation["n_regionkey"].map(dict(zip(region["r_regionkey"], region["r_name"]))),
+    ))
+    ref = ray.put(nat2reg)
+
+    class JoinStage:
+        def __init__(self, lookup_ref) -> None:
+            self.lookup = ray.get(lookup_ref)   # fetched once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "r_name": pd.Series(batch.column("c_nationkey").to_numpy()).map(self.lookup),
+                "cents": _cents(batch.column("c_acctbal").to_numpy()),
+            })
+            g = df.groupby("r_name", sort=False).agg(
+                n_customers=("cents", "size"),
+                acctbal_cents=("cents", "sum")).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    return ds.map_batches(JoinStage, fn_constructor_args=(ref,),
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 4)) \
+             .groupby("r_name").aggregate(
+                 Sum("n_customers", alias_name="n_customers"),
+                 Sum("acctbal_cents", alias_name="acctbal_cents"))
+
+
+def lineitem_semi_join(sf_dir: str, region_name: str = "ASIA") -> ray.data.Dataset:
+    """J2 analog: broadcast semi-join — lineitem rows whose supplier sits in
+    the given region, counted per supplier."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    supplier = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    rkeys = set(region.loc[region["r_name"] == region_name, "r_regionkey"])
+    nkeys = set(nation.loc[nation["n_regionkey"].isin(rkeys), "n_nationkey"])
+    keys = np.sort(supplier.loc[supplier["s_nationkey"].isin(nkeys), "s_suppkey"].to_numpy())
+    ref = ray.put(keys)
+
+    def partial(batch: pa.Table, keys_ref=ref) -> pa.Table:
+        keyset = ray.get(keys_ref)
+        sk = batch.column("l_suppkey").to_numpy()
+        mask = np.isin(sk, keyset)
+        uniq, counts = np.unique(sk[mask], return_counts=True)
+        return pa.Table.from_pydict({"l_suppkey": pa.array(uniq, pa.int64()),
+                                     "n": pa.array(counts, pa.int64())})
+
+    ds = _read(sf_dir, "lineitem", columns=["l_suppkey"])
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+             .groupby("l_suppkey").aggregate(Sum("n", alias_name="n"))
+
+
+def top_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """O analog: global top-k by balance (distributed sort + limit)."""
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    return ds.sort(["c_acctbal", "c_custkey"], descending=[True, False]).limit(k)
+
+
+def orders_rollup(sf_dir: str) -> ray.data.Dataset:
+    """G4 analog: grouped counters over orders."""
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderpriority": batch.column("o_orderpriority").to_pylist(),
+            "cents": _cents(batch.column("o_totalprice").to_numpy()),
+        })
+        g = df.groupby("o_orderpriority", sort=False).agg(
+            n=("cents", "size"), total_cents=("cents", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+             .groupby("o_orderpriority").aggregate(
+                 Sum("n", alias_name="n"), Sum("total_cents", alias_name="total_cents"))

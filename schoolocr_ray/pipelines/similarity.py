@@ -1,0 +1,182 @@
+"""Similarity search over the ``embeddings`` table (list<float> column):
+brute-force cosine top-k as the exactness baseline (numpy matmul per batch
+against a broadcast query matrix) and a random-hyperplane LSH-bucketed
+variant as the scale path.
+
+Scale notes: the query matrix ships once via ``ray.put`` and is fetched in
+actor ``__init__``; each batch computes a (batch x queries) float64 matmul
+and emits only its local top-k rows, so the final global top-k groupby moves
+k rows per (query, block), not the corpus.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+DEFAULT_K = 10
+DEFAULT_QUERIES = (0, 1, 2, 3, 4)
+
+
+def _load_queries(sf_dir: str, query_ids) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    df = df[df["vec_id"].isin(query_ids)].sort_values("vec_id")
+    qm = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    return df["vec_id"].to_numpy(), qm
+
+
+class BruteForceScorer:
+    """Actor: normalized query matrix fetched once; per batch one matmul +
+    local top-k."""
+
+    def __init__(self, qref, k: int) -> None:
+        self.qids, self.qm = ray.get(qref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        em = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        em /= np.linalg.norm(em, axis=1, keepdims=True)
+        sims = em @ self.qm.T                      # (batch, n_queries)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.qids):
+            col = sims[:, qi]
+            mask = vids != qid                     # exclude self
+            cand_v, cand_s = vids[mask], col[mask]
+            if len(cand_v) > self.k:
+                idx = np.argpartition(-cand_s, self.k)[: self.k]
+                cand_v, cand_s = cand_v[idx], cand_s[idx]
+            out_q += [int(qid)] * len(cand_v)
+            out_v += cand_v.tolist()
+            out_s += cand_s.tolist()
+        return pa.Table.from_pydict({
+            "qid": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+
+def knn_bruteforce(sf_dir: str, k: int = DEFAULT_K,
+                   query_ids=DEFAULT_QUERIES) -> ray.data.Dataset:
+    """Exact cosine top-k; returns (qid, vec_id) pairs, ties broken by
+    (sim desc, vec_id asc) to match the SQL oracle's row_number order."""
+    qref = ray.put(_load_queries(sf_dir, set(query_ids)))
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    partial = ds.map_batches(BruteForceScorer, batch_format="pyarrow",
+                             zero_copy_batch=True,
+                             fn_constructor_args=(qref, k),
+                             concurrency=(1, 4))
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        return df[["qid", "vec_id"]]
+
+    return partial.groupby("qid").map_groups(final_topk, batch_format="pandas")
+
+
+class LshBucketStage:
+    """Actor: seeded random-hyperplane LSH — per vector, one bucket per
+    table; the scale path probes only matching buckets."""
+
+    def __init__(self, dim: int, n_tables: int = 4, n_planes: int = 10,
+                 seed: int = 99) -> None:
+        rng = np.random.RandomState(seed)
+        self.planes = rng.randn(n_tables, n_planes, dim)
+        self.n_tables = n_tables
+
+    def bucket(self, vecs: np.ndarray) -> np.ndarray:
+        # (n, tables): sign-bit pack per table
+        out = np.zeros((vecs.shape[0], self.n_tables), dtype=np.int64)
+        for t in range(self.n_tables):
+            bits = (vecs @ self.planes[t].T) > 0            # (n, planes)
+            out[:, t] = bits @ (1 << np.arange(bits.shape[1]))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        em = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        buckets = self.bucket(em)
+        n, t = buckets.shape
+        return pa.Table.from_pydict({
+            "table_id": pa.array(np.repeat(np.arange(t), n), pa.int32()),
+            "bucket": pa.array(buckets.T.reshape(-1), pa.int64()),
+            "vec_id": pa.array(np.tile(vids, t), pa.int64()),
+        })
+
+
+def knn_lsh(sf_dir: str, k: int = DEFAULT_K, query_ids=DEFAULT_QUERIES,
+            n_tables: int = 4, n_planes: int = 10) -> ray.data.Dataset:
+    """Approximate top-k: LSH bucket assignment (shuffle by bucket), rerank
+    exactly inside buckets containing a query, final global top-k per query.
+    Recall < 1 by construction — the approximate scale path next to the
+    brute-force baseline."""
+    qids_arr, qm = _load_queries(sf_dir, set(query_ids))
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    dim = qm.shape[1]
+    buckets = ds.map_batches(LshBucketStage, batch_format="pyarrow",
+                             zero_copy_batch=True,
+                             fn_constructor_kwargs={"dim": dim,
+                                                    "n_tables": n_tables,
+                                                    "n_planes": n_planes},
+                             concurrency=(1, 4))
+
+    # query buckets, computed with the same stage logic
+    stage = LshBucketStage(dim, n_tables, n_planes)
+    qbuckets = stage.bucket(qm)           # (n_queries, tables)
+    qlut: dict[tuple[int, int], list[int]] = {}
+    for qi, qid in enumerate(qids_arr):
+        for t in range(n_tables):
+            qlut.setdefault((t, int(qbuckets[qi, t])), []).append(int(qid))
+    qlut_ref = ray.put((qlut, dict(zip(qids_arr.tolist(), [q for q in qm]))))
+
+    emb_df = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    emb_ref = ray.put(dict(zip(emb_df["vec_id"],
+                               [np.asarray(e, dtype=np.float64) for e in emb_df["embedding"]])))
+
+    class Rerank:
+        def __init__(self, qlut_ref, emb_ref, k: int) -> None:
+            self.qlut, self.qvecs = ray.get(qlut_ref)
+            self.emb = ray.get(emb_ref)
+            self.k = k
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            t = int(df["table_id"].iloc[0])
+            b = int(df["bucket"].iloc[0])
+            qids = self.qlut.get((t, b), [])
+            if not qids:
+                return pd.DataFrame({"qid": [], "vec_id": [], "sim": []})
+            vids = df["vec_id"].unique()
+            vecs = np.stack([self.emb[v] for v in vids])
+            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            out_q, out_v, out_s = [], [], []
+            for qid in qids:
+                q = self.qvecs[qid]
+                sims = vecs @ q
+                for v, s in zip(vids, sims):
+                    if v != qid:
+                        out_q.append(qid)
+                        out_v.append(int(v))
+                        out_s.append(float(s))
+            return pd.DataFrame({"qid": out_q, "vec_id": out_v, "sim": out_s})
+
+    rerank = Rerank(qlut_ref, emb_ref, k)
+
+    def rerank_group(df: pd.DataFrame) -> pd.DataFrame:
+        return rerank(df)
+
+    cand = buckets.groupby(["table_id", "bucket"]).map_groups(
+        rerank_group, batch_format="pandas")
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["qid", "vec_id"])
+        df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        return df[["qid", "vec_id", "sim"]]
+
+    return cand.groupby("qid").map_groups(final_topk, batch_format="pandas")

@@ -1,0 +1,201 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline operations a 100 TB corpus needs (language-ID,
+quality features, token counting, fingerprinting, exact dedup, n-gram
+Jaccard near-dup), each as a vectorizable ``map_batches`` stage with
+pre-aggregation ahead of any shuffle.
+
+The SQL-checkable ones keep their per-row arithmetic integer/regex-exact so
+DuckDB oracles match byte-for-byte.
+"""
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Min, Sum
+
+_WS = re.compile(r"\s+")
+_NONWORD = re.compile(r"[^a-zа-яё]+")
+_PUNCT = re.compile(r"[.,;:!?]")
+
+EN_STOP = ("the", "a", "and", "of", "to", "in", "is")
+RU_STOP = ("и", "в", "не", "на", "с", "что", "как")
+
+MOD = (1 << 61) - 1
+FP_BASE = 1_000_003
+
+
+def _tokens(text: str) -> list[str]:
+    t = text.strip()
+    return _WS.split(t) if t else []
+
+
+def _read_docs(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def token_count(sf_dir: str) -> ray.data.Dataset:
+    """Whitespace token count per document."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        counts = [len(_tokens(t)) for t in batch.column("text").to_pylist()]
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(counts, pa.int64()),
+        })
+
+    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_features(sf_dir: str) -> ray.data.Dataset:
+    """Integer quality features per document (length, tokens, digits,
+    punctuation, stopword hits) — the building blocks of a quality score,
+    kept integer so the SQL oracle is exact."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_chars = [len(t) for t in texts]
+        n_words = [len(_tokens(t)) for t in texts]
+        n_digits = [sum(c.isdigit() for c in t) for t in texts]
+        n_punct = [len(_PUNCT.findall(t)) for t in texts]
+        stop_hits = [sum(tok in EN_STOP for tok in _NONWORD.split(t.lower()))
+                     for t in texts]
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_digits": pa.array(n_digits, pa.int64()),
+            "n_punct": pa.array(n_punct, pa.int64()),
+            "stop_hits": pa.array(stop_hits, pa.int64()),
+        })
+
+    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lang_id(sf_dir: str) -> ray.data.Dataset:
+    """Stopword-vote language ID (en vs ru) — the n-gram-heuristic family,
+    expressed so a DuckDB lambda reproduces it exactly."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        preds = []
+        for t in batch.column("text").to_pylist():
+            toks = _NONWORD.split(t.lower())
+            en = sum(tok in EN_STOP for tok in toks)
+            ru = sum(tok in RU_STOP for tok in toks)
+            preds.append("en" if en >= ru else "ru")
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "lang_pred": pa.array(preds, pa.string()),
+        })
+
+    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """Rolling polynomial hash over tokens (mod 2^61-1) — a deterministic
+    document fingerprint for fast change detection."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fps = []
+        for t in batch.column("text").to_pylist():
+            h = 0
+            for tok in _tokens(t):
+                h = (h * FP_BASE + zlib.crc32(tok.encode())) % MOD
+            fps.append(h)
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "fp": pa.array(fps, pa.int64()),
+        })
+
+    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def exact_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup: hash-partition on a content hash, keep the minimum
+    doc_id per identical text (first-writer-wins)."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.sha1(t.encode()).hexdigest() for t in batch.column("text").to_pylist()]
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "h": pa.array(hs, pa.string()),
+        })
+
+    ds = _read_docs(sf_dir).map_batches(add_hash, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    out = ds.groupby("h").aggregate(Min("doc_id", alias_name="doc_id"))
+    return out.select_columns(["doc_id"])
+
+
+def shingles(text: str, k: int = 3) -> set[str]:
+    toks = _tokens(text)
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
+                  k: int = 3) -> ray.data.Dataset:
+    """Exact n-gram Jaccard near-duplicate pairs, fully distributed:
+
+        docs -> distinct k-shingles -> explode (shingle, doc) -> groupby
+        shingle -> co-occurring pairs -> groupby pair (intersection counts)
+        -> join per-doc shingle counts (broadcast) -> jaccard >= threshold
+
+    At 100 TB the shingle explode is hash-partitioned by shingle and hot
+    shingles (stopword runs) need a frequency cap; here groups are exploded
+    in full so the DuckDB oracle matches exactly."""
+    import ray as _ray
+
+    # per-doc shingle counts: small (one row per doc) -> broadcast
+    def doc_counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        ns = [len(shingles(t, k)) for t in batch.column("text").to_pylist()]
+        return pa.Table.from_pydict({"doc_id": pa.array(ids, pa.int64()),
+                                     "n_sh": pa.array(ns, pa.int64())})
+
+    counts_df = _read_docs(sf_dir).map_batches(
+        doc_counts, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    counts_ref = _ray.put(dict(zip(counts_df["doc_id"], counts_df["n_sh"])))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, shs = [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            for s in shingles(t, k):
+                ids.append(did)
+                shs.append(s)
+        return pa.Table.from_pydict({"s": pa.array(shs, pa.string()),
+                                     "doc_id": pa.array(ids, pa.int64())})
+
+    def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(df["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "c": []})
+        a, b = zip(*combinations(ids, 2))
+        return pd.DataFrame({"doc_a": a, "doc_b": b, "c": [1] * len(a)})
+
+    exploded = _read_docs(sf_dir).map_batches(explode, batch_format="pyarrow",
+                                              zero_copy_batch=True)
+    pair_counts = exploded.groupby("s").map_groups(pairs_in_group, batch_format="pandas") \
+                          .groupby(["doc_a", "doc_b"]).aggregate(Sum("c", alias_name="c"))
+
+    def verify(batch: pa.Table, counts=counts_ref) -> pa.Table:
+        lut = _ray.get(counts)
+        da = batch.column("doc_a").to_pylist()
+        db = batch.column("doc_b").to_pylist()
+        cc = batch.column("c").to_pylist()
+        keep_a, keep_b = [], []
+        for x, y, c in zip(da, db, cc):
+            denom = lut[x] + lut[y] - c
+            if denom > 0 and c / denom >= threshold:
+                keep_a.append(x)
+                keep_b.append(y)
+        return pa.Table.from_pydict({"doc_a": pa.array(keep_a, pa.int64()),
+                                     "doc_b": pa.array(keep_b, pa.int64())})
+
+    return pair_counts.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,92 @@
+"""Driver-contract simulation: run every queries() entry at sf0.01 and
+compare against its oracle_sql() twin in DuckDB the way the driver does —
+row count, column names, and order-insensitive exact values."""
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def contract(ray_session):
+    import __ray_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    if hasattr(result, "to_pandas"):
+        return result.to_pandas()
+    raise TypeError(type(result))
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+SQL_CHECKED = [
+    "events_stats", "events_histogram", "customers_per_region",
+    "lineitem_semi_join", "top_customers", "orders_rollup",
+    "docs_token_count", "docs_quality", "docs_langid", "docs_exact_dedup",
+    "docs_jaccard_pairs", "knn_bruteforce", "transcripts_conv_shape",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_sql_checked_query_matches_oracle(contract, con, name):
+    queries, oracles = contract
+    assert name in queries and name in oracles
+    got = _canon(_to_pandas(queries[name](SF_DIR)))
+    want = _canon(con.execute(oracles[name]).df())
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    for col in got.columns:
+        a, b = got[col], want[col]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            assert (a.astype(float).values == b.astype(float).values).all(), col
+        else:
+            assert a.astype(str).equals(b.astype(str)), col
+
+
+ROWS_ONLY = ["knn_lsh", "docs_minhash_pairs", "docs_simhash", "docs_fingerprint",
+             "multimodal_decode", "transcripts_extract", "transcripts_conv_rollup",
+             "transcripts_error_corpus", "transcripts_quality_bands"]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(contract, name):
+    queries, _ = contract
+    df = _to_pandas(queries[name](SF_DIR))
+    assert len(df) > 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    df = _to_pandas(ds)
+    assert len(df) > 0
+    assert {"conv_id", "turn_idx", "extracted_text", "table_cells"} <= set(df.columns)
