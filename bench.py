@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Plain run: executes the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+    {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+
+``--scaling``: runs the headline extraction twice in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs +
+scaling efficiency (the sandbox stand-in for the N vs 4N node criterion).
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from schoolocr_ray.pipelines.job import run_job
+    from schoolocr_ray.sources.transcripts import ensure_corpus, sf_label
+
+    label = sf_label(sf_dir)
+    corpus = ensure_corpus(sf_dir)
+
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    import pyarrow.parquet as pq
+    import glob
+    n_turns = sum(pq.read_metadata(f).num_rows
+                  for f in glob.glob(f"{corpus}/*.parquet"))
+
+    queries: dict[str, float] = {}
+
+    # headline: full extraction job (extract -> order restore -> checkpointed
+    # partitioned write with manifest)
+    out_dir = f"/tmp/schoolocr_ray_bench/{label}_cpus{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    run_job(corpus, out_dir, mode="fused", batch_size=128,
+            concurrency=(2, max(4, num_cpus - 2)), num_partitions=64)
+    headline = time.monotonic() - t0
+    queries["extract_job"] = round(headline, 3)
+
+    if not headline_only:
+        import __ray_entry__ as e
+
+        q = e.queries()
+        for name in ("events_stats", "customers_per_region", "lineitem_semi_join",
+                     "top_customers", "docs_token_count", "docs_exact_dedup",
+                     "docs_jaccard_pairs", "docs_minhash_pairs", "knn_bruteforce",
+                     "transcripts_conv_rollup"):
+            t0 = time.monotonic()
+            res = q[name](sf_dir)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            queries[name] = round(time.monotonic() - t0, 3)
+
+    result = {
+        "metric": "transcript extraction wall time (sf tier corpus, full job incl. ordered checkpointed write)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": label,
+        "num_cpus": num_cpus,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_subprocess(num_cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus), GRAFT_SF_DIR=sf_dir,
+               GRAFT_HEADLINE_ONLY="1")
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                         capture_output=True, text=True, check=True,
+                         cwd=os.path.dirname(os.path.abspath(__file__)))
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = run_subprocess(lo, sf_dir)
+        r_hi = run_subprocess(hi, sf_dir)
+        tp_lo, tp_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
+        eff = (tp_hi / tp_lo) / (hi / lo)
+        print(json.dumps({
+            "metric": "scaling efficiency (8 -> 32 cpus, fresh sessions, same input)",
+            "value": round(eff, 3),
+            "unit": "efficiency",
+            "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+            "turns_per_sec_8": tp_lo, "turns_per_sec_32": tp_hi,
+            "sf": r_lo["sf"],
+        }))
+        return
+
+    headline_only = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
+    print(json.dumps(run_bench(sf_dir, num_cpus, headline_only=headline_only)))
+
+
+if __name__ == "__main__":
+    main()

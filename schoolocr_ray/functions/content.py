@@ -23,11 +23,16 @@ SPAN_TABLE = "table"
 SPAN_CONTENT = "content"
 SPAN_BOILER = "boilerplate"
 
-_WORD_PUNCT = re.compile(r"[^\wёЁ]+", re.U)
+_WORD_RE = re.compile(r"[\wёЁ]+", re.U)
+_ALPHA_RE = re.compile(r"[^\W\d_]", re.U)
+_UPPER_RE = re.compile(r"[A-ZА-ЯЁ]")
+_DIGIT_RE = re.compile(r"\d")
 
 
 class ContentScorer:
-    """Load-once boilerplate model; ``score_block`` is pure and deterministic."""
+    """Load-once boilerplate model (compiled patterns + weights built in
+    ``__init__``); ``score_block`` is pure and deterministic, with all
+    char-level counting done by C regex kernels."""
 
     def __init__(self) -> None:
         self._markers = tuple(BOILERPLATE_MARKERS)
@@ -35,17 +40,17 @@ class ContentScorer:
         self._threshold = CONTENT_SCORE_THRESHOLD
 
     def score_block(self, text: str) -> float:
-        words = text.split()
-        n_words = len(words)
-        if n_words == 0:
+        n_words = text.count(" ") + 1 if text else 0
+        if not text.strip():
             return -1.0
         lowered = text.lower()
-        toks = [t for t in (_WORD_PUNCT.sub("", w).lower() for w in words) if t]
+        toks = _WORD_RE.findall(lowered)
         stop_ratio = sum(t in self._stop for t in toks) / max(1, len(toks))
-        punct_density = sum(text.count(c) for c in ".,;:!?") / n_words
-        letters = sum(c.isalpha() for c in text)
-        upper_ratio = (sum(c.isupper() for c in text) / letters) if letters else 0.0
-        digit_ratio = sum(c.isdigit() for c in text) / len(text)
+        punct_density = (text.count(".") + text.count(",") + text.count(";")
+                         + text.count(":") + text.count("!") + text.count("?")) / n_words
+        letters = len(_ALPHA_RE.findall(text))
+        upper_ratio = (len(_UPPER_RE.findall(text)) / letters) if letters else 0.0
+        digit_ratio = len(_DIGIT_RE.findall(text)) / len(text)
         marker_count = sum(lowered.count(m) for m in self._markers)
         score = (
             1.5 * stop_ratio

@@ -144,9 +144,16 @@ def recognize_table(
     model: GlyphClassifier,
     detector: CellDetector,
     config: dict,
+    table_rows: list[list[Box]] | None = None,
 ) -> list[tuple[int, float, Box]] | None:
-    """Config-driven table parse — recognize_table (table_rec.py:10-97)."""
-    table_rows = extract_table_rows(lines, detector)
+    """Config-driven table parse — recognize_table (table_rec.py:10-97).
+
+    ``table_rows`` lets the caller reuse one detection pass across the
+    fallback chain (the reference re-runs YOLO per strategy — a known
+    inefficiency this engine fixes without changing results, since the
+    detection is deterministic on the same page)."""
+    if table_rows is None:
+        table_rows = extract_table_rows(lines, detector)
 
     filtered_cells: list[Box] = []
     if len(table_rows) > 2:
@@ -199,11 +206,13 @@ def recognize_table_all(
     lines: list[str],
     model: GlyphClassifier,
     detector: CellDetector,
+    table_rows: list[list[Box]] | None = None,
 ) -> tuple[list[str] | None, list[tuple[int, float, Box]] | None]:
     """Config-free table parse — recognize_table_all
     (table_rec_noconf.py:68-179): pairing, near-dup merge, count validation,
     positional task names."""
-    table_rows = extract_table_rows(lines, detector)
+    if table_rows is None:
+        table_rows = extract_table_rows(lines, detector)
     filtered_cells_tasks, filtered_cells_mnist = filter_cells(table_rows)
     if not filtered_cells_mnist or not filtered_cells_tasks:
         return None, None

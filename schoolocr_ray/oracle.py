@@ -25,7 +25,12 @@ from .functions.code_rec import recognize_code
 from .functions.content import SPAN_CONTENT, ContentScorer
 from .functions.header import build_class_key, parse_hat_text, recognize_hat
 from .functions.render import KIND_INVALID, KIND_TOOL, decode_payload
-from .functions.table_rec import CellDetector, recognize_table, recognize_table_all
+from .functions.table_rec import (
+    CellDetector,
+    extract_table_rows,
+    recognize_table,
+    recognize_table_all,
+)
 from .layouts import CHAR_W, CLASS_DASH, CLASS_X, LAYOUTS, LINE_H, LOW_CONF, REGIONS
 from .textpage import extract_region, page_lines
 
@@ -123,11 +128,17 @@ def table_pass(kind: str, page: str, doc_class: str | None,
     key = doc_class if doc_class in LAYOUTS else None
     recognized = []
     task_numbers: list[str] = []
+    # one primary detection pass shared across the fallback chain (the
+    # reference re-runs YOLO per strategy, utils/table_rec.py:18 +
+    # table_rec_noconf.py:97 — same results, redundant work)
+    rows_primary = extract_table_rows(lines, models.detector)
     if key:
-        recognized = recognize_table(lines, models.classifier, models.detector, LAYOUTS[key])
+        recognized = recognize_table(lines, models.classifier, models.detector,
+                                     LAYOUTS[key], table_rows=rows_primary)
         task_numbers = LAYOUTS[key].get("task_numbers", "").split()
     if not key or not recognized:
-        task_numbers, recognized = recognize_table_all(lines, models.classifier, models.detector)
+        task_numbers, recognized = recognize_table_all(
+            lines, models.classifier, models.detector, table_rows=rows_primary)
         if not recognized:
             task_numbers, recognized = recognize_table_all(
                 lines, models.classifier, models.detector_extra
