@@ -84,6 +84,59 @@ def _transcripts_error_corpus(sf_dir: str) -> Any:
         ["conv_id", "turn_idx", "payload_kind", "errors"])
 
 
+def _transcripts_tool_filter(sf_dir: str) -> Any:
+    """J2 analog: broadcast allowlist membership filter (app.py:144-147)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    allow = pa.array(["search", "python"], pa.string())
+    ds = ray.data.read_parquet(ensure_corpus(sf_dir),
+                               columns=["conv_id", "turn_idx", "tool"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("tool"), value_set=allow))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _transcripts_spans_by_kind(sf_dir: str) -> Any:
+    """S6/flat_map analog: explode per-turn spans to one row per span, then
+    roll up counts + total chars per span kind."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from schoolocr_ray.pipelines.extract import run_extract
+
+    ds = run_extract(ensure_corpus(sf_dir), mode="fused", num_partitions=32,
+                     ordered=False)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        kinds, chars = [], []
+        for spans in batch.column("spans").to_pylist():
+            for s in spans:
+                kinds.append(s["kind"])
+                chars.append(s["end"] - s["start"])
+        import pandas as pd
+        g = pd.DataFrame({"kind": kinds, "chars": chars}) \
+            .groupby("kind", sort=False) \
+            .agg(n_spans=("chars", "size"), n_chars=("chars", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True) \
+             .groupby("kind").aggregate(Sum("n_spans", alias_name="n_spans"),
+                                        Sum("n_chars", alias_name="n_chars"))
+
+
+def _transcripts_recognized_split(sf_dir: str) -> Any:
+    from schoolocr_ray.pipelines.extract import run_extract
+    from schoolocr_ray.pipelines.rollups import recognized_split
+
+    ds = run_extract(ensure_corpus(sf_dir), mode="fused", num_partitions=32,
+                     ordered=False)
+    return recognized_split(ds)
+
+
 def _transcripts_quality_bands(sf_dir: str) -> Any:
     from schoolocr_ray.pipelines.extract import run_extract
     from schoolocr_ray.pipelines.rollups import quality_bands
@@ -125,6 +178,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_conv_rollup": _transcripts_conv_rollup,
         "transcripts_error_corpus": _transcripts_error_corpus,
         "transcripts_quality_bands": _transcripts_quality_bands,
+        "transcripts_tool_filter": _transcripts_tool_filter,
+        "transcripts_spans_by_kind": _transcripts_spans_by_kind,
+        "transcripts_recognized_split": _transcripts_recognized_split,
     }
 
 
@@ -244,5 +300,9 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_conv_shape": f"""
             SELECT conv_id, COUNT(*) AS n_turns, MAX(turn_idx) AS max_turn_idx
             FROM {transcripts} GROUP BY conv_id
+        """,
+        "transcripts_tool_filter": f"""
+            SELECT conv_id, turn_idx, tool
+            FROM {transcripts} WHERE tool IN ('search', 'python')
         """,
     }

@@ -64,3 +64,17 @@ def build_class_key(subject: str, grade: str) -> str:
     """``key = f"{subject} {grade}"`` after space-stripping the subject
     (app.py:179-180)."""
     return f"{subject.replace(' ', '')} {grade}"
+
+
+def fuzzy_class_key(subject: str, grade: str, known_keys) -> str | None:
+    """M7, the debug-path fuzzy fallback (scripts/app_debug/debug_utils.py:66-70):
+    ``difflib.get_close_matches(subject, keys, cutoff=0.6)``.  Kept out of
+    the served chain exactly like the reference keeps it out of app.py."""
+    from difflib import get_close_matches
+
+    subjects = sorted({k.rsplit(" ", 1)[0] for k in known_keys})
+    matches = get_close_matches(subject.replace(" ", ""), subjects, n=1, cutoff=0.6)
+    if not matches:
+        return None
+    key = f"{matches[0]} {grade}"
+    return key if key in set(known_keys) else None

@@ -17,7 +17,7 @@ ROOT = "/tmp/schoolocr_ray_data"
 SF_PARAMS = {
     "sf0.001": (30, 0, 2),
     "sf0.01": (150, 300, 4),
-    "sf0.1": (1500, 3000, 16),
+    "sf0.1": (23000, 5000, 32),   # ~500k turns: the bench tier
 }
 SEED = 20250817
 

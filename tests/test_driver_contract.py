@@ -51,6 +51,7 @@ SQL_CHECKED = [
     "lineitem_semi_join", "top_customers", "orders_rollup",
     "docs_token_count", "docs_quality", "docs_langid", "docs_exact_dedup",
     "docs_jaccard_pairs", "knn_bruteforce", "transcripts_conv_shape",
+    "transcripts_tool_filter",
 ]
 
 
@@ -72,7 +73,8 @@ def test_sql_checked_query_matches_oracle(contract, con, name):
 
 ROWS_ONLY = ["knn_lsh", "docs_minhash_pairs", "docs_simhash", "docs_fingerprint",
              "multimodal_decode", "transcripts_extract", "transcripts_conv_rollup",
-             "transcripts_error_corpus", "transcripts_quality_bands"]
+             "transcripts_error_corpus", "transcripts_quality_bands",
+             "transcripts_spans_by_kind", "transcripts_recognized_split"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
