@@ -128,6 +128,38 @@ def _transcripts_spans_by_kind(sf_dir: str) -> Any:
                                         Sum("n_chars", alias_name="n_chars"))
 
 
+def _transcripts_dedup(sf_dir: str) -> Any:
+    """D2 analog over raw turns, SQL-checked: union the corpus with an
+    echoed subset (every turn with turn_idx % 37 == 0 re-appears, the
+    at-least-once-delivery duplicate case), then exact-dedup to the first
+    row per (conv_id, turn_idx) by ts.  One groupby shuffle; ts is surfaced
+    as epoch micros so Ray and DuckDB hash identically."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Min
+
+    ds = ray.data.read_parquet(ensure_corpus(sf_dir),
+                               columns=["conv_id", "turn_idx", "ts"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx"),
+            "ts_us": batch.column("ts").cast(pa.int64()),
+        })
+
+    def echo(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        idx = batch.column("turn_idx").to_numpy()
+        return batch.filter(pa.array(idx % 37 == 0))
+
+    base = ds.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
+    echoed = base.map_batches(echo, batch_format="pyarrow", zero_copy_batch=True)
+    return base.union(echoed).groupby(["conv_id", "turn_idx"]).aggregate(
+        Min("ts_us", alias_name="ts_us"))
+
+
 def _transcripts_recognized_split(sf_dir: str) -> Any:
     from schoolocr_ray.pipelines.extract import run_extract
     from schoolocr_ray.pipelines.rollups import recognized_split
@@ -153,8 +185,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational operator analogs (SQL-checked)
         "events_stats": relational.events_stats,
         "events_histogram": relational.events_histogram,
+        "events_distinct_users": relational.events_distinct_users,
         "customers_per_region": relational.customers_per_region,
         "lineitem_semi_join": relational.lineitem_semi_join,
+        "lineitem_order_join": relational.lineitem_order_join,
         "top_customers": relational.top_customers,
         "orders_rollup": relational.orders_rollup,
         # --- text analysis over documents (SQL-checked)
@@ -163,17 +197,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid": text.lang_id,
         "docs_exact_dedup": text.exact_dedup,
         "docs_jaccard_pairs": text.jaccard_pairs,
+        "docs_embedding_neardup": dedup.embedding_neardup,
         # --- similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,
+        "knn_ivf": similarity.knn_ivf,
         # --- sketch dedup (rows-only: probabilistic)
         "docs_minhash_pairs": dedup.minhash_dedup,
         "docs_simhash": dedup.simhash,
+        "docs_simhash_pairs": dedup.simhash_near_pairs,
         "docs_fingerprint": text.fingerprint,
         # --- multimodal plumbing (rows-only)
         "multimodal_decode": multimodal.decode_features,
         # --- transcript domain (rows-only except conv_shape)
         "transcripts_extract": _transcripts_extract,
+        "transcripts_dedup": _transcripts_dedup,
         "transcripts_conv_shape": _transcripts_conv_shape,
         "transcripts_conv_rollup": _transcripts_conv_rollup,
         "transcripts_error_corpus": _transcripts_error_corpus,
@@ -194,7 +232,7 @@ def oracle_sql() -> dict[str, str]:
         "events_stats": """
             SELECT event_type,
                    COUNT(*) AS n,
-                   SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_cents
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events GROUP BY event_type
         """,
         "events_histogram": """
@@ -205,7 +243,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_per_region": """
             SELECT r_name,
                    COUNT(*) AS n_customers,
-                   SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+                   CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
@@ -230,8 +268,25 @@ def oracle_sql() -> dict[str, str]:
         "orders_rollup": """
             SELECT o_orderpriority,
                    COUNT(*) AS n,
-                   SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS total_cents
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
             FROM orders GROUP BY o_orderpriority
+        """,
+        "lineitem_order_join": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "events_distinct_users": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "docs_embedding_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.45
         """,
         "docs_token_count": r"""
             SELECT doc_id,
@@ -304,5 +359,16 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_tool_filter": f"""
             SELECT conv_id, turn_idx, tool
             FROM {transcripts} WHERE tool IN ('search', 'python')
+        """,
+        "transcripts_dedup": f"""
+            WITH base AS (
+                SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us
+                FROM {transcripts}),
+            unioned AS (
+                SELECT * FROM base
+                UNION ALL
+                SELECT * FROM base WHERE turn_idx % 37 = 0)
+            SELECT conv_id, turn_idx, MIN(ts_us) AS ts_us
+            FROM unioned GROUP BY conv_id, turn_idx
         """,
     }

@@ -61,9 +61,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
 
         q = e.queries()
         for name in ("events_stats", "customers_per_region", "lineitem_semi_join",
-                     "top_customers", "docs_token_count", "docs_exact_dedup",
-                     "docs_jaccard_pairs", "docs_minhash_pairs", "knn_bruteforce",
-                     "transcripts_conv_rollup"):
+                     "lineitem_order_join", "top_customers", "docs_token_count",
+                     "docs_exact_dedup", "docs_jaccard_pairs", "docs_minhash_pairs",
+                     "knn_bruteforce", "transcripts_conv_rollup"):
             t0 = time.monotonic()
             res = q[name](sf_dir)
             if hasattr(res, "to_pandas"):

@@ -208,3 +208,47 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 8) -> ray.data.Dataset:
     cand = ds.groupby(["chunk_id", "chunk_sig"]).map_groups(pairs, batch_format="pandas")
     return cand.groupby(["doc_a", "doc_b"]).map_groups(
         lambda df: df.head(1), batch_format="pandas")
+
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.45) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs over the ``embeddings`` table:
+    every (a, b) with a < b and cosine >= threshold.
+
+    Sandbox-exact path (SQL-checkable): the normalized corpus matrix is
+    broadcast once via ``ray.put`` and each batch runs one
+    (batch x corpus) matmul, emitting only pairs above threshold — the
+    block-matmul all-pairs scan.  At 100 TB the same stage runs after an
+    LSH/IVF bucket shuffle (see ``knn_lsh``/``knn_ivf``) so each batch
+    scans only its bucket's candidates instead of the corpus."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    all_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    all_m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    all_m /= np.linalg.norm(all_m, axis=1, keepdims=True)
+    ref = ray.put((all_ids, all_m))
+
+    class PairScan:
+        def __init__(self, corpus_ref, threshold: float) -> None:
+            self.ids, self.m = ray.get(corpus_ref)   # fetched once per actor
+            self.threshold = threshold
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            em = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+            em /= np.linalg.norm(em, axis=1, keepdims=True)
+            sims = em @ self.m.T                       # (batch, corpus)
+            rows, cols = np.nonzero(sims >= self.threshold)
+            a, b = vids[rows], self.ids[cols]
+            keep = a < b                               # each pair once
+            return pa.Table.from_pydict({
+                "vec_a": pa.array(a[keep], pa.int64()),
+                "vec_b": pa.array(b[keep], pa.int64()),
+            })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return ds.map_batches(PairScan, batch_format="pyarrow", zero_copy_batch=True,
+                          fn_constructor_args=(ref, threshold),
+                          concurrency=(1, 4))

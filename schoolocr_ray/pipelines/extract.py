@@ -79,7 +79,11 @@ def extract(
     actor-pool stage (identical semantics — both compose the same oracle
     passes; fused skips three inter-stage block handoffs)."""
     if concurrency is None:
-        concurrency = default_concurrency()
+        # fused runs one pool; staged splits the CPU budget across its four
+        # actor-pool stages (a per-stage pool of num_cpus-2 would demand 4x
+        # the cluster and deadlock actor scheduling on small clusters)
+        budget = default_concurrency()
+        concurrency = budget if mode == "fused" else max(1, budget // 4)
     if mode == "fused":
         ds = ds.map_batches(FusedExtractStage, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=batch_size,

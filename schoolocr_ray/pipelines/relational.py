@@ -145,3 +145,69 @@ def orders_rollup(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
              .groupby("o_orderpriority").aggregate(
                  Sum("n", alias_name="n"), Sum("total_cents", alias_name="total_cents"))
+
+
+def lineitem_order_join(sf_dir: str, num_partitions: int = 16) -> ray.data.Dataset:
+    """Large-large hash join lineitem ⋈ orders on orderkey (both sides too
+    big to broadcast at scale), rolled up to revenue per order priority.
+
+    Uses Ray Data's native hash-partitioned ``Dataset.join`` — both sides
+    are shuffled by the join key into co-located partitions; the rollup
+    pre-aggregates per batch after the join so the final groupby moves
+    partial rows only."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+
+    def li_cents(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "l_orderkey": batch.column("l_orderkey"),
+            "cents": pa.array(_cents(batch.column("l_extendedprice").to_numpy()),
+                              pa.int64()),
+        })
+
+    li = li.map_batches(li_cents, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, join_type="inner", num_partitions=num_partitions,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderpriority": batch.column("o_orderpriority").to_pylist(),
+            "cents": batch.column("cents").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("o_orderpriority", sort=False).agg(
+            n=("cents", "size"), revenue_cents=("cents", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+                 .groupby("o_orderpriority").aggregate(
+                     Sum("n", alias_name="n"),
+                     Sum("revenue_cents", alias_name="revenue_cents"))
+
+
+def events_distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """Distinct aggregate: COUNT(DISTINCT user_id) per event_type, as
+    two-level pre-aggregation — per-batch distinct pairs, a pair-level
+    groupby to global-dedup, then a count per event_type.  No row-level
+    data crosses the shuffle, only distinct pairs."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(),
+            "user_id": batch.column("user_id").to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    deduped = pairs.groupby(["event_type", "user_id"]).map_groups(
+        lambda df: df.head(1), batch_format="pandas")
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": batch.column("event_type").to_pylist()})
+        g = df.groupby("event_type", sort=False).size().reset_index(name="n_users")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return deduped.map_batches(count_partial, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+                  .groupby("event_type").aggregate(Sum("n_users", alias_name="n_users"))

@@ -84,7 +84,7 @@ class LshBucketStage:
     """Actor: seeded random-hyperplane LSH — per vector, one bucket per
     table; the scale path probes only matching buckets."""
 
-    def __init__(self, dim: int, n_tables: int = 4, n_planes: int = 10,
+    def __init__(self, dim: int, n_tables: int = 8, n_planes: int = 4,
                  seed: int = 99) -> None:
         rng = np.random.RandomState(seed)
         self.planes = rng.randn(n_tables, n_planes, dim)
@@ -111,7 +111,7 @@ class LshBucketStage:
 
 
 def knn_lsh(sf_dir: str, k: int = DEFAULT_K, query_ids=DEFAULT_QUERIES,
-            n_tables: int = 4, n_planes: int = 10) -> ray.data.Dataset:
+            n_tables: int = 8, n_planes: int = 4) -> ray.data.Dataset:
     """Approximate top-k: LSH bucket assignment (shuffle by bucket), rerank
     exactly inside buckets containing a query, final global top-k per query.
     Recall < 1 by construction — the approximate scale path next to the

@@ -47,11 +47,12 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 SQL_CHECKED = [
-    "events_stats", "events_histogram", "customers_per_region",
-    "lineitem_semi_join", "top_customers", "orders_rollup",
+    "events_stats", "events_histogram", "events_distinct_users",
+    "customers_per_region", "lineitem_semi_join", "lineitem_order_join",
+    "top_customers", "orders_rollup",
     "docs_token_count", "docs_quality", "docs_langid", "docs_exact_dedup",
-    "docs_jaccard_pairs", "knn_bruteforce", "transcripts_conv_shape",
-    "transcripts_tool_filter",
+    "docs_jaccard_pairs", "docs_embedding_neardup", "knn_bruteforce",
+    "transcripts_conv_shape", "transcripts_tool_filter", "transcripts_dedup",
 ]
 
 
@@ -71,7 +72,8 @@ def test_sql_checked_query_matches_oracle(contract, con, name):
             assert a.astype(str).equals(b.astype(str)), col
 
 
-ROWS_ONLY = ["knn_lsh", "docs_minhash_pairs", "docs_simhash", "docs_fingerprint",
+ROWS_ONLY = ["knn_lsh", "knn_ivf", "docs_minhash_pairs", "docs_simhash",
+             "docs_simhash_pairs", "docs_fingerprint",
              "multimodal_decode", "transcripts_extract", "transcripts_conv_rollup",
              "transcripts_error_corpus", "transcripts_quality_bands",
              "transcripts_spans_by_kind", "transcripts_recognized_split"]
