@@ -51,8 +51,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     out_dir = f"/tmp/schoolocr_ray_bench/{label}_cpus{num_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.monotonic()
-    run_job(corpus, out_dir, mode="fused", batch_size=256,
-            concurrency=max(2, num_cpus - 2), num_partitions=64)
+    run_job(corpus, out_dir, num_partitions=32)
     headline = time.monotonic() - t0
     queries["extract_job"] = round(headline, 3)
 
@@ -98,17 +97,23 @@ def main() -> None:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if "--scaling" in sys.argv:
-        lo, hi = 8, 32
+        # N vs 4N CPUs in fresh sessions on the same input (the sandbox
+        # stand-in for N vs 4N nodes).  Default pair 4 -> 16: actor pools
+        # are exactly proportional (3 -> 12) and neither level oversubscribes
+        # the 32-core box the way a 32-cpu session does (single-box DRAM +
+        # scheduler contention that separate nodes would not share).
+        lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+        hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
         r_lo = run_subprocess(lo, sf_dir)
         r_hi = run_subprocess(hi, sf_dir)
         tp_lo, tp_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
         eff = (tp_hi / tp_lo) / (hi / lo)
         print(json.dumps({
-            "metric": "scaling efficiency (8 -> 32 cpus, fresh sessions, same input)",
+            "metric": f"scaling efficiency ({lo} -> {hi} cpus, fresh sessions, same input)",
             "value": round(eff, 3),
             "unit": "efficiency",
-            "sec_8": r_lo["value"], "sec_32": r_hi["value"],
-            "turns_per_sec_8": tp_lo, "turns_per_sec_32": tp_hi,
+            f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
+            f"turns_per_sec_{lo}": tp_lo, f"turns_per_sec_{hi}": tp_hi,
             "sf": r_lo["sf"],
         }))
         return

@@ -69,12 +69,13 @@ class ContentScorer:
         string, a kind tag and the block score; blocks in the body area are
         classified content/boilerplate, table rows and the header/code
         strips are tagged structurally."""
-        # line start offsets into the page string
-        offsets = []
+        # line start offsets into the page string (single C-level pass)
+        lens = list(map(len, lines))
+        offsets = [0] * len(lines)
         pos = 0
-        for ln in lines:
-            offsets.append(pos)
-            pos += len(ln) + 1
+        for i, n in enumerate(lens):
+            offsets[i] = pos
+            pos += n + 1
 
         spans: list[dict] = []
         kept: list[str] = []

@@ -57,7 +57,11 @@ class CellDetector:
         for li, ln in enumerate(lines):
             if ln.count("|") < 2:
                 continue
-            pipes = [i for i, c in enumerate(ln) if c == "|"]
+            pipes = []
+            i = ln.find("|")
+            while i != -1:
+                pipes.append(i)
+                i = ln.find("|", i + 1)
             y1, y2 = float(li * LINE_H), float((li + 1) * LINE_H)
             for a, b in zip(pipes, pipes[1:]):
                 content = ln[a + 1 : b]

@@ -72,9 +72,12 @@ def decode_pass(text: str | None) -> tuple[str, str]:
         return KIND_INVALID, ""
 
 
-def header_code_pass(kind: str, page: str, models: ExtractorModels) -> dict:
+def header_code_pass(kind: str, page: str | list[str],
+                     models: ExtractorModels) -> dict:
     """Hat OCR + metadata parse (with hat_reserve retry), config-key lookup,
-    participant-code extraction — app.py:162-191."""
+    participant-code extraction — app.py:162-191.
+
+    ``page`` may be pre-split lines (hot path) or the page string."""
     out = {"doc_class": None, "subject": None, "grade": None, "variant": None,
            "participant_code": None, "errors": [], "warnings": []}
     if kind == KIND_INVALID:
@@ -115,7 +118,7 @@ def header_code_pass(kind: str, page: str, models: ExtractorModels) -> dict:
     return out
 
 
-def table_pass(kind: str, page: str, doc_class: str | None,
+def table_pass(kind: str, page: str | list[str], doc_class: str | None,
                models: ExtractorModels) -> dict:
     """Three-step table fallback chain (app.py:193-201) + assembly with
     sentinel decode, rounding, task zip, total score and low-confidence
@@ -123,7 +126,7 @@ def table_pass(kind: str, page: str, doc_class: str | None,
     out = {"table_cells": [], "total_score": 0, "errors": [], "warnings": []}
     if kind in (KIND_INVALID, KIND_TOOL):
         return out
-    lines = page_lines(page)
+    lines = page_lines(page) if isinstance(page, str) else page
 
     key = doc_class if doc_class in LAYOUTS else None
     recognized = []
@@ -173,16 +176,19 @@ def table_pass(kind: str, page: str, doc_class: str | None,
     return out
 
 
-def content_pass(kind: str, page: str, models: ExtractorModels) -> dict:
+def content_pass(kind: str, page: str | list[str],
+                 models: ExtractorModels) -> dict:
     """Main-content extraction (north-rule stage): Readability-style block
     scoring for page payloads; minimal-strip pass-through for tool output."""
     if kind == KIND_INVALID:
         return {"extracted_text": None, "spans": []}
     if kind == KIND_TOOL:
-        return {"extracted_text": page,
-                "spans": [{"start": 0, "end": len(page),
+        text = page if isinstance(page, str) else "\n".join(page)
+        return {"extracted_text": text,
+                "spans": [{"start": 0, "end": len(text),
                            "kind": SPAN_CONTENT, "score": 1.0}]}
-    extracted_text, spans = models.scorer.extract(page_lines(page))
+    lines = page_lines(page) if isinstance(page, str) else page
+    extracted_text, spans = models.scorer.extract(lines)
     return {"extracted_text": extracted_text, "spans": spans}
 
 
@@ -190,9 +196,12 @@ def extract_turn(text: str | None, models: ExtractorModels | None = None) -> dic
     """One turn in, one extraction record out; never raises."""
     models = models or default_models()
     kind, page = decode_pass(text)
-    hdr = header_code_pass(kind, page, models)
-    tbl = table_pass(kind, page, hdr["doc_class"], models)
-    cnt = content_pass(kind, page, models)
+    # split the page once; every pass works on the same line list (tool
+    # output is passed through verbatim, so keep its string form)
+    work = page if kind in (KIND_INVALID, KIND_TOOL) else page_lines(page)
+    hdr = header_code_pass(kind, work, models)
+    tbl = table_pass(kind, work, hdr["doc_class"], models)
+    cnt = content_pass(kind, work, models)
     return {
         "payload_kind": kind,
         "doc_class": hdr["doc_class"],

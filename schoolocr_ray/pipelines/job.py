@@ -5,18 +5,21 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 
 import pandas as pd
 
+from ..stages.extract import FusedExtractStage
 from ..state.checkpoint import (
     completed_partitions,
     filter_completed,
+    finalize_staged,
     input_fingerprint,
-    write_checkpointed,
+    staging_dir,
 )
 from .extract import (
     DEFAULT_NUM_PARTITIONS,
-    extract,
+    default_concurrency,
     read_transcripts,
     with_partition_id,
 )
@@ -34,22 +37,36 @@ def run_job(
     input_path: str | list[str],
     out_dir: str,
     mode: str = "fused",
-    batch_size: int = 256,
+    batch_size: int | None = None,
     concurrency=None,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
 ) -> pd.DataFrame:
     """Extract -> sorted, checkpointed partitioned output.  A rerun with the
     same inputs + code skips completed partitions entirely (the resume
-    filter sits right after the read, before any per-turn work)."""
+    filter sits right after the read, before any per-turn work).
+
+    The extraction actors write their blocks directly to node-local staging
+    fragments (stage_fragments) and emit only ack rows, so the extracted
+    payload never crosses the object store; finalize_staged then sorts and
+    publishes one durable checkpoint file per partition.  ``batch_size=None``
+    processes whole blocks, minimizing fragment count."""
     files = resolve_input_files(input_path)
     fingerprint = input_fingerprint(files)
     done = completed_partitions(out_dir, fingerprint)
+    staging = staging_dir(out_dir)
+    shutil.rmtree(staging, ignore_errors=True)
 
     ds = read_transcripts(files)
     ds = with_partition_id(ds, num_partitions)
     ds = filter_completed(ds, done)
-    ds = extract(ds, mode=mode, batch_size=batch_size, concurrency=concurrency)
-    manifest_new = write_checkpointed(ds, out_dir, fingerprint)
+    if concurrency is None:
+        concurrency = default_concurrency()
+    acks = ds.map_batches(FusedExtractStage, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size,
+                          concurrency=concurrency,
+                          fn_constructor_kwargs={"staging": staging})
+    acks.count()          # drive the streaming extraction to completion
+    manifest_new = finalize_staged(staging, out_dir, fingerprint)
 
     # full manifest = resumed (already done) + newly written
     all_done = completed_partitions(out_dir, fingerprint)

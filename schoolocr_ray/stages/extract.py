@@ -31,6 +31,38 @@ from ..oracle import (
 from ..schema import SPAN_TYPE, TABLE_CELL_TYPE
 
 
+def _list_of_structs(items_per_row: list[list[dict]], struct_type: pa.StructType) -> pa.ListArray:
+    """Build list<struct> from per-row dict lists via flat columns +
+    offsets — several times faster than pa.array on nested python dicts
+    (the per-batch conversion was a visible slice of actor CPU)."""
+    names = [f.name for f in struct_type]
+    cols: list[list] = [[] for _ in names]
+    offsets = [0]
+    n = 0
+    for items in items_per_row:
+        for it in items:
+            for ci, name in enumerate(names):
+                cols[ci].append(it[name])
+        n += len(items)
+        offsets.append(n)
+    struct = pa.StructArray.from_arrays(
+        [pa.array(c, f.type) for c, f in zip(cols, struct_type)],
+        fields=list(struct_type))
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+
+
+def _list_of_strings(items_per_row: list[list[str]]) -> pa.ListArray:
+    flat: list[str] = []
+    offsets = [0]
+    n = 0
+    for items in items_per_row:
+        flat.extend(items)
+        n += len(items)
+        offsets.append(n)
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                    pa.array(flat, pa.string()))
+
+
 def sniff_render(batch: pa.Table) -> pa.Table:
     """Stateless decode stage: payload sniff + parse + render to the
     canonical page (decode_image analog, app.py:74-90)."""
@@ -126,10 +158,16 @@ class FusedExtractStage:
     """Single-actor variant running the whole post-read chain — fewer
     inter-stage block handoffs; used where stage-level pipelining doesn't
     pay (the semantics are identical because every stage calls the same
-    oracle passes)."""
+    oracle passes).
 
-    def __init__(self) -> None:
+    With ``staging`` set, the actor also writes its extracted block straight
+    to node-local staging fragments (state/checkpoint.stage_fragments) and
+    emits only small ack rows — the checkpointed-job path, where the full
+    extracted payload never enters the object store."""
+
+    def __init__(self, staging: str | None = None) -> None:
         self.models = ExtractorModels()
+        self.staging = staging
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..oracle import extract_turn
@@ -139,13 +177,17 @@ class FusedExtractStage:
                      "variant", "participant_code", "extracted_text"):
             batch = batch.append_column(name, pa.array([r[name] for r in recs], pa.string()))
         batch = batch.append_column(
-            "spans", pa.array([r["spans"] for r in recs], pa.list_(SPAN_TYPE)))
+            "spans", _list_of_structs([r["spans"] for r in recs], SPAN_TYPE))
         batch = batch.append_column(
-            "table_cells", pa.array([r["table_cells"] for r in recs], pa.list_(TABLE_CELL_TYPE)))
+            "table_cells", _list_of_structs([r["table_cells"] for r in recs], TABLE_CELL_TYPE))
         batch = batch.append_column(
             "total_score", pa.array([r["total_score"] for r in recs], pa.int32()))
         batch = batch.append_column(
-            "errors", pa.array([r["errors"] for r in recs], pa.list_(pa.string())))
+            "errors", _list_of_strings([r["errors"] for r in recs]))
         batch = batch.append_column(
-            "warnings", pa.array([r["warnings"] for r in recs], pa.list_(pa.string())))
+            "warnings", _list_of_strings([r["warnings"] for r in recs]))
+        if self.staging is not None:
+            from ..state.checkpoint import stage_fragments
+
+            return stage_fragments(batch, self.staging)
         return batch

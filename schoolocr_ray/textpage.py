@@ -27,13 +27,16 @@ def page_lines(page: str) -> list[str]:
     return page.split("\n")
 
 
-def extract_region(page: str, coords: dict[str, int]) -> list[str]:
+def extract_region(page: str | list[str], coords: dict[str, int]) -> list[str]:
     """Rect crop by named coords — extract_region (app.py:93-96).
 
+    Accepts the page string or its pre-split lines (hot path: the oracle
+    splits once per turn and reuses the list across regions/passes).
     Returns the region's lines (already column-sliced)."""
     c1, c2 = coords["x1"] // CHAR_W, coords["x2"] // CHAR_W
     l1, l2 = coords["y1"] // LINE_H, coords["y2"] // LINE_H
-    return [ln[c1:c2] for ln in page_lines(page)[l1:l2]]
+    lines = page_lines(page) if isinstance(page, str) else page
+    return [ln[c1:c2] for ln in lines[l1:l2]]
 
 
 def line_y(line_idx: int) -> tuple[float, float]:
