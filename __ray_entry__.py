@@ -178,6 +178,26 @@ def _transcripts_quality_bands(sf_dir: str) -> Any:
     return quality_bands(ds)
 
 
+def _transcripts_conf_histogram(sf_dir: str) -> Any:
+    """G5: 10-bin histogram of table-cell confidences (stat_app.py:47-77)."""
+    from schoolocr_ray.pipelines.extract import run_extract
+    from schoolocr_ray.pipelines.rollups import confidence_histogram
+
+    ds = run_extract(ensure_corpus(sf_dir), mode="fused", num_partitions=32,
+                     ordered=False)
+    return confidence_histogram(ds)
+
+
+def _transcripts_low_confidence(sf_dir: str) -> Any:
+    """G2 roll-up: low-confidence cell counts per doc_class (app.py:222)."""
+    from schoolocr_ray.pipelines.extract import run_extract
+    from schoolocr_ray.pipelines.rollups import low_confidence_tasks
+
+    ds = run_extract(ensure_corpus(sf_dir), mode="fused", num_partitions=32,
+                     ordered=False)
+    return low_confidence_tasks(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from schoolocr_ray.pipelines import dedup, multimodal, relational, similarity, text
 
@@ -209,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": text.fingerprint,
         # --- multimodal plumbing (rows-only)
         "multimodal_decode": multimodal.decode_features,
+        "multimodal_resize": multimodal.resize,
+        "multimodal_frames": multimodal.frame_sample,
         # --- transcript domain (rows-only except conv_shape)
         "transcripts_extract": _transcripts_extract,
         "transcripts_dedup": _transcripts_dedup,
@@ -216,6 +238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_conv_rollup": _transcripts_conv_rollup,
         "transcripts_error_corpus": _transcripts_error_corpus,
         "transcripts_quality_bands": _transcripts_quality_bands,
+        "transcripts_conf_histogram": _transcripts_conf_histogram,
+        "transcripts_low_confidence": _transcripts_low_confidence,
         "transcripts_tool_filter": _transcripts_tool_filter,
         "transcripts_spans_by_kind": _transcripts_spans_by_kind,
         "transcripts_recognized_split": _transcripts_recognized_split,
@@ -327,9 +351,11 @@ def oracle_sql() -> dict[str, str]:
                              unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
                       FROM tok)),
             cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            cold AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 64),
             inter AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                WHERE a.s IN (SELECT s FROM cold)
                 GROUP BY 1, 2)
             SELECT doc_a, doc_b
             FROM inter

@@ -90,3 +90,74 @@ def decode_features(sf_dir: str, batch_size: int = 64) -> ray.data.Dataset:
     return payloads.map_batches(DecoderStub, batch_format="pyarrow",
                                 zero_copy_batch=True, batch_size=batch_size,
                                 concurrency=(1, 4))
+
+
+class ResizeStub:
+    """Actor: resize-to-target over the fake container — rewrites the
+    header dims to fit within (target_w, target_h) preserving aspect ratio
+    and truncates the body proportionally (the byte-level stand-in for a
+    real thumbnail op; a real resize kernel goes in ``__call__`` with the
+    codec loaded in ``__init__``)."""
+
+    def __init__(self, target_w: int = 32, target_h: int = 32) -> None:
+        self.tw, self.th = target_w, target_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for buf in batch.column("payload").to_pylist():
+            if buf[:4] != MAGIC:
+                out.append(buf)
+                continue
+            w, h = struct.unpack("<HH", buf[4:8])
+            scale = min(self.tw / max(w, 1), self.th / max(h, 1), 1.0)
+            nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+            body = buf[8:]
+            keep = max(1, int(len(body) * (nw * nh) / max(w * h, 1)))
+            out.append(MAGIC + struct.pack("<HH", nw, nh) + body[:keep])
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "payload": pa.array(out, pa.binary()),
+            "media_type": batch.column("media_type"),
+        })
+
+
+def resize(sf_dir: str, target_w: int = 32, target_h: int = 32,
+           batch_size: int = 64) -> ray.data.Dataset:
+    """Resize stage over binary payloads, then re-decode to verify the new
+    dims — the decode -> transform -> decode plumbing pattern."""
+    payloads = make_payloads(sf_dir)
+    small = payloads.map_batches(
+        ResizeStub, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=(1, 4),
+        fn_constructor_kwargs={"target_w": target_w, "target_h": target_h})
+    return small.map_batches(DecoderStub, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=batch_size,
+                             concurrency=(1, 4))
+
+
+def frame_sample(sf_dir: str, every: int = 7, batch_size: int = 64) -> ray.data.Dataset:
+    """Frame-sampling plumbing for a 'video' payload: treat each 64-byte
+    body chunk as a frame, emit one row per sampled frame (flat_map shape —
+    more rows out than in), with (doc_id, frame_idx, n_bytes, digest)."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids, fidx, lens, digests = [], [], [], []
+        for did, buf in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("payload").to_pylist()):
+            body = buf[8:] if buf[:4] == MAGIC else buf
+            frames = [body[i:i + 64] for i in range(0, len(body), 64)]
+            for i in range(0, len(frames), every):
+                ids.append(did)
+                fidx.append(i)
+                lens.append(len(frames[i]))
+                digests.append(hashlib.sha1(frames[i]).hexdigest()[:12])
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int32()),
+            "n_bytes": pa.array(lens, pa.int64()),
+            "digest": pa.array(digests, pa.string()),
+        })
+
+    return make_payloads(sf_dir).map_batches(
+        sample, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size)
