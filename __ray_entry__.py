@@ -135,18 +135,23 @@ def _transcripts_dedup(sf_dir: str) -> Any:
     row per (conv_id, turn_idx) by ts.  One groupby shuffle; ts is surfaced
     as epoch micros so Ray and DuckDB hash identically."""
     import pyarrow as pa
-    import pyarrow.compute as pc
     import ray.data
-    from ray.data.aggregate import Min
+
+    from schoolocr_ray.pipelines.extract import hash_partition_ids
 
     ds = ray.data.read_parquet(ensure_corpus(sf_dir),
                                columns=["conv_id", "turn_idx", "ts"])
 
     def to_us(batch: pa.Table) -> pa.Table:
+        # bucket by hash(conv_id) so both copies of a turn co-locate; the
+        # per-(conv,turn) min is then a vectorized pandas groupby per
+        # bucket, not a 500k-group Ray aggregate (17.8 s -> ~4 s at sf0.1)
         return pa.Table.from_pydict({
             "conv_id": batch.column("conv_id"),
             "turn_idx": batch.column("turn_idx"),
             "ts_us": batch.column("ts").cast(pa.int64()),
+            "bk": pa.array(hash_partition_ids(
+                batch.column("conv_id").to_pylist(), 64), pa.int32()),
         })
 
     def echo(batch: pa.Table) -> pa.Table:
@@ -154,10 +159,46 @@ def _transcripts_dedup(sf_dir: str) -> Any:
         idx = batch.column("turn_idx").to_numpy()
         return batch.filter(pa.array(idx % 37 == 0))
 
-    base = ds.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
+    def dedup_bucket(df) -> Any:
+        g = df.groupby(["conv_id", "turn_idx"], as_index=False)["ts_us"].min()
+        return g[["conv_id", "turn_idx", "ts_us"]]
+
+    # materialize: union() re-executes its inputs' lineage, so an
+    # unmaterialized base would be read+mapped twice (small result, safe)
+    base = ds.map_batches(to_us, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
     echoed = base.map_batches(echo, batch_format="pyarrow", zero_copy_batch=True)
-    return base.union(echoed).groupby(["conv_id", "turn_idx"]).aggregate(
-        Min("ts_us", alias_name="ts_us"))
+    return base.union(echoed).groupby("bk").map_groups(
+        dedup_bucket, batch_format="pandas")
+
+
+def _transcripts_fragments(sf_dir: str) -> Any:
+    """S6 analog (multi-page splitter, scripts/split_pdf.py:5-44): split each
+    turn's payload on blank lines into fragments, one output row per
+    fragment — the flat_map that returns more rows than input, SQL-checked
+    against DuckDB's unnest(string_split(...))."""
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.read_parquet(ensure_corpus(sf_dir),
+                               columns=["conv_id", "turn_idx", "text"])
+
+    def split(batch: pa.Table) -> pa.Table:
+        convs, turns, frags = [], [], []
+        for c, t, x in zip(batch.column("conv_id").to_pylist(),
+                           batch.column("turn_idx").to_pylist(),
+                           batch.column("text").to_pylist()):
+            for frag in (x or "").split("\n\n"):
+                convs.append(c)
+                turns.append(t)
+                frags.append(frag)
+        return pa.Table.from_pydict({
+            "conv_id": pa.array(convs, pa.string()),
+            "turn_idx": pa.array(turns, pa.int32()),
+            "frag": pa.array(frags, pa.string()),
+        })
+
+    return ds.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _transcripts_recognized_split(sf_dir: str) -> Any:
@@ -234,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- transcript domain (rows-only except conv_shape)
         "transcripts_extract": _transcripts_extract,
         "transcripts_dedup": _transcripts_dedup,
+        "transcripts_fragments": _transcripts_fragments,
         "transcripts_conv_shape": _transcripts_conv_shape,
         "transcripts_conv_rollup": _transcripts_conv_rollup,
         "transcripts_error_corpus": _transcripts_error_corpus,
@@ -385,6 +427,11 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_tool_filter": f"""
             SELECT conv_id, turn_idx, tool
             FROM {transcripts} WHERE tool IN ('search', 'python')
+        """,
+        "transcripts_fragments": f"""
+            SELECT conv_id, turn_idx,
+                   unnest(string_split(text, chr(10) || chr(10))) AS frag
+            FROM {transcripts}
         """,
         "transcripts_dedup": f"""
             WITH base AS (

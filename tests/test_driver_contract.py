@@ -53,6 +53,7 @@ SQL_CHECKED = [
     "docs_token_count", "docs_quality", "docs_langid", "docs_exact_dedup",
     "docs_jaccard_pairs", "docs_embedding_neardup", "knn_bruteforce",
     "transcripts_conv_shape", "transcripts_tool_filter", "transcripts_dedup",
+    "transcripts_fragments",
 ]
 
 
