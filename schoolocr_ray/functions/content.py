@@ -108,7 +108,8 @@ class ContentScorer:
         table_first = table_last = None
         for li in range(BODY_START_LINE, len(lines)):
             ln = lines[li]
-            if ln.count("|") >= 2:
+            p1 = ln.find("|")
+            if p1 != -1 and ln.find("|", p1 + 1) != -1:
                 flush_block()
                 if table_first is None:
                     table_first = li

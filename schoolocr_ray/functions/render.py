@@ -19,7 +19,7 @@ import re
 from dataclasses import dataclass, field
 
 from ..layouts import PAGE_COLS
-from ..textpage import make_page
+from ..textpage import make_page_lines
 
 KIND_HTML = "html"
 KIND_PDFISH = "pdfish"
@@ -178,7 +178,12 @@ def _format_html_table_row(cells: list[str]) -> str:
 
 
 def render_page(parts: DocParts) -> str:
-    """Place document parts onto the fixed-geometry canonical page."""
+    return "\n".join(render_page_lines(parts))
+
+
+def render_page_lines(parts: DocParts) -> list[str]:
+    """Place document parts onto the fixed-geometry canonical page
+    (line-list form; identical content to ``render_page`` split on \\n)."""
     lines = [""] * BODY_START_LINE
     for i, hl in enumerate(_wrap(parts.header_text, HEADER_WRAP) if parts.header_text else []):
         if HEADER_LINE + i < CODE_LINE:
@@ -204,7 +209,7 @@ def render_page(parts: DocParts) -> str:
             lines.append("")
         for t in tbl:
             lines.append(" " * TABLE_COL + t)
-    return make_page(lines)
+    return make_page_lines(lines)
 
 
 def normalize_tool(text: str) -> str:
@@ -221,11 +226,19 @@ def decode_payload(text: str | None) -> tuple[str, str]:
     """(kind, page) — the ``decode_image`` analog (app.py:74-90).
 
     Raises ValueError for undecodable payloads, mirroring app.py:84."""
+    kind, work = decode_payload_lines(text)
+    return kind, ("\n".join(work) if isinstance(work, list) else work)
+
+
+def decode_payload_lines(text: str | None) -> tuple[str, list[str] | str]:
+    """Lines-native decode: page kinds return the line list directly (the
+    hot path never joins+resplits the 140-line page); tool output stays a
+    string because it is passed through verbatim."""
     kind = sniff_kind(text)
     if kind == KIND_INVALID:
         raise ValueError("Неверный формат изображения")
     if kind == KIND_HTML:
-        return kind, render_page(parse_html(text))
+        return kind, render_page_lines(parse_html(text))
     if kind == KIND_PDFISH:
-        return kind, render_page(parse_pdfish(text))
+        return kind, render_page_lines(parse_pdfish(text))
     return kind, normalize_tool(text)

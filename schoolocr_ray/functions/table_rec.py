@@ -55,13 +55,13 @@ class CellDetector:
         """All candidate cell boxes on the page with confidences."""
         out: list[tuple[Box, float]] = []
         for li, ln in enumerate(lines):
-            if ln.count("|") < 2:
-                continue
             pipes = []
             i = ln.find("|")
             while i != -1:
                 pipes.append(i)
                 i = ln.find("|", i + 1)
+            if len(pipes) < 2:
+                continue
             y1, y2 = float(li * LINE_H), float((li + 1) * LINE_H)
             for a, b in zip(pipes, pipes[1:]):
                 content = ln[a + 1 : b]

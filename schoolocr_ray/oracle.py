@@ -25,6 +25,7 @@ from .functions.code_rec import recognize_code
 from .functions.content import SPAN_CONTENT, ContentScorer
 from .functions.header import build_class_key, parse_hat_text, recognize_hat
 from .functions.render import KIND_INVALID, KIND_TOOL, decode_payload
+from .functions.render import decode_payload_lines as _decode_payload_lines
 from .functions.table_rec import (
     CellDetector,
     extract_table_rows,
@@ -68,6 +69,14 @@ def decode_pass(text: str | None) -> tuple[str, str]:
     the row-level analog of the reference's HTTP-500 path (app.py:242-245)."""
     try:
         return decode_payload(text)
+    except ValueError:
+        return KIND_INVALID, ""
+
+
+def decode_pass_lines(text: str | None) -> tuple[str, list[str] | str]:
+    """Lines-native decode_pass (hot path: no page join+resplit)."""
+    try:
+        return _decode_payload_lines(text)
     except ValueError:
         return KIND_INVALID, ""
 
@@ -195,10 +204,9 @@ def content_pass(kind: str, page: str | list[str],
 def extract_turn(text: str | None, models: ExtractorModels | None = None) -> dict:
     """One turn in, one extraction record out; never raises."""
     models = models or default_models()
-    kind, page = decode_pass(text)
-    # split the page once; every pass works on the same line list (tool
-    # output is passed through verbatim, so keep its string form)
-    work = page if kind in (KIND_INVALID, KIND_TOOL) else page_lines(page)
+    # lines-native decode: page kinds arrive as the line list, tool output
+    # as its verbatim string — no join+resplit of the 140-line page
+    kind, work = decode_pass_lines(text)
     hdr = header_code_pass(kind, work, models)
     tbl = table_pass(kind, work, hdr["doc_class"], models)
     cnt = content_pass(kind, work, models)

@@ -14,13 +14,18 @@ from __future__ import annotations
 from .layouts import CHAR_W, LINE_H, PAGE_COLS, PAGE_LINES
 
 
-def make_page(lines: list[str]) -> str:
+def make_page_lines(lines: list[str]) -> list[str]:
     """Normalize rendered lines to the fixed page size — the resize_to_target
     analog (app.py:88-90): truncate to PAGE_LINES/PAGE_COLS, pad with empty
-    lines to exactly PAGE_LINES."""
+    lines to exactly PAGE_LINES.  Returns the line list (the hot path works
+    in line space; ``make_page`` joins for the string page column)."""
     out = [ln[:PAGE_COLS].rstrip() for ln in lines[:PAGE_LINES]]
     out.extend([""] * (PAGE_LINES - len(out)))
-    return "\n".join(out)
+    return out
+
+
+def make_page(lines: list[str]) -> str:
+    return "\n".join(make_page_lines(lines))
 
 
 def page_lines(page: str) -> list[str]:
