@@ -36,16 +36,35 @@ SALT_SPAN = 512  # mega-conversation salt window (turns per sub-group)
 _HASH_KEY = "0123456789123456"  # pandas' documented default, pinned for lineage
 
 
-def hash_partition_ids(conv_ids, num_partitions: int) -> np.ndarray:
+def hash_partition_ids(conv_ids, num_partitions: int, turn_idx=None,
+                       salt_span: int = SALT_SPAN) -> np.ndarray:
     """Deterministic, process-stable hash partition of conv_id (Python's
-    builtin str hash is salted per process and must never be used here)."""
-    arr = np.asarray(conv_ids, dtype=object)
+    builtin str hash is salted per process and must never be used here).
+
+    Skew mitigation (north rule): when ``turn_idx`` is given, the key is
+    the salted pair ``(conv_id, turn_idx // salt_span)`` — a conversation
+    longer than ``salt_span`` turns splits into fixed 512-turn chunks that
+    hash to different partitions, so one mega-conversation can never
+    dominate a partition.  Chunks are internally ordered by the
+    per-partition (conv_id, turn_idx) sort and reassemble deterministically
+    (chunk k of a conv is exactly turns [k*span, (k+1)*span)); a global
+    read ordered by (conv_id, turn_idx) is therefore identical with or
+    without salting.  Conversations shorter than the span keep a single
+    chunk id (0) and land whole in one partition, as before."""
+    s = pd.Series(conv_ids, dtype=object)
+    if turn_idx is not None:
+        chunk = (pd.Series(np.asarray(turn_idx)) // salt_span).astype(str)
+        s = s.str.cat(chunk, sep="\x00")
+    arr = s.to_numpy(dtype=object)
     return (pd.util.hash_array(arr, hash_key=_HASH_KEY) % num_partitions).astype(np.int32)
 
 
-def with_partition_id(ds: ray.data.Dataset, num_partitions: int = DEFAULT_NUM_PARTITIONS) -> ray.data.Dataset:
+def with_partition_id(ds: ray.data.Dataset, num_partitions: int = DEFAULT_NUM_PARTITIONS,
+                      salt_span: int = SALT_SPAN) -> ray.data.Dataset:
     def add_part(batch: pa.Table) -> pa.Table:
-        pid = hash_partition_ids(batch.column("conv_id").to_pylist(), num_partitions)
+        pid = hash_partition_ids(batch.column("conv_id").to_pylist(), num_partitions,
+                                 turn_idx=batch.column("turn_idx").to_numpy(),
+                                 salt_span=salt_span)
         return batch.append_column("part_id", pa.array(pid, pa.int32()))
 
     return ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)

@@ -56,9 +56,40 @@ def test_order_restored_within_partitions(ray_session, small_corpus):
     for pid, g in df.groupby("part_id", sort=False):
         keys = list(zip(g["conv_id"], g["turn_idx"]))
         assert keys == sorted(keys), f"partition {pid} not ordered"
-    # partition assignment is the deterministic hash
-    expect_pid = hash_partition_ids(df["conv_id"].to_numpy(), 8)
+    # partition assignment is the deterministic salted hash
+    expect_pid = hash_partition_ids(df["conv_id"].to_numpy(), 8,
+                                    turn_idx=df["turn_idx"].to_numpy())
     assert (df["part_id"].to_numpy() == expect_pid).all()
+
+
+def test_mega_conversation_salting(ray_session, small_corpus):
+    """North-rule skew mitigation: a conversation longer than the salt span
+    splits across partitions in 512-turn (here 50-turn) chunks, and the
+    global (conv_id, turn_idx) order is identical with and without salting."""
+    import ray.data
+
+    path, table, _ = small_corpus
+    ds = ray.data.read_parquet(path)
+    counts = pd.Series(table["conv_id"].to_pylist()).value_counts()
+    mega = counts[counts > 50]
+    assert len(mega) > 0, "fixture needs a conversation longer than the test span"
+
+    salted = with_partition_id(ds, 8, salt_span=50).to_pandas()
+    for cid, n in mega.items():
+        parts = salted.loc[salted["conv_id"] == cid, "part_id"].nunique()
+        assert parts > 1, f"mega conv {cid} ({n} turns) not split"
+        # each 50-turn chunk maps to exactly one partition
+        g = salted[salted["conv_id"] == cid]
+        per_chunk = g.groupby(g["turn_idx"] // 50)["part_id"].nunique()
+        assert (per_chunk == 1).all()
+    # short conversations stay whole
+    for cid in counts[counts <= 50].index[:10]:
+        assert salted.loc[salted["conv_id"] == cid, "part_id"].nunique() == 1
+    # reassembly invariant: global key order is salting-independent
+    unsalted = with_partition_id(ds, 8, salt_span=10**9).to_pandas()
+    a = salted.sort_values(["conv_id", "turn_idx"])[["conv_id", "turn_idx"]].reset_index(drop=True)
+    b = unsalted.sort_values(["conv_id", "turn_idx"])[["conv_id", "turn_idx"]].reset_index(drop=True)
+    assert a.equals(b)
 
 
 def test_planted_scenarios(ray_session, small_corpus):
