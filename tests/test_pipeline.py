@@ -116,6 +116,35 @@ def test_planted_scenarios(ray_session, small_corpus):
             assert "Не найдена существующая конфигурация для таблиц" in list(out["warnings"])
 
 
+def test_per_turn_equality_sf001_corpus(ray_session):
+    """Broader equality sweep: the full sf0.01 correctness-tier corpus
+    (3337 turns, every synth scenario incl. the 300-turn mega conversation)
+    through the salted, fused pipeline vs the oracle."""
+    from schoolocr_ray.oracle import ExtractorModels, extract_turn
+    from schoolocr_ray.sources.transcripts import ensure_corpus
+    import pyarrow.parquet as pq
+    import glob
+
+    corpus = ensure_corpus("sf0.01")
+    ds = run_extract(corpus, mode="fused", num_partitions=16)
+    got = {(r["conv_id"], r["turn_idx"]): r for r in ds.take_all()}
+
+    models = ExtractorModels()
+    n = 0
+    for f in sorted(glob.glob(corpus + "/*.parquet")):
+        t = pq.read_table(f, columns=["conv_id", "turn_idx", "text"])
+        for c, i, x in zip(t.column("conv_id").to_pylist(),
+                           t.column("turn_idx").to_pylist(),
+                           t.column("text").to_pylist()):
+            want = extract_turn(x, models)
+            have = got[(c, i)]
+            assert have["extracted_text"] == want["extracted_text"], (c, i)
+            assert _norm(have["table_cells"]) == _norm(want["table_cells"]), (c, i)
+            assert _norm(have["spans"]) == _norm(want["spans"]), (c, i)
+            n += 1
+    assert n == len(got) == 3337
+
+
 def test_exact_dedup(ray_session, small_corpus):
     import ray.data
 
