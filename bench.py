@@ -104,8 +104,14 @@ def main() -> None:
         # scheduler contention that separate nodes would not share).
         lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
         hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
-        r_lo = run_subprocess(lo, sf_dir)
-        r_hi = run_subprocess(hi, sf_dir)
+        reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+        # best-of-N per level: the shared box has ~±10% run-to-run noise
+        # (page-cache flush, background daemons); min wall time is the
+        # standard estimator of the machine's actual capability
+        r_lo = min((run_subprocess(lo, sf_dir) for _ in range(reps)),
+                   key=lambda r: r["value"])
+        r_hi = min((run_subprocess(hi, sf_dir) for _ in range(reps)),
+                   key=lambda r: r["value"])
         tp_lo, tp_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
         eff = (tp_hi / tp_lo) / (hi / lo)
         print(json.dumps({

@@ -90,11 +90,30 @@ def stage_fragments(table: pa.Table, staging: str) -> pa.Table:
     actor->write-task handoff of the full payload was a flat ~5 s/500k
     turns that did not scale with CPUs).
 
-    Fragment names are a content hash of the slice's key columns, so a Ray
-    task retry overwrites the same files instead of duplicating rows; the
-    write itself is tmp + rename, never a partial fragment."""
+    Fragment names are a content hash of the slice's key AND payload
+    buffers: extraction is deterministic, so a Ray task retry reproduces
+    byte-identical output and overwrites the same files instead of
+    duplicating rows — while two different blocks that happen to share a
+    key sequence (e.g. at-least-once duplicated turns) hash differently
+    and both survive for the dedup operator.  Only byte-identical
+    duplicate blocks (whole input fragments re-delivered verbatim)
+    collapse, which is the desired file-level idempotency.  The write
+    itself is tmp + rename, never a partial fragment."""
     import numpy as np
     import pyarrow.compute as pc
+
+    # block identity = hash of the WHOLE block's key+payload buffers,
+    # computed before the partition sort: a retry reproduces the exact
+    # block -> same names; two different blocks can never share a name
+    # even when individual partition runs happen to be byte-identical
+    # (partial collapse of at-least-once duplicate rows would otherwise
+    # silently drop data — found by test)
+    bh = hashlib.sha1()
+    for col in ("conv_id", "turn_idx", "ts", "text"):
+        for buf in table.column(col).combine_chunks().buffers():
+            if buf is not None:
+                bh.update(buf)
+    block_id = bh.hexdigest()[:20]
 
     idx = pc.sort_indices(table, sort_keys=[("part_id", "ascending")])
     table = table.take(idx)
@@ -104,13 +123,7 @@ def stage_fragments(table: pa.Table, staging: str) -> pa.Table:
     for a, b in zip(bounds, bounds[1:]):
         sub = table.slice(a, b - a)
         pid = int(pids[a])
-        h = hashlib.sha1()
-        h.update(b"%d|%d" % (pid, b - a))
-        for col in ("conv_id", "turn_idx"):
-            for buf in sub.column(col).combine_chunks().buffers():
-                if buf is not None:
-                    h.update(buf)
-        name = h.hexdigest()[:20]
+        name = f"{block_id}-{pid}"
         pdir = os.path.join(staging, f"part_id={pid}")
         os.makedirs(pdir, exist_ok=True)
         tmp = os.path.join(pdir, f".{name}.arrow.tmp")

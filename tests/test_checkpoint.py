@@ -55,6 +55,37 @@ def test_job_write_and_resume(ray_session, small_corpus, tmp_path):
     assert a["total_score"].equals(b["total_score"])
 
 
+def test_duplicate_block_semantics(ray_session, small_corpus, tmp_path):
+    """Fragment naming is block-granular: at-least-once duplicate ROWS
+    embedded in different blocks all survive (for D2 dedup to handle),
+    while a byte-identical redelivered FILE collapses to one copy."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schoolocr_ray.pipelines.job import run_job
+
+    path, table, _ = small_corpus
+    src = sorted(glob.glob(path + "/*.parquet"))
+    a = pq.read_table(src[0])
+
+    d = tmp_path / "dup_rows"
+    d.mkdir()
+    pq.write_table(a, str(d / "a.parquet"))
+    b = pa.concat_tables([a.slice(0, 40), pq.read_table(src[1])])
+    pq.write_table(b, str(d / "b.parquet"))
+    m = run_job(str(d), str(tmp_path / "out1"), num_partitions=8)
+    assert m["n_turns"].sum() == a.num_rows + b.num_rows
+
+    d2 = tmp_path / "redelivered"
+    d2.mkdir()
+    pq.write_table(a, str(d2 / "a.parquet"))
+    pq.write_table(a, str(d2 / "a_again.parquet"))
+    m2 = run_job(str(d2), str(tmp_path / "out2"), num_partitions=8)
+    assert m2["n_turns"].sum() == a.num_rows
+
+
 def test_rollups(ray_session, small_corpus):
     from schoolocr_ray.oracle import extract_turn
     from schoolocr_ray.pipelines.extract import run_extract
