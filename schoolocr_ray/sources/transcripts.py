@@ -18,6 +18,7 @@ SF_PARAMS = {
     "sf0.001": (30, 0, 2),
     "sf0.01": (150, 300, 4),
     "sf0.1": (23000, 5000, 32),   # ~500k turns: the bench tier
+    "sf0.5": (92000, 5000, 64),   # ~2M turns: the scale/amortization tier
 }
 SEED = 20250817
 
