@@ -247,6 +247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stats": relational.events_stats,
         "events_histogram": relational.events_histogram,
         "events_distinct_users": relational.events_distinct_users,
+        "events_windowed": relational.events_windowed,
+        "events_lag": relational.events_lag,
         "customers_per_region": relational.customers_per_region,
         "lineitem_semi_join": relational.lineitem_semi_join,
         "lineitem_order_join": relational.lineitem_order_join,
@@ -347,6 +349,19 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "events_windowed": """
+            SELECT event_type,
+                   epoch_us(ts) // CAST(21600000000 AS BIGINT) AS win,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events GROUP BY event_type, win
+        """,
+        "events_lag": """
+            SELECT event_id,
+                   COALESCE(LAG(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id), -1) AS prev_cents
+            FROM events
         """,
         "docs_embedding_neardup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -184,6 +184,62 @@ def lineitem_order_join(sf_dir: str, num_partitions: int = 16) -> ray.data.Datas
                      Sum("revenue_cents", alias_name="revenue_cents"))
 
 
+def events_windowed(sf_dir: str, window_hours: int = 6) -> ray.data.Dataset:
+    """Tumbling-window aggregate: count + exact cents-sum per
+    (event_type, 6-hour window).  The window id is a pure projection
+    (epoch_us // span), so this composes as map_batches partials + one
+    small groupby — the streaming-window analog for bounded data."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    span_us = window_hours * 3600 * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = (batch.column("ts").cast(pa.int64()).to_numpy() // span_us)
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(),
+            "win": win,
+            "cents": _cents(batch.column("value").to_numpy()),
+        })
+        g = df.groupby(["event_type", "win"], sort=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+             .groupby(["event_type", "win"]).aggregate(
+                 Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+
+
+def events_lag(sf_dir: str, num_buckets: int = 32) -> ray.data.Dataset:
+    """Ordered analytic (as-of within the stream): for every event, the
+    user's previous event value — LAG(value) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id).  Hash-bucket users so each bucket holds whole
+    user histories, then one vectorized pandas sort+shift per bucket; the
+    partitioning assumption (all rows of a key co-located) is the same one
+    every as-of/windowed custom operator in this engine documents."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        return pa.Table.from_pydict({
+            "event_id": batch.column("event_id"),
+            "ts_us": batch.column("ts").cast(pa.int64()),
+            "user_id": batch.column("user_id"),
+            "cents": pa.array(_cents(batch.column("value").to_numpy()), pa.int64()),
+            "bk": pa.array((uid % num_buckets).astype(np.int32)),
+        })
+
+    def lag_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        df["prev_cents"] = df.groupby("user_id", sort=False)["cents"].shift(1)
+        out = df[["event_id", "prev_cents"]].copy()
+        # first event per user has no predecessor: -1 sentinel keeps the
+        # column non-null int64 (NULL would make exact SQL compare NaN-y)
+        out["prev_cents"] = out["prev_cents"].fillna(-1).astype("int64")
+        return out
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True) \
+             .groupby("bk").map_groups(lag_bucket, batch_format="pandas")
+
+
 def events_distinct_users(sf_dir: str) -> ray.data.Dataset:
     """Distinct aggregate: COUNT(DISTINCT user_id) per event_type, as
     two-level pre-aggregation — per-batch distinct pairs, a pair-level
