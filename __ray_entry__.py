@@ -47,7 +47,8 @@ def _transcripts_extract(sf_dir: str) -> Any:
 def _transcripts_conv_shape(sf_dir: str) -> Any:
     import pyarrow as pa
     import ray.data
-    from ray.data.aggregate import Max, Sum
+
+    from schoolocr_ray.pipelines.extract import hash_partition_ids
 
     ds = ray.data.read_parquet(ensure_corpus(sf_dir), columns=["conv_id", "turn_idx"])
 
@@ -58,11 +59,16 @@ def _transcripts_conv_shape(sf_dir: str) -> Any:
         g = df.groupby("conv_id", sort=False).agg(
             n_turns=("turn_idx", "size"),
             max_turn_idx=("turn_idx", "max")).reset_index()
+        g["bk"] = hash_partition_ids(g["conv_id"].to_numpy(), 64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    def merge(df) -> Any:
+        g = df.groupby("conv_id", as_index=False).agg(
+            n_turns=("n_turns", "sum"), max_turn_idx=("max_turn_idx", "max"))
+        return g
+
     return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
-             .groupby("conv_id").aggregate(Sum("n_turns", alias_name="n_turns"),
-                                           Max("max_turn_idx", alias_name="max_turn_idx"))
+             .groupby("bk").map_groups(merge, batch_format="pandas")
 
 
 def _transcripts_conv_rollup(sf_dir: str) -> Any:

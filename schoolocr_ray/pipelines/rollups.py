@@ -23,17 +23,23 @@ from ray.data.aggregate import Count, Max, Sum
 from ..layouts import LOW_CONF
 
 
-def conv_rollup(ds: ray.data.Dataset) -> ray.data.Dataset:
+def conv_rollup(ds: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
     """Per-conversation roll-up: n_turns, sum of total_score, error/warning
-    turn counts, max turn_idx.  Partial-aggregates per batch first."""
+    turn counts, max turn_idx.  Partial-aggregates per batch, then merges
+    per conv-hash bucket with one vectorized pandas groupby per bucket
+    (Ray's sort aggregate over ~20k string groups measured ~14 s at sf0.1;
+    64 bucketed merges run in ~2 s)."""
+    import pyarrow.compute as pc
+
+    from ..pipelines.extract import hash_partition_ids
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
             "conv_id": batch.column("conv_id").to_pylist(),
             "turn_idx": batch.column("turn_idx").to_pylist(),
             "total_score": batch.column("total_score").to_pylist(),
-            "n_err": [len(e) > 0 for e in batch.column("errors").to_pylist()],
-            "n_warn": [len(w) > 0 for w in batch.column("warnings").to_pylist()],
+            "n_err": pc.greater(pc.list_value_length(batch.column("errors")), 0).to_numpy(zero_copy_only=False),
+            "n_warn": pc.greater(pc.list_value_length(batch.column("warnings")), 0).to_numpy(zero_copy_only=False),
         })
         g = df.groupby("conv_id", sort=False).agg(
             n_turns=("turn_idx", "size"),
@@ -42,16 +48,21 @@ def conv_rollup(ds: ray.data.Dataset) -> ray.data.Dataset:
             warning_turns=("n_warn", "sum"),
             max_turn_idx=("turn_idx", "max"),
         ).reset_index()
+        g["bk"] = hash_partition_ids(g["conv_id"].to_numpy(), num_buckets)
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("conv_id", as_index=False).agg(
+            n_turns=("n_turns", "sum"),
+            sum_score=("sum_score", "sum"),
+            error_turns=("error_turns", "sum"),
+            warning_turns=("warning_turns", "sum"),
+            max_turn_idx=("max_turn_idx", "max"),
+        )
+        return g
+
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.groupby("conv_id").aggregate(
-        Sum("n_turns", alias_name="n_turns"),
-        Sum("sum_score", alias_name="sum_score"),
-        Sum("error_turns", alias_name="error_turns"),
-        Sum("warning_turns", alias_name="warning_turns"),
-        Max("max_turn_idx", alias_name="max_turn_idx"),
-    )
+    return partials.groupby("bk").map_groups(merge_bucket, batch_format="pandas")
 
 
 def confidence_histogram(ds: ray.data.Dataset, n_bins: int = 10) -> ray.data.Dataset:
