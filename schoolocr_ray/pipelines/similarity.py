@@ -246,7 +246,7 @@ class IvfAssignScore:
 
 
 def knn_ivf(sf_dir: str, k: int = DEFAULT_K, query_ids=DEFAULT_QUERIES,
-            n_centroids: int = 16, n_probe: int = 4) -> ray.data.Dataset:
+            n_centroids: int = 16, n_probe: int = 6) -> ray.data.Dataset:
     """IVF approximate top-k (the scale path next to ``knn_bruteforce``):
     coarse k-means lists, queries probe their ``n_probe`` nearest lists,
     exact rerank inside probed lists only.  Recall < 1 by construction."""
