@@ -162,9 +162,22 @@ def recognize_table(
     filtered_cells: list[Box] = []
     if len(table_rows) > 2:
         return None
+    # Length guards: the reference indexes table_rows unguarded
+    # (utils/table_rec.py:23-26), so a valid config-class header over a page
+    # with a missing/short table IndexErrors into app.py:242-245's catch-all
+    # 500.  The engine instead returns None so the fallback chain
+    # (app.py:199-201 analog) still runs and the turn degrades to an
+    # ERR_TABLE row — a deliberate robustness deviation (never a crash);
+    # the truly-unreachable shapes still 500 via extract_turn's catch-all.
+    # Note rows==2 requires table_rows[3], unreachable under the >2 abort
+    # above — in the reference that branch can only IndexError.
     if config["rows"] == 1:
+        if len(table_rows) < 2:
+            return None
         filtered_cells = table_rows[1][1:-2]
     if config["rows"] == 2:
+        if len(table_rows) < 4:
+            return None
         filtered_cells = table_rows[1][1:] + table_rows[3][1:-2]
 
     if len(filtered_cells) != config["total_cells"]:

@@ -201,15 +201,39 @@ def content_pass(kind: str, page: str | list[str],
     return {"extracted_text": extracted_text, "spans": spans}
 
 
+def fatal_record(kind: str, message: str) -> dict:
+    """The per-turn 500 analog (app.py:242-245): any unexpected exception in
+    the extraction chain degrades to one error row — every other field is
+    discarded exactly as the reference's HTTPException(500) discards the
+    partial response.  ``500: <detail>`` mirrors the ERR_DECODE format."""
+    return {
+        "payload_kind": kind,
+        "doc_class": None, "subject": None, "grade": None, "variant": None,
+        "participant_code": None,
+        "extracted_text": None, "spans": [],
+        "table_cells": [], "total_score": 0,
+        "errors": [f"500: {message}"], "warnings": [],
+    }
+
+
 def extract_turn(text: str | None, models: ExtractorModels | None = None) -> dict:
-    """One turn in, one extraction record out; never raises."""
+    """One turn in, one extraction record out; never raises.
+
+    The never-raises contract has two layers: every pass degrades known bad
+    shapes itself (decode ValueError, short tables via the recognize_table
+    guards), and the whole chain is wrapped in the app.py:242-245 catch-all
+    analog so anything unexpected becomes a per-turn 500 row instead of
+    killing the Ray task."""
     models = models or default_models()
     # lines-native decode: page kinds arrive as the line list, tool output
     # as its verbatim string — no join+resplit of the 140-line page
     kind, work = decode_pass_lines(text)
-    hdr = header_code_pass(kind, work, models)
-    tbl = table_pass(kind, work, hdr["doc_class"], models)
-    cnt = content_pass(kind, work, models)
+    try:
+        hdr = header_code_pass(kind, work, models)
+        tbl = table_pass(kind, work, hdr["doc_class"], models)
+        cnt = content_pass(kind, work, models)
+    except Exception as e:  # noqa: BLE001 — the catch-all IS the contract
+        return fatal_record(kind, str(e))
     return {
         "payload_kind": kind,
         "doc_class": hdr["doc_class"],

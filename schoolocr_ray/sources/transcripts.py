@@ -35,20 +35,28 @@ def corpus_dir(label: str) -> str:
 def ensure_corpus(sf_dir_or_label: str) -> str:
     """Idempotent: build the corpus for this sf tier if missing; returns the
     parquet directory."""
-    from ..synth import write_transcripts
+    from ..synth import SYNTH_VERSION, write_transcripts
 
     label = sf_label(sf_dir_or_label)
     out = corpus_dir(label)
     marker = os.path.join(out, "_SUCCESS")
+    stamp = f"ok v{SYNTH_VERSION}"
     if os.path.exists(marker):
-        return out
+        try:
+            with open(marker) as f:
+                if f.read() == stamp:
+                    return out
+        except OSError:
+            pass
+        # stale generator version: rebuild
+        shutil.rmtree(out, ignore_errors=True)
     n_convs, mega, num_files = SF_PARAMS[label]
     tmp = out + f".tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     write_transcripts(tmp, n_convs=n_convs, seed=SEED, mega_conv_turns=mega,
                       num_files=num_files)
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
-        f.write("ok")
+        f.write(stamp)
     try:
         os.replace(tmp, out)
     except OSError:

@@ -16,6 +16,14 @@ never per batch.
 Per-row failures degrade to errors-populated rows inside the batch fn, so a
 Ray task retry can never double-process a partially-failed batch into
 different output (SURVEY.md §7.4).
+
+The app.py:242-245 catch-all analog in staged mode: each stage wraps its
+per-row pass in try/except and records the first exception message in a
+``fatal`` working column; later stages skip fatal rows, and the final stage
+(ContentStage) rewrites fatal rows into the oracle's ``fatal_record`` shape
+(all fields discarded, ``errors=["500: <msg>"]``) so staged output is
+per-turn identical to ``extract_turn``'s catch-all — and no payload can
+ever kill a Ray task.
 """
 from __future__ import annotations
 
@@ -89,15 +97,22 @@ class HeaderCodeStage:
         pages = batch.column("page").to_pylist()
         cols = {k: [] for k in ("doc_class", "subject", "grade", "variant",
                                 "participant_code", "errors", "warnings")}
+        fatal: list[str | None] = []
         for kind, page in zip(kinds, pages):
-            res = header_code_pass(kind, page, self.models)
+            try:
+                res = header_code_pass(kind, page, self.models)
+                fatal.append(None)
+            except Exception as e:  # noqa: BLE001 — per-row 500 contract
+                res = {k: ([] if k in ("errors", "warnings") else None)
+                       for k in cols}
+                fatal.append(str(e))
             for k in cols:
                 cols[k].append(res[k])
         for name in ("doc_class", "subject", "grade", "variant", "participant_code"):
             batch = batch.append_column(name, pa.array(cols[name], pa.string()))
         batch = batch.append_column("errors", pa.array(cols["errors"], pa.list_(pa.string())))
         batch = batch.append_column("warnings", pa.array(cols["warnings"], pa.list_(pa.string())))
-        return batch
+        return batch.append_column("fatal", pa.array(fatal, pa.string()))
 
 
 class TableStage:
@@ -116,19 +131,30 @@ class TableStage:
         classes = batch.column("doc_class").to_pylist()
         errors = batch.column("errors").to_pylist()
         warnings = batch.column("warnings").to_pylist()
+        fatal = batch.column("fatal").to_pylist()
         cells_col, totals = [], []
         for i, (kind, page, doc_class) in enumerate(zip(kinds, pages, classes)):
-            res = table_pass(kind, page, doc_class, self.models)
+            if fatal[i] is not None:
+                cells_col.append([])
+                totals.append(0)
+                continue
+            try:
+                res = table_pass(kind, page, doc_class, self.models)
+            except Exception as e:  # noqa: BLE001 — per-row 500 contract
+                fatal[i] = str(e)
+                cells_col.append([])
+                totals.append(0)
+                continue
             cells_col.append(res["table_cells"])
             totals.append(res["total_score"])
             errors[i] = errors[i] + res["errors"]
             warnings[i] = warnings[i] + res["warnings"]
-        batch = batch.drop_columns(["errors", "warnings"])
+        batch = batch.drop_columns(["errors", "warnings", "fatal"])
         batch = batch.append_column("table_cells", pa.array(cells_col, pa.list_(TABLE_CELL_TYPE)))
         batch = batch.append_column("total_score", pa.array(totals, pa.int32()))
         batch = batch.append_column("errors", pa.array(errors, pa.list_(pa.string())))
         batch = batch.append_column("warnings", pa.array(warnings, pa.list_(pa.string())))
-        return batch
+        return batch.append_column("fatal", pa.array(fatal, pa.string()))
 
 
 class ContentStage:
@@ -141,16 +167,43 @@ class ContentStage:
         self.models = ExtractorModels()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..oracle import fatal_record
+
         kinds = batch.column("payload_kind").to_pylist()
         pages = batch.column("page").to_pylist()
+        fatal = batch.column("fatal").to_pylist()
         texts, spans_col = [], []
-        for kind, page in zip(kinds, pages):
-            res = content_pass(kind, page, self.models)
+        for i, (kind, page) in enumerate(zip(kinds, pages)):
+            if fatal[i] is not None:
+                texts.append(None)
+                spans_col.append([])
+                continue
+            try:
+                res = content_pass(kind, page, self.models)
+            except Exception as e:  # noqa: BLE001 — per-row 500 contract
+                fatal[i] = str(e)
+                res = {"extracted_text": None, "spans": []}
             texts.append(res["extracted_text"])
             spans_col.append(res["spans"])
-        batch = batch.drop_columns(["page"])
+        batch = batch.drop_columns(["page", "fatal"])
         batch = batch.append_column("extracted_text", pa.array(texts, pa.string()))
         batch = batch.append_column("spans", pa.array(spans_col, pa.list_(SPAN_TYPE)))
+        if any(f is not None for f in fatal):
+            # rewrite fatal rows into the oracle's 500 shape — all earlier
+            # stages' fields are discarded, exactly like extract_turn's
+            # catch-all (fatal rows are rare, so the common path pays nothing)
+            bad = [i for i, f in enumerate(fatal) if f is not None]
+            patch = {i: fatal_record(kinds[i], fatal[i]) for i in bad}
+            for name in ("doc_class", "subject", "grade", "variant",
+                         "participant_code", "extracted_text", "total_score",
+                         "spans", "table_cells", "errors", "warnings"):
+                col = batch.column(name).to_pylist()
+                for i in bad:
+                    col[i] = patch[i][name]
+                batch = batch.set_column(
+                    batch.schema.get_field_index(name),
+                    batch.schema.field(name),
+                    pa.array(col, batch.schema.field(name).type))
         return batch
 
 

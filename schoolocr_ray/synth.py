@@ -27,6 +27,10 @@ from .layouts import CLASS_DASH, CLASS_X, GLYPH_TABLE, LAYOUTS
 
 EPOCH_US = 1735689600_000_000  # 2025-01-01T00:00:00Z, fixed (no wall clock)
 
+# bump whenever generation changes byte-visibly: cached corpora under /tmp
+# (sources/transcripts.ensure_corpus) are invalidated by this version
+SYNTH_VERSION = 2
+
 TRANSCRIPTS_SCHEMA = pa.schema([
     ("conv_id", pa.string()),
     ("turn_idx", pa.int32()),
@@ -350,18 +354,51 @@ def _make_scenario(rng: random.Random) -> tuple[str, str, dict]:
                "config_miss": True}
         return "unknown_class", _pdfish_payload(rng, hdr, code, lines), exp
 
-    # malformed (FIXTURES.md §2): empty payload or wrong cell count
-    if rng.random() < 0.4:
-        return "malformed_empty", "", {"has_errors": True}
+    # malformed / degenerate shapes (FIXTURES.md §2 + VERDICT r1 wrong-1):
+    # empty payload, wrong cell count, config-class header with missing or
+    # header-only table (the reference's IndexError->500 shape, utils/
+    # table_rec.py:23-26 under app.py:242-245, which the engine degrades to
+    # ERR_TABLE via the recognize_table length guards), and a narrow 4-row
+    # table whose third row has one cell (table_rec_noconf.py:52-53 indexes
+    # row[1] unguarded -> a genuine per-turn 500 in both engines).
+    shape = rng.random()
     key = rng.choice(_ONE_BAND)
     disp, grade = _SUBJ_WORDS[key]
-    glyphs, total = _value_cells(rng, LAYOUTS[key]["total_cells"] + 4)
-    rows = [["Задание"] + [str(i) for i in range(1, LAYOUTS[key]["total_cells"] + 1)]
-            + ["Сумма", "Подпись"],
-            ["Баллы"] + glyphs + [str(total), "Подпись"]]
-    text = _html_payload(rng, _header_text(rng, disp, grade, rng.randint(1, 9), 1),
-                         None, rows)
-    return "malformed_cells", text, {"has_errors": True}
+    variant = rng.randint(1, 9)
+    if shape < 0.25:
+        return "malformed_empty", "", {"has_errors": True}
+    if shape < 0.50:
+        glyphs, total = _value_cells(rng, LAYOUTS[key]["total_cells"] + 4)
+        rows = [["Задание"] + [str(i) for i in range(1, LAYOUTS[key]["total_cells"] + 1)]
+                + ["Сумма", "Подпись"],
+                ["Баллы"] + glyphs + [str(total), "Подпись"]]
+        text = _html_payload(rng, _header_text(rng, disp, grade, variant, 1),
+                             None, rows)
+        return "malformed_cells", text, {"has_errors": True}
+    if shape < 0.70:
+        # valid config-class header, NO table at all
+        code = _code_line(rng, "".join(str(rng.randint(0, 9)) for _ in range(5)))
+        text = _html_payload(rng, _header_text(rng, disp, grade, variant, 1),
+                             code, None)
+        return "config_no_table", text, {"doc_class": key, "has_errors": True}
+    if shape < 0.85:
+        # valid config-class header, table header row only (rows==1 config
+        # needs table_rows[1]; the guard returns None -> fallback -> ERR_TABLE)
+        tasks = LAYOUTS[key]["task_numbers"].split()
+        lines = [_fmt_literal_row(["Задание"] + tasks + ["Сумма", "Подпись"])]
+        hdr = _header_text(rng, disp, grade, variant, 2)
+        return ("config_short_table", _pdfish_payload(rng, hdr, None, lines),
+                {"doc_class": key, "has_errors": True})
+    # narrow 4-row table: row 2 has a single cell -> filter_cells'
+    # table_rows[2][1] IndexError -> per-turn 500 (both engines)
+    glyphs, _total = _value_cells(rng, 4)
+    lines = [_fmt_literal_row(["Задание", "1", "2"]),
+             _fmt_literal_row(["Баллы"] + glyphs[:2]),
+             "| Сумма |",
+             _fmt_literal_row(["Итог", glyphs[2], glyphs[3]])]
+    hdr = _header_text(rng, disp, grade, variant, 2)
+    return ("fatal_narrow_band", _pdfish_payload(rng, hdr, None, lines),
+            {"has_errors": True, "fatal": True})
 
 
 def generate_transcripts(

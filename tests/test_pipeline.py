@@ -100,7 +100,8 @@ def test_planted_scenarios(ray_session, small_corpus):
     assert set(tdf["scenario"]) >= {
         "html_1band", "html_2band", "html_reserve_header", "pdfish_1band",
         "pdfish_neardup", "pdfish_speck", "unknown_class", "tool_output",
-        "malformed_empty", "malformed_cells", "html_casual"}
+        "malformed_empty", "malformed_cells", "html_casual",
+        "config_no_table", "config_short_table", "fatal_narrow_band"}
     for r in tdf.to_dict("records"):
         out = got[(r["conv_id"], r["turn_idx"])]
         has_err = len(out["errors"]) > 0
@@ -114,6 +115,10 @@ def test_planted_scenarios(ray_session, small_corpus):
             assert out["participant_code"] == r["exp_participant_code"]
         if r.get("exp_config_miss") is True:
             assert "Не найдена существующая конфигурация для таблиц" in list(out["warnings"])
+        if r.get("exp_fatal") is True:
+            errs = list(out["errors"])
+            assert len(errs) == 1 and errs[0].startswith("500:"), r
+            assert out["doc_class"] is None and out["extracted_text"] is None
 
 
 def test_per_turn_equality_sf001_corpus(ray_session):
