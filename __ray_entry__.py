@@ -16,6 +16,7 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -25,6 +26,34 @@ from schoolocr_ray.sources.transcripts import ensure_corpus
 # so the static SQL below references this corpus path
 _SF001_CORPUS = ensure_corpus("sf0.001")
 _SF01_CORPUS = ensure_corpus("sf0.01")
+
+# shared checkpointed extraction output per sf tier: the transcript roll-up
+# queries read this instead of re-running extraction each (round-1 fix:
+# conv_rollup was ~90% redundant re-extraction), and the deterministic
+# parquet it produces is what their DuckDB oracles read — the rollups are
+# plain SQL over the extracted table, while the extraction itself stays
+# pinned by the pytest golden gate (tests/test_pipeline.py).
+_EXTRACT_OUT_ROOT = "/tmp/schoolocr_ray_out"
+_EXTRACT_PARTITIONS = 32
+
+
+def ensure_extract_output(sf_dir: str) -> str:
+    """Run the checkpointed extraction job once per tier (a second call
+    resume-skips every completed partition via the lineage manifest) and
+    return its output dir."""
+    from schoolocr_ray.pipelines.job import run_job
+    from schoolocr_ray.sources.transcripts import sf_label
+
+    corpus = ensure_corpus(sf_dir)
+    out = os.path.join(_EXTRACT_OUT_ROOT, sf_label(sf_dir))
+    run_job(corpus, out, num_partitions=_EXTRACT_PARTITIONS)
+    return out
+
+
+def _read_extracted(sf_dir: str, columns: list[str] | None = None) -> Any:
+    from schoolocr_ray.state.checkpoint import read_output
+
+    return read_output(ensure_extract_output(sf_dir), columns=columns)
 
 
 def entry() -> Any:
@@ -72,22 +101,36 @@ def _transcripts_conv_shape(sf_dir: str) -> Any:
 
 
 def _transcripts_conv_rollup(sf_dir: str) -> Any:
-    from schoolocr_ray.pipelines.extract import run_extract
     from schoolocr_ray.pipelines.rollups import conv_rollup
 
-    ds = run_extract(ensure_corpus(sf_dir), mode="fused", num_partitions=32,
-                     ordered=False)
+    ds = _read_extracted(sf_dir, columns=["conv_id", "turn_idx", "total_score",
+                                          "errors", "warnings"])
     return conv_rollup(ds)
 
 
 def _transcripts_error_corpus(sf_dir: str) -> Any:
-    from schoolocr_ray.pipelines.extract import run_extract
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from schoolocr_ray.pipelines.rollups import error_corpus
 
-    ds = run_extract(ensure_corpus(sf_dir), mode="fused", num_partitions=32,
-                     ordered=False)
-    return error_corpus(ds).select_columns(
-        ["conv_id", "turn_idx", "payload_kind", "errors"])
+    ds = _read_extracted(sf_dir, columns=["conv_id", "turn_idx",
+                                          "payload_kind", "errors"])
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        # SQL-comparable projection of the error list (nested list columns
+        # don't hash stably across engines): count + first message
+        errs = batch.column("errors")
+        return pa.Table.from_pydict({
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx"),
+            "payload_kind": batch.column("payload_kind"),
+            "n_errors": pc.list_value_length(errs).cast(pa.int64()),
+            "first_error": pc.list_element(errs, 0),
+        })
+
+    return error_corpus(ds).map_batches(flatten, batch_format="pyarrow",
+                                        zero_copy_batch=True)
 
 
 def _transcripts_tool_filter(sf_dir: str) -> Any:
@@ -112,10 +155,7 @@ def _transcripts_spans_by_kind(sf_dir: str) -> Any:
     import pyarrow as pa
     from ray.data.aggregate import Sum
 
-    from schoolocr_ray.pipelines.extract import run_extract
-
-    ds = run_extract(ensure_corpus(sf_dir), mode="fused", num_partitions=32,
-                     ordered=False)
+    ds = _read_extracted(sf_dir, columns=["spans"])
 
     def explode(batch: pa.Table) -> pa.Table:
         kinds, chars = [], []
@@ -194,7 +234,11 @@ def _transcripts_fragments(sf_dir: str) -> Any:
         for c, t, x in zip(batch.column("conv_id").to_pylist(),
                            batch.column("turn_idx").to_pylist(),
                            batch.column("text").to_pylist()):
-            for frag in (x or "").split("\n\n"):
+            if x is None:
+                # DuckDB's unnest(string_split(NULL, ...)) emits zero rows;
+                # agree by construction (advice r1)
+                continue
+            for frag in x.split("\n\n"):
                 convs.append(c)
                 turns.append(t)
                 frags.append(frag)
@@ -208,41 +252,30 @@ def _transcripts_fragments(sf_dir: str) -> Any:
 
 
 def _transcripts_recognized_split(sf_dir: str) -> Any:
-    from schoolocr_ray.pipelines.extract import run_extract
     from schoolocr_ray.pipelines.rollups import recognized_split
 
-    ds = run_extract(ensure_corpus(sf_dir), mode="fused", num_partitions=32,
-                     ordered=False)
-    return recognized_split(ds)
+    return recognized_split(_read_extracted(sf_dir, columns=["participant_code"]))
 
 
 def _transcripts_quality_bands(sf_dir: str) -> Any:
-    from schoolocr_ray.pipelines.extract import run_extract
     from schoolocr_ray.pipelines.rollups import quality_bands
 
-    ds = run_extract(ensure_corpus(sf_dir), mode="fused", num_partitions=32,
-                     ordered=False)
-    return quality_bands(ds)
+    return quality_bands(_read_extracted(sf_dir, columns=["table_cells"]))
 
 
 def _transcripts_conf_histogram(sf_dir: str) -> Any:
     """G5: 10-bin histogram of table-cell confidences (stat_app.py:47-77)."""
-    from schoolocr_ray.pipelines.extract import run_extract
     from schoolocr_ray.pipelines.rollups import confidence_histogram
 
-    ds = run_extract(ensure_corpus(sf_dir), mode="fused", num_partitions=32,
-                     ordered=False)
-    return confidence_histogram(ds)
+    return confidence_histogram(_read_extracted(sf_dir, columns=["table_cells"]))
 
 
 def _transcripts_low_confidence(sf_dir: str) -> Any:
     """G2 roll-up: low-confidence cell counts per doc_class (app.py:222)."""
-    from schoolocr_ray.pipelines.extract import run_extract
     from schoolocr_ray.pipelines.rollups import low_confidence_tasks
 
-    ds = run_extract(ensure_corpus(sf_dir), mode="fused", num_partitions=32,
-                     ordered=False)
-    return low_confidence_tasks(ds)
+    return low_confidence_tasks(
+        _read_extracted(sf_dir, columns=["doc_class", "table_cells"]))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -299,10 +332,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _EN_STOP_SQL = "('the','a','and','of','to','in','is')"
 _RU_STOP_SQL = "('и','в','не','на','с','что','как')"
 
+# one constant drives BOTH the Ray pipeline's hot-shingle cap and the
+# generated oracle SQL (advice r1: they silently diverged before)
+from schoolocr_ray.pipelines.text import JACCARD_HOT_CAP as _JACCARD_HOT_CAP  # noqa: E402
+
 
 def oracle_sql() -> dict[str, str]:
+    import ray
+
+    from schoolocr_ray.layouts import LOW_CONF
+
+    if ray.is_initialized():
+        # the transcripts_* roll-up oracles below are plain SQL over the
+        # engine's own checkpointed extraction output (the extraction is
+        # pinned by the pytest golden gate); make sure it exists.  The
+        # roll-up queries() callables also ensure it, so this is a no-op
+        # in the normal driver flow.
+        ensure_extract_output("sf0.01")
     transcripts = f"read_parquet('{_SF01_CORPUS}/*.parquet')"
+    extracted = f"read_parquet('{_EXTRACT_OUT_ROOT}/sf0.01/part_id=*/data.parquet')"
     return {
+        "transcripts_conv_rollup": f"""
+            SELECT conv_id, COUNT(*) AS n_turns,
+                   CAST(SUM(total_score) AS BIGINT) AS sum_score,
+                   CAST(SUM(CASE WHEN len(errors) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS error_turns,
+                   CAST(SUM(CASE WHEN len(warnings) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS warning_turns,
+                   MAX(turn_idx) AS max_turn_idx
+            FROM {extracted} GROUP BY conv_id
+        """,
+        "transcripts_error_corpus": f"""
+            SELECT conv_id, turn_idx, payload_kind,
+                   CAST(len(errors) AS BIGINT) AS n_errors,
+                   errors[1] AS first_error
+            FROM {extracted} WHERE len(errors) > 0
+        """,
+        "transcripts_quality_bands": f"""
+            WITH cells AS (SELECT unnest(table_cells) AS tc FROM {extracted}),
+            counts AS (
+                SELECT CASE WHEN tc.conf >= 0.9 THEN 'perfect'
+                            WHEN tc.conf >= 0.8 THEN 'good'
+                            WHEN tc.conf >= 0.7 THEN 'acceptable'
+                            ELSE 'poor' END AS band, COUNT(*) AS n
+                FROM cells GROUP BY 1)
+            SELECT b.band AS band, CAST(COALESCE(counts.n, 0) AS BIGINT) AS n
+            FROM (VALUES ('perfect'), ('good'), ('acceptable'), ('poor')) AS b(band)
+            LEFT JOIN counts ON counts.band = b.band
+        """,
+        "transcripts_conf_histogram": f"""
+            WITH cells AS (SELECT unnest(table_cells) AS tc FROM {extracted})
+            SELECT LEAST(CAST(FLOOR(tc.conf * 10) AS BIGINT), 9) AS bin,
+                   COUNT(*) AS n
+            FROM cells GROUP BY 1
+        """,
+        "transcripts_low_confidence": f"""
+            SELECT COALESCE(doc_class, '<none>') AS doc_class,
+                   CAST(SUM(len(table_cells)) AS BIGINT) AS n_cells,
+                   CAST(SUM(len(list_filter(table_cells, c -> c.conf < {LOW_CONF}))) AS BIGINT) AS n_low_conf
+            FROM {extracted} GROUP BY 1
+        """,
+        "transcripts_spans_by_kind": f"""
+            WITH s AS (SELECT unnest(spans) AS sp FROM {extracted})
+            SELECT sp.kind AS kind, COUNT(*) AS n_spans,
+                   CAST(SUM(sp."end" - sp."start") AS BIGINT) AS n_chars
+            FROM s GROUP BY sp.kind
+        """,
+        "transcripts_recognized_split": f"""
+            SELECT participant_code IS NOT NULL AS recognized, COUNT(*) AS n
+            FROM {extracted} GROUP BY 1
+        """,
         "events_stats": """
             SELECT event_type,
                    COUNT(*) AS n,
@@ -414,7 +511,7 @@ def oracle_sql() -> dict[str, str]:
                              unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
                       FROM tok)),
             cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-            cold AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 64),
+            cold AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= """ + str(_JACCARD_HOT_CAP) + r"""),
             inter AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

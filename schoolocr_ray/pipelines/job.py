@@ -14,11 +14,12 @@ from ..state.checkpoint import (
     completed_partitions,
     filter_completed,
     finalize_staged,
-    input_fingerprint,
+    job_fingerprint,
     staging_dir,
 )
 from .extract import (
     DEFAULT_NUM_PARTITIONS,
+    SALT_SPAN,
     default_concurrency,
     read_transcripts,
     with_partition_id,
@@ -40,24 +41,30 @@ def run_job(
     batch_size: int | None = None,
     concurrency=None,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    salt_span: int = SALT_SPAN,
 ) -> pd.DataFrame:
     """Extract -> sorted, checkpointed partitioned output.  A rerun with the
     same inputs + code skips completed partitions entirely (the resume
-    filter sits right after the read, before any per-turn work).
+    filter sits right after the read, before any per-turn work); the
+    lineage fingerprint covers the partition mapping (num_partitions,
+    salt_span, code version), so a rerun under a DIFFERENT mapping
+    reprocesses everything rather than silently dropping rows.
 
     The extraction actors write their blocks directly to node-local staging
-    fragments (stage_fragments) and emit only ack rows, so the extracted
-    payload never crosses the object store; finalize_staged then sorts and
-    publishes one durable checkpoint file per partition.  ``batch_size=None``
-    processes whole blocks, minimizing fragment count."""
+    fragments (stage_fragments) and emit only small ack rows, so the
+    extracted payload never crosses the object store; finalize_staged then
+    merges each partition's acked fragments node-affinely, sorts and
+    publishes one durable checkpoint file per partition (hard error if any
+    acked fragment is unreachable).  ``batch_size=None`` processes whole
+    blocks, minimizing fragment count."""
     files = resolve_input_files(input_path)
-    fingerprint = input_fingerprint(files)
+    fingerprint = job_fingerprint(files, num_partitions, salt_span)
     done = completed_partitions(out_dir, fingerprint)
     staging = staging_dir(out_dir)
     shutil.rmtree(staging, ignore_errors=True)
 
     ds = read_transcripts(files)
-    ds = with_partition_id(ds, num_partitions)
+    ds = with_partition_id(ds, num_partitions, salt_span=salt_span)
     ds = filter_completed(ds, done)
     if concurrency is None:
         concurrency = default_concurrency()
@@ -65,8 +72,11 @@ def run_job(
                           zero_copy_batch=True, batch_size=batch_size,
                           concurrency=concurrency,
                           fn_constructor_kwargs={"staging": staging})
-    acks.count()          # drive the streaming extraction to completion
-    manifest_new = finalize_staged(staging, out_dir, fingerprint)
+    # the ack table is tiny (one row per block x partition-run); collecting
+    # it drives the streaming extraction to completion AND gives finalize
+    # the exact fragment inventory to reconcile against
+    ack_df = acks.to_pandas()
+    manifest_new = finalize_staged(staging, out_dir, fingerprint, acks=ack_df)
 
     # full manifest = resumed (already done) + newly written
     all_done = completed_partitions(out_dir, fingerprint)

@@ -30,6 +30,13 @@ RU_STOP = ("и", "в", "не", "на", "с", "что", "как")
 MOD = (1 << 61) - 1
 FP_BASE = 1_000_003
 
+# single source of truth for the jaccard hot-shingle cap and its bucket
+# count: the DuckDB oracle SQL is generated from these same constants
+# (advice r1: a hard-coded SQL twin silently diverges if the pipeline
+# parameter changes)
+JACCARD_HOT_CAP = 64
+JACCARD_BUCKETS = 64
+
 
 def _tokens(text: str) -> list[str]:
     t = text.strip()
@@ -139,7 +146,7 @@ def shingles(text: str, k: int = 3) -> set[str]:
 
 
 def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
-                  k: int = 3, hot_cap: int = 64) -> ray.data.Dataset:
+                  k: int = 3, hot_cap: int = JACCARD_HOT_CAP) -> ray.data.Dataset:
     """n-gram Jaccard near-duplicate pairs, fully distributed:
 
         docs -> distinct k-shingles -> explode (shingle, doc) -> groupby
@@ -171,7 +178,7 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
             for s in shingles(t, k):
                 ids.append(did)
                 shs.append(s)
-                buckets.append(zlib.crc32(s.encode()) & 63)
+                buckets.append(zlib.crc32(s.encode()) % JACCARD_BUCKETS)
         return pa.Table.from_pydict({"s": pa.array(shs, pa.string()),
                                      "doc_id": pa.array(ids, pa.int64()),
                                      "b": pa.array(buckets, pa.int32())})

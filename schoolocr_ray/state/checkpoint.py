@@ -26,7 +26,14 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
-CODE_VERSION = "schoolocr-ray-v1"
+CODE_VERSION = "schoolocr-ray-v2"
+
+ACK_SCHEMA = pa.schema([
+    ("part_id", pa.int32()),
+    ("n_rows", pa.int64()),
+    ("frag", pa.string()),
+    ("node_id", pa.string()),
+])
 
 
 def input_fingerprint(paths: list[str]) -> str:
@@ -38,6 +45,16 @@ def input_fingerprint(paths: list[str]) -> str:
         except OSError:
             h.update(p.encode())
     return h.hexdigest()[:16]
+
+
+def job_fingerprint(paths: list[str], num_partitions: int, salt_span: int) -> str:
+    """Input fingerprint extended with every parameter of the row->partition
+    mapping.  Any change to the mapping (partition count, salt span — or the
+    hash function itself, via CODE_VERSION) must invalidate old manifests:
+    the resume filter drops rows whose part_id is marked done, and under a
+    different mapping the old checkpoint files do NOT contain those rows —
+    silent row loss otherwise (found by round-1 advice)."""
+    return f"{input_fingerprint(paths)}|p{num_partitions}|s{salt_span}"
 
 
 def lineage_id(part_id: int, fingerprint: str, code_version: str = CODE_VERSION) -> str:
@@ -115,6 +132,14 @@ def stage_fragments(table: pa.Table, staging: str) -> pa.Table:
                 bh.update(buf)
     block_id = bh.hexdigest()[:20]
 
+    # acks record which NODE staged each fragment: finalize uses this to
+    # schedule node-affine readers and to reconcile acked-vs-seen fragments
+    # (a finalize that cannot see an acked fragment must fail loudly, never
+    # write a partial checkpoint)
+    import ray as _ray
+    node_id = (_ray.get_runtime_context().get_node_id()
+               if _ray.is_initialized() else "local")
+
     idx = pc.sort_indices(table, sort_keys=[("part_id", "ascending")])
     table = table.take(idx)
     pids = table.column("part_id").to_numpy()
@@ -134,26 +159,44 @@ def stage_fragments(table: pa.Table, staging: str) -> pa.Table:
             with pa.ipc.new_file(f, sub.schema) as w:
                 w.write_table(sub)
         os.replace(tmp, os.path.join(pdir, f"{name}.arrow"))
-        acks.append({"part_id": pid, "n_rows": b - a, "frag": name})
-    return pa.Table.from_pylist(acks)
+        acks.append({"part_id": pid, "n_rows": b - a, "frag": name,
+                     "node_id": node_id})
+    return pa.Table.from_pylist(acks, schema=ACK_SCHEMA)
 
 
-def _finalize_partition(pid: int, staging: str, out_dir: str, fingerprint: str,
-                        code_version: str) -> dict:
-    """Per-partition finalize: read this partition's staged IPC fragments,
-    sort by (conv_id, turn_idx), write the final parquet + manifest row
+def _read_acked_fragments(staging: str, pid: int, frag_names: list[str]) -> list[pa.Table]:
+    """Read exactly the acked fragment set for one partition from this
+    node's staging root.  A missing fragment is a hard error — writing a
+    checkpoint from fewer fragments than were acked would be silent row
+    loss (the round-1 multi-node flaw), so the job must die loudly
+    instead."""
+    pdir = os.path.join(staging, f"part_id={pid}")
+    tables, missing = [], []
+    for name in sorted(frag_names):
+        f = os.path.join(pdir, f"{name}.arrow")
+        if not os.path.exists(f):
+            missing.append(name)
+            continue
+        with pa.memory_map(f, "r") as src:
+            tables.append(pa.ipc.open_file(src).read_all())
+    if missing:
+        raise RuntimeError(
+            f"staging root {staging} is missing {len(missing)} acked "
+            f"fragment(s) for part_id={pid} (e.g. {missing[:3]}); a node was "
+            f"lost or finalize ran on the wrong node — refusing to write a "
+            f"partial checkpoint")
+    return tables
+
+
+def _finalize_partition(pid: int, tables: list[pa.Table], out_dir: str,
+                        fingerprint: str, code_version: str) -> dict:
+    """Per-partition finalize: merge the partition's fragment tables, sort
+    by (conv_id, turn_idx), write the final parquet + manifest row
     atomically, return the metrics row.  Arrow-native — the nested
     spans/table_cells columns never round-trip through pandas."""
-    import glob
-
     import pyarrow.compute as pc
 
     t0 = time.monotonic()
-    frags = sorted(glob.glob(os.path.join(staging, f"part_id={pid}", "*.arrow")))
-    tables = []
-    for f in frags:
-        with pa.memory_map(f, "r") as src:
-            tables.append(pa.ipc.open_file(src).read_all())
     table = pa.concat_tables(tables, promote_options="default")
     idx = pc.sort_indices(table, sort_keys=[("conv_id", "ascending"),
                                             ("turn_idx", "ascending")])
@@ -203,18 +246,67 @@ def staging_dir(out_dir: str) -> str:
     return os.path.join(root, f"graft_staging_{tag}")
 
 
+@ray.remote
+def _fetch_fragments_task(staging: str, pid: int, frag_names: list[str]) -> list[pa.Table]:
+    """Node-affine fragment reader: runs ON the node that staged these
+    fragments and ships them to the partition's finalize node through the
+    object store.  Only the cross-node minority share of a partition ever
+    pays this transfer; raises if an acked fragment is gone."""
+    return _read_acked_fragments(staging, pid, frag_names)
+
+
+@ray.remote
+def _finalize_task(staging: str, pid: int, local_frags: list[str],
+                   remote_refs: list, out_dir: str, fingerprint: str,
+                   code_version: str) -> dict:
+    local = _read_acked_fragments(staging, pid, local_frags) if local_frags else []
+    remote: list[pa.Table] = []
+    for ref in remote_refs:           # refs inside a list are not auto-resolved
+        remote.extend(ray.get(ref))
+    return _finalize_partition(pid, local + remote, out_dir, fingerprint,
+                               code_version)
+
+
+@ray.remote
+def _cleanup_staging_task(root: str) -> None:
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def finalize_staged(staging: str, out_dir: str, fingerprint: str,
-                    code_version: str = CODE_VERSION) -> pd.DataFrame:
+                    acks: pd.DataFrame | None = None,
+                    code_version: str = CODE_VERSION,
+                    node_roots: dict[str, str] | None = None,
+                    pin: bool = True) -> pd.DataFrame:
     """Second phase of the checkpointed write: one finalize task per staged
-    hash partition reads its IPC fragments, sorts by (conv_id, turn_idx)
-    and writes the durable parquet + manifest row atomically; staging is
-    deleted afterwards.  Returns the new manifest rows.
+    hash partition merges its acked IPC fragments, sorts by
+    (conv_id, turn_idx) and writes the durable parquet + manifest row
+    atomically; staging is deleted afterwards.  Returns the new manifest
+    rows.
 
     The first phase is ``stage_fragments`` running inside the extraction
     actors (see its docstring): together they replace an object-store
     all-to-all with a node-local disk exchange — the standard
     staging+compaction pattern; only the final checkpoint files + manifest
     hit shared storage.
+
+    Multi-node correctness (round-1 fix): ``acks`` is the small table of
+    (part_id, n_rows, frag, node_id) rows the staging actors emitted.
+    Each partition's finalize task is pinned to the node that staged the
+    most of its rows and reads those fragments locally; fragments staged on
+    other nodes are read by node-affine fetch tasks and shipped through the
+    object store (the minority share only).  Finalize reads EXACTLY the
+    acked fragment set — any acked fragment its node cannot see is a hard
+    error, never silent row loss.  On a single-node cluster every fragment
+    is local and no object-store transfer happens (the round-1 fast path,
+    unchanged).
+
+    ``node_roots`` maps node_id -> staging root (default: the same
+    ``staging`` path on every node, i.e. node-local storage); tests use it
+    plus ``pin=False`` to simulate two nodes as two roots on one machine.
+    Legacy call without ``acks``: falls back to globbing the local staging
+    root (single-node only, no reconciliation).
 
     Staging placement (``staging_dir``): ``$GRAFT_STAGING_DIR`` if set,
     else /dev/shm when present (this sandbox's stand-in for node-local
@@ -223,29 +315,69 @@ def finalize_staged(staging: str, out_dir: str, fingerprint: str,
     import glob
     import shutil
 
+    from ray.util.scheduling_strategies import NodeAffinitySchedulingStrategy
+
     os.makedirs(out_dir, exist_ok=True)
-    pids = sorted(int(os.path.basename(d).split("=")[1])
-                  for d in glob.glob(os.path.join(staging, "part_id=*")))
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        rows = [_finalize_partition(int(pid), staging, out_dir, fingerprint,
-                                    code_version)
-                for pid in batch.column("item").to_pylist()]
-        return pa.Table.from_pylist(rows)
+    if acks is None:
+        # legacy single-node path: trust the local glob
+        rows = []
+        for d in glob.glob(os.path.join(staging, "part_id=*")):
+            pid = int(os.path.basename(d).split("=")[1])
+            frags = [os.path.basename(f)[: -len(".arrow")]
+                     for f in glob.glob(os.path.join(d, "*.arrow"))]
+            for fr in frags:
+                rows.append({"part_id": pid, "n_rows": 0, "frag": fr,
+                             "node_id": "local"})
+        acks = pd.DataFrame(rows, columns=["part_id", "n_rows", "frag", "node_id"])
+        node_roots = {"local": staging}
+        pin = False
 
-    if pids:
-        manifest = ray.data.from_items(pids).map_batches(
-            finalize, batch_size=1, batch_format="pyarrow").to_pandas()
+    if acks.empty:
+        shutil.rmtree(staging, ignore_errors=True)
+        return pd.DataFrame()
+
+    if node_roots is None:
+        node_roots = {nid: staging for nid in acks["node_id"].unique()}
+
+    def opts(node_id: str) -> dict:
+        if not pin:
+            return {}
+        return {"scheduling_strategy": NodeAffinitySchedulingStrategy(
+            node_id=node_id, soft=False)}
+
+    futures = []
+    for pid, g in acks.groupby("part_id"):
+        per_node = g.groupby("node_id").agg(frags=("frag", lambda s: sorted(set(s))),
+                                            rows=("n_rows", "sum"))
+        owner = per_node["rows"].idxmax()
+        remote_refs = [
+            _fetch_fragments_task.options(**opts(nid)).remote(
+                node_roots[nid], int(pid), frags)
+            for nid, frags in per_node["frags"].items() if nid != owner
+        ]
+        futures.append(_finalize_task.options(**opts(owner)).remote(
+            node_roots[owner], int(pid), per_node.loc[owner, "frags"],
+            remote_refs, out_dir, fingerprint, code_version))
+    manifest = pd.DataFrame(ray.get(futures))
+
+    # drop staging on every node that participated (node-affine when pinned)
+    roots_by_node: dict[str, str] = {nid: node_roots[nid]
+                                     for nid in acks["node_id"].unique()}
+    if pin:
+        ray.get([_cleanup_staging_task.options(**opts(nid)).remote(root)
+                 for nid, root in roots_by_node.items()])
     else:
-        manifest = pd.DataFrame()
+        for root in set(roots_by_node.values()):
+            shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
     return manifest
 
 
-def read_output(out_dir: str) -> ray.data.Dataset:
+def read_output(out_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
     import glob
     files = sorted(glob.glob(os.path.join(out_dir, "part_id=*", "*.parquet")))
-    return ray.data.read_parquet(files)
+    return ray.data.read_parquet(files, columns=columns)
 
 
 def job_report(manifest: pd.DataFrame) -> dict:

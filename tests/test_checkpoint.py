@@ -86,6 +86,95 @@ def test_duplicate_block_semantics(ray_session, small_corpus, tmp_path):
     assert m2["n_turns"].sum() == a.num_rows
 
 
+def test_lineage_invalidates_on_partition_mapping_change(ray_session, small_corpus, tmp_path):
+    """A rerun with a different partition mapping (num_partitions / salt
+    span) must NOT treat old manifests as done — the old files don't
+    contain the re-mapped rows (round-1 advice: silent row loss)."""
+    from schoolocr_ray.pipelines.job import run_job
+    from schoolocr_ray.state.checkpoint import job_fingerprint, read_output
+
+    path, table, _ = small_corpus
+    assert job_fingerprint([path], 8, 512) != job_fingerprint([path], 16, 512)
+    assert job_fingerprint([path], 8, 512) != job_fingerprint([path], 8, 256)
+
+    out = str(tmp_path / "out")
+    run_job(path, out, num_partitions=8)
+    # rerun under a different mapping: every partition reprocesses and the
+    # output is complete under the NEW mapping
+    m2 = run_job(path, out, num_partitions=4)
+    assert m2["n_turns"].sum() == table.num_rows
+    assert sorted(m2["part_id"]) == list(range(4))
+    got = read_output(out).to_pandas()
+    got = got[got["part_id"] < 4]
+    assert len(got) == table.num_rows
+
+
+def test_multinode_staging_merge_and_reconciliation(ray_session, small_corpus, tmp_path):
+    """Round-1 fix: finalize must merge acked fragments across NODES (here
+    simulated as two staging roots on one machine) and hard-fail when an
+    acked fragment is unreachable — never silently write a partial
+    checkpoint."""
+    import pytest as _pytest
+
+    from schoolocr_ray.pipelines.extract import run_extract
+    from schoolocr_ray.state.checkpoint import (
+        finalize_staged,
+        job_fingerprint,
+        read_output,
+        stage_fragments,
+    )
+
+    path, table, _ = small_corpus
+    extracted = run_extract(path, mode="fused", num_partitions=8,
+                            ordered=False)
+    import pyarrow as pa
+    import ray as _ray
+    full = pa.concat_tables(
+        [t.combine_chunks() for t in _ray.get(extracted.to_arrow_refs())],
+        promote_options="default")
+    half = full.num_rows // 2
+
+    root_a = str(tmp_path / "node_a_shm")
+    root_b = str(tmp_path / "node_b_shm")
+    acks_a = stage_fragments(full.slice(0, half), root_a).to_pandas()
+    acks_b = stage_fragments(full.slice(half), root_b).to_pandas()
+    acks_a["node_id"] = "nodeA"
+    acks_b["node_id"] = "nodeB"
+    acks = pd.concat([acks_a, acks_b], ignore_index=True)
+    assert acks["n_rows"].sum() == full.num_rows
+    # the simulation is honest only if partitions actually span both roots
+    spans_both = acks.groupby("part_id")["node_id"].nunique()
+    assert (spans_both == 2).any()
+
+    out = str(tmp_path / "out_multi")
+    fp = job_fingerprint([path], 8, 512)
+    manifest = finalize_staged(str(tmp_path / "unused"), out, fp,
+                               acks=acks.copy(),
+                               node_roots={"nodeA": root_a, "nodeB": root_b},
+                               pin=False)
+    assert manifest["n_turns"].sum() == full.num_rows
+    got = read_output(out).to_pandas()
+    assert len(got) == full.num_rows
+    a = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = full.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert a["conv_id"].equals(b["conv_id"]) and a["turn_idx"].equals(b["turn_idx"])
+    assert a["extracted_text"].equals(b["extracted_text"])
+
+    # reconciliation: re-stage, then lose one acked fragment on node B
+    acks_a2 = stage_fragments(full.slice(0, half), root_a).to_pandas()
+    acks_b2 = stage_fragments(full.slice(half), root_b).to_pandas()
+    acks_a2["node_id"] = "nodeA"
+    acks_b2["node_id"] = "nodeB"
+    lost = acks_b2.iloc[0]
+    os.remove(os.path.join(root_b, f"part_id={lost['part_id']}",
+                           f"{lost['frag']}.arrow"))
+    with _pytest.raises(Exception, match="missing.*acked"):
+        finalize_staged(str(tmp_path / "unused2"), str(tmp_path / "out_bad"),
+                        fp, acks=pd.concat([acks_a2, acks_b2], ignore_index=True),
+                        node_roots={"nodeA": root_a, "nodeB": root_b},
+                        pin=False)
+
+
 def test_rollups(ray_session, small_corpus):
     from schoolocr_ray.oracle import extract_turn
     from schoolocr_ray.pipelines.extract import run_extract

@@ -55,6 +55,12 @@ SQL_CHECKED = [
     "docs_jaccard_pairs", "docs_embedding_neardup", "knn_bruteforce",
     "transcripts_conv_shape", "transcripts_tool_filter", "transcripts_dedup",
     "transcripts_fragments",
+    # roll-ups: SQL over the engine's own checkpointed extraction output
+    # (the extraction itself is pinned by the pytest golden gate)
+    "transcripts_conv_rollup", "transcripts_error_corpus",
+    "transcripts_quality_bands", "transcripts_conf_histogram",
+    "transcripts_low_confidence", "transcripts_spans_by_kind",
+    "transcripts_recognized_split",
 ]
 
 
@@ -77,10 +83,7 @@ def test_sql_checked_query_matches_oracle(contract, con, name):
 ROWS_ONLY = ["knn_lsh", "knn_ivf", "docs_minhash_pairs", "docs_simhash",
              "docs_simhash_pairs", "docs_fingerprint",
              "multimodal_decode", "multimodal_resize", "multimodal_frames",
-             "transcripts_extract", "transcripts_conv_rollup",
-             "transcripts_error_corpus", "transcripts_quality_bands",
-             "transcripts_conf_histogram", "transcripts_low_confidence",
-             "transcripts_spans_by_kind", "transcripts_recognized_split"]
+             "transcripts_extract"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
