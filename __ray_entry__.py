@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": text.exact_dedup,
         "docs_jaccard_pairs": text.jaccard_pairs,
         "docs_embedding_neardup": dedup.embedding_neardup,
+        "docs_embedding_neardup_lsh": dedup.embedding_neardup_lsh,
         # --- similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,
@@ -309,9 +310,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash": dedup.simhash,
         "docs_simhash_pairs": dedup.simhash_near_pairs,
         "docs_fingerprint": text.fingerprint,
-        # --- multimodal plumbing (rows-only)
+        # --- multimodal plumbing (decode/resize SQL-checked via the fake
+        # container's arithmetic; frames golden-pinned in pytest)
         "multimodal_decode": multimodal.decode_features,
-        "multimodal_resize": multimodal.resize,
+        "multimodal_resize": lambda sf: multimodal.resize(sf).select_columns(
+            ["doc_id", "width", "height", "n_bytes"]),
         "multimodal_frames": multimodal.frame_sample,
         # --- transcript domain (rows-only except conv_shape)
         "transcripts_extract": _transcripts_extract,
@@ -399,6 +402,36 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_recognized_split": f"""
             SELECT participant_code IS NOT NULL AS recognized, COUNT(*) AS n
             FROM {extracted} GROUP BY 1
+        """,
+        "multimodal_decode": """
+            SELECT doc_id,
+                   CAST(16 + doc_id % 48 AS INTEGER) AS width,
+                   CAST(16 + (doc_id * 7) % 48 AS INTEGER) AS height,
+                   CAST(8 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   substr(sha256(text), 1, 16) AS digest
+            FROM documents
+        """,
+        "multimodal_resize": """
+            WITH dims AS (
+                SELECT doc_id,
+                       16 + doc_id % 48 AS w,
+                       16 + (doc_id * 7) % 48 AS h,
+                       octet_length(encode(text)) AS blen
+                FROM documents),
+            scaled AS (
+                SELECT doc_id, w, h, blen,
+                       LEAST(32.0 / w, 32.0 / h, 1.0) AS scale
+                FROM dims),
+            resized AS (
+                SELECT doc_id, w, h, blen,
+                       GREATEST(1, CAST(FLOOR(w * scale) AS INTEGER)) AS nw,
+                       GREATEST(1, CAST(FLOOR(h * scale) AS INTEGER)) AS nh
+                FROM scaled)
+            SELECT doc_id,
+                   CAST(nw AS INTEGER) AS width,
+                   CAST(nh AS INTEGER) AS height,
+                   CAST(8 + LEAST(GREATEST(1, CAST(FLOOR(blen * (nw * nh) * 1.0 / GREATEST(w * h, 1)) AS BIGINT)), blen) AS BIGINT) AS n_bytes
+            FROM resized
         """,
         "events_stats": """
             SELECT event_type,

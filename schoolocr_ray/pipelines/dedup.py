@@ -5,11 +5,14 @@ variants live in ``pipelines.text``).
 MinHash signatures use 64 universal-hash permutations over crc32 shingle
 hashes (seeded, wall-clock-free); LSH banding is 8 bands x 8 rows.  Candidate
 pairs come from a ``groupby`` on (band_id, band_signature) — the canonical
-shingle->minhash->band->bucket shuffle — then get verified with the exact
-Jaccard.  At 100 TB the verify step reads both docs' shingle sets via the
-broadcast count table; connected components for cluster assignment run as a
-few min-label-propagation rounds (small candidate graphs collapse on the
-driver, which is what this sandbox-scale implementation does and documents).
+shingle->minhash->band->bucket shuffle — and are verified from the STORED
+signatures (estimated Jaccard = fraction of agreeing permutations), so no
+document text is ever re-read or broadcast: the full 64-perm signature
+(512 B) rides through the band shuffle and every stage touches only its own
+bucket (round-2 fix; round 1 broadcast the whole text corpus into the
+verify actors).  Buckets are capped at ``hot_cap`` docs (deterministic
+lowest-doc_id selection) so a degenerate signature can never produce an
+O(bucket^2) blowup — same treatment as the jaccard/simhash pair generators.
 """
 from __future__ import annotations
 
@@ -27,6 +30,7 @@ N_PERM = 64
 N_BANDS = 8
 ROWS_PER_BAND = N_PERM // N_BANDS
 _MERSENNE = (1 << 61) - 1
+HOT_CAP = 64  # max docs per sketch bucket entering pair generation
 
 
 def _perm_params(seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
@@ -48,90 +52,95 @@ def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 3) -> np
 
 class MinHashStage:
     """Actor: permutation parameters built once per actor; emits one
-    (band_id, band_sig, doc_id) row per band per doc."""
+    (band_id, band_sig, doc_id, sig) row per band per doc.  The full
+    signature (64 x int64 = 512 B) rides along so downstream verification
+    needs nothing but the bucket's own rows."""
 
     def __init__(self, k: int = 3, seed: int = 1234) -> None:
         self.k = k
         self.a, self.b = _perm_params(seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        band_ids, band_sigs, doc_ids = [], [], []
+        band_ids, band_sigs, doc_ids, sigs = [], [], [], []
         for did, t in zip(batch.column("doc_id").to_pylist(),
                           batch.column("text").to_pylist()):
             sig = minhash_signature(t, self.a, self.b, self.k)
+            sig_bytes = sig.tobytes()
             for bi in range(N_BANDS):
                 band = sig[bi * ROWS_PER_BAND:(bi + 1) * ROWS_PER_BAND]
                 band_ids.append(bi)
                 band_sigs.append(zlib.crc32(band.tobytes()))
                 doc_ids.append(did)
+                sigs.append(sig_bytes)
         return pa.Table.from_pydict({
             "band_id": pa.array(band_ids, pa.int32()),
             "band_sig": pa.array(band_sigs, pa.int64()),
             "doc_id": pa.array(doc_ids, pa.int64()),
+            "sig": pa.array(sigs, pa.binary()),
         })
 
 
-def minhash_candidate_pairs(sf_dir: str, k: int = 3) -> ray.data.Dataset:
-    """shingle -> minhash -> band -> bucket groupby -> candidate pairs."""
-    from itertools import combinations
+def _bucket_pairs_verified(df: pd.DataFrame, threshold: float,
+                           hot_cap: int) -> pd.DataFrame:
+    """Within one (band_id, band_sig) bucket: estimate each pair's Jaccard
+    as the fraction of agreeing signature components and keep pairs above
+    threshold.  Deterministic hot-bucket cap (lowest doc_ids) bounds the
+    O(bucket^2) worst case."""
+    empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                          "doc_b": pd.Series(dtype="int64"),
+                          "est_jaccard": pd.Series(dtype="float64")})
+    df = df.drop_duplicates("doc_id").sort_values("doc_id")
+    if len(df) > hot_cap:
+        df = df.head(hot_cap)
+    if len(df) < 2:
+        return empty
+    ids = df["doc_id"].to_numpy()
+    sigs = np.stack([np.frombuffer(b, dtype=np.int64) for b in df["sig"]])
+    agree = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)  # (n, n)
+    ai, bi = np.nonzero(np.triu(agree >= threshold, k=1))
+    if not len(ai):
+        return empty
+    return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi],
+                         "est_jaccard": np.round(agree[ai, bi], 6)})
 
+
+def minhash_candidate_pairs(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """shingle -> minhash -> band -> bucket groupby -> candidate pairs
+    (unverified: every same-band-signature pair, hot-capped)."""
     ds = _read_docs(sf_dir).map_batches(MinHashStage, batch_format="pyarrow",
                                         zero_copy_batch=True,
                                         fn_constructor_kwargs={"k": k},
                                         concurrency=(1, 4))
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(df["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = zip(*combinations(ids, 2))
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
-
-    cand = ds.groupby(["band_id", "band_sig"]).map_groups(pairs, batch_format="pandas")
+    cand = ds.groupby(["band_id", "band_sig"]).map_groups(
+        lambda df: _bucket_pairs_verified(df, 0.0, HOT_CAP)[["doc_a", "doc_b"]],
+        batch_format="pandas")
     # distinct pairs (a pair can collide in several bands)
     return cand.groupby(["doc_a", "doc_b"]).map_groups(
         lambda df: df.head(1), batch_format="pandas")
 
 
-def minhash_dedup(sf_dir: str, threshold: float = 0.5, k: int = 3) -> ray.data.Dataset:
-    """Verified near-dup pairs: LSH candidates -> exact Jaccard filter."""
-    cand = minhash_candidate_pairs(sf_dir, k)
+def minhash_dedup(sf_dir: str, threshold: float = 0.5, k: int = 3,
+                  hot_cap: int = HOT_CAP) -> ray.data.Dataset:
+    """Verified near-dup pairs: LSH band buckets -> signature-estimated
+    Jaccard >= threshold, deduped across bands.
 
-    docs = _read_docs(sf_dir).to_pandas()
-    texts_ref = ray.put(dict(zip(docs["doc_id"], docs["text"])))
-
-    class Verify:
-        def __init__(self, ref, threshold: float, k: int) -> None:
-            self.texts = ray.get(ref)
-            self.threshold = threshold
-            self.k = k
-            self._cache: dict[int, set[str]] = {}
-
-        def _sh(self, did: int) -> set[str]:
-            if did not in self._cache:
-                self._cache[did] = shingles(self.texts[did], self.k)
-            return self._cache[did]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keep_a, keep_b, jac = [], [], []
-            for x, y in zip(batch.column("doc_a").to_pylist(),
-                            batch.column("doc_b").to_pylist()):
-                sa, sb = self._sh(x), self._sh(y)
-                union = len(sa | sb)
-                j = (len(sa & sb) / union) if union else 0.0
-                if j >= self.threshold:
-                    keep_a.append(x)
-                    keep_b.append(y)
-                    jac.append(round(j, 6))
-            return pa.Table.from_pydict({
-                "doc_a": pa.array(keep_a, pa.int64()),
-                "doc_b": pa.array(keep_b, pa.int64()),
-                "jaccard": pa.array(jac, pa.float64()),
-            })
-
-    return cand.map_batches(Verify, batch_format="pyarrow", zero_copy_batch=True,
-                            fn_constructor_args=(texts_ref, threshold, k),
-                            concurrency=(1, 4))
+    Fully bucket-local: the verify reads only the signatures already inside
+    each band bucket (estimated Jaccard is the unbiased MinHash estimator),
+    so nothing is broadcast and no document text is read twice — the shape
+    that survives 10^12 docs.  The estimate's resolution is 1/64; pairs
+    near the threshold can flip vs the exact-Jaccard oracle, which the
+    recall test (tests/test_trainops.py) bounds."""
+    ds = _read_docs(sf_dir).map_batches(MinHashStage, batch_format="pyarrow",
+                                        zero_copy_batch=True,
+                                        fn_constructor_kwargs={"k": k},
+                                        concurrency=(1, 4))
+    pairs = ds.groupby(["band_id", "band_sig"]).map_groups(
+        lambda df: _bucket_pairs_verified(df, threshold, hot_cap),
+        batch_format="pandas")
+    # a pair collides in several bands with the SAME estimate: keep one
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda df: df.head(1), batch_format="pandas")
 
 
 def simhash64(text: str) -> int:
@@ -166,11 +175,17 @@ def simhash(sf_dir: str) -> ray.data.Dataset:
                                           zero_copy_batch=True)
 
 
-def simhash_near_pairs(sf_dir: str, max_hamming: int = 8) -> ray.data.Dataset:
+def simhash_near_pairs(sf_dir: str, max_hamming: int = 8,
+                       hot_cap: int = HOT_CAP) -> ray.data.Dataset:
     """SimHash near-dup candidates: bucket by 4x16-bit chunks (a pair within
     hamming distance <= max_hamming shares at least one chunk when
     max_hamming < 4*... pigeonhole over 4 chunks holds for distance <= 3 per
-    chunk; standard banding), then verify exact hamming distance."""
+    chunk; standard banding), then verify exact hamming distance.
+
+    Buckets are capped at ``hot_cap`` docs (deterministic lowest-doc_id
+    selection): a popular 16-bit chunk signature — boilerplate at corpus
+    scale — would otherwise contribute O(bucket^2) pairs (round-2 fix,
+    mirrored in the banding test)."""
     from itertools import combinations
 
     def chunks(batch: pa.Table) -> pa.Table:
@@ -195,6 +210,8 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 8) -> ray.data.Dataset:
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         rows = df.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(rows) > hot_cap:
+            rows = rows.head(hot_cap)
         recs = list(zip(rows["doc_id"], rows["h"]))
         out_a, out_b, out_d = [], [], []
         for (da, ha), (db, hb) in combinations(recs, 2):
@@ -210,6 +227,61 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 8) -> ray.data.Dataset:
         lambda df: df.head(1), batch_format="pandas")
 
 
+def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45,
+                          n_tables: int = 16, n_planes: int = 4,
+                          hot_cap: int = 1024) -> ray.data.Dataset:
+    """Embedding near-dup pairs, the 100 TB path: random-hyperplane LSH
+    bucket shuffle (each bucket row carries its embedding, see
+    ``similarity.LshBucketStage``), within-bucket all-pairs cosine scan,
+    cross-table pair dedup.  No broadcast, no all-pairs matmul: each group
+    sees ~n/2^n_planes vectors, and a pair at cosine >= 0.45 collides in
+    >= 1 of 16 tables w.p. ~0.96 ((1-theta/pi)^4 per table) — recall < 1
+    by construction, bounded by the recall test against the exact
+    ``embedding_neardup`` matmul path.
+
+    Scaling knobs: ``n_planes`` grows with log2(corpus/target_bucket) so
+    buckets stay bounded; ``hot_cap`` (deterministic lowest-vec_id cut)
+    hard-bounds the O(bucket^2) scan regardless."""
+    import pyarrow.parquet as pq
+
+    from .similarity import LshBucketStage
+
+    path = f"{sf_dir}/embeddings.parquet"
+    dim = len(pq.ParquetFile(path).read_row_group(0, columns=["embedding"])
+              .column(0)[0])
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    buckets = ds.map_batches(LshBucketStage, batch_format="pyarrow",
+                             zero_copy_batch=True,
+                             fn_constructor_kwargs={"dim": dim,
+                                                    "n_tables": n_tables,
+                                                    "n_planes": n_planes},
+                             concurrency=(1, 4))
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                              "vec_b": pd.Series(dtype="int64")})
+        rows = df.drop_duplicates("vec_id").sort_values("vec_id")
+        if len(rows) > hot_cap:
+            rows = rows.head(hot_cap)
+        if len(rows) < 2:
+            return empty
+        ids = rows["vec_id"].to_numpy()
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in rows["embedding"]])
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        if not len(ai):
+            return empty
+        return pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bi]})
+
+    cand = buckets.groupby(["table_id", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    # a pair can collide in several tables: keep one
+    return cand.groupby(["vec_a", "vec_b"]).map_groups(
+        lambda df: df.head(1), batch_format="pandas")
+
+
 def embedding_neardup(sf_dir: str, threshold: float = 0.45) -> ray.data.Dataset:
     """Embedding-cosine near-duplicate pairs over the ``embeddings`` table:
     every (a, b) with a < b and cosine >= threshold.
@@ -217,9 +289,9 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.45) -> ray.data.Dataset:
     Sandbox-exact path (SQL-checkable): the normalized corpus matrix is
     broadcast once via ``ray.put`` and each batch runs one
     (batch x corpus) matmul, emitting only pairs above threshold — the
-    block-matmul all-pairs scan.  At 100 TB the same stage runs after an
-    LSH/IVF bucket shuffle (see ``knn_lsh``/``knn_ivf``) so each batch
-    scans only its bucket's candidates instead of the corpus."""
+    block-matmul all-pairs scan.  This is the EXACT baseline; the scale
+    path is ``embedding_neardup_lsh`` above (bucket shuffle, no broadcast),
+    recall-tested against this one."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",

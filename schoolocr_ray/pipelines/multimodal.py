@@ -68,12 +68,16 @@ class DecoderStub:
             if buf[:4] != MAGIC:
                 ws.append(-1)
                 hs.append(-1)
+                body = buf
             else:
                 w, h = struct.unpack("<HH", buf[4:8])
                 ws.append(w)
                 hs.append(h)
+                body = buf[8:]
             lens.append(len(buf))
-            digests.append(hashlib.sha1(buf).hexdigest()[:16])
+            # digest of the DECODED body (sha256 so the DuckDB oracle can
+            # reproduce it from the source text)
+            digests.append(hashlib.sha256(body).hexdigest()[:16])
         return pa.Table.from_pydict({
             "doc_id": batch.column("doc_id"),
             "width": pa.array(ws, pa.int32()),

@@ -82,7 +82,11 @@ def knn_bruteforce(sf_dir: str, k: int = DEFAULT_K,
 
 class LshBucketStage:
     """Actor: seeded random-hyperplane LSH — per vector, one bucket per
-    table; the scale path probes only matching buckets."""
+    table; the scale path probes only matching buckets.  The embedding
+    itself rides along with each (table, bucket, vec) row, so every bucket
+    group downstream is SELF-CONTAINED: rerank/pair stages read only their
+    own bucket's rows, nothing is broadcast (round-2 fix; round 1 shipped
+    the full embedding table into the rerank actors)."""
 
     def __init__(self, dim: int, n_tables: int = 8, n_planes: int = 4,
                  seed: int = 99) -> None:
@@ -103,10 +107,12 @@ class LshBucketStage:
         em = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
         buckets = self.bucket(em)
         n, t = buckets.shape
+        rep = pa.array(np.tile(np.arange(n), t), pa.int64())
         return pa.Table.from_pydict({
             "table_id": pa.array(np.repeat(np.arange(t), n), pa.int32()),
             "bucket": pa.array(buckets.T.reshape(-1), pa.int64()),
             "vec_id": pa.array(np.tile(vids, t), pa.int64()),
+            "embedding": batch.column("embedding").combine_chunks().take(rep),
         })
 
 
@@ -134,42 +140,31 @@ def knn_lsh(sf_dir: str, k: int = DEFAULT_K, query_ids=DEFAULT_QUERIES,
     for qi, qid in enumerate(qids_arr):
         for t in range(n_tables):
             qlut.setdefault((t, int(qbuckets[qi, t])), []).append(int(qid))
-    qlut_ref = ray.put((qlut, dict(zip(qids_arr.tolist(), [q for q in qm]))))
-
-    emb_df = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
-    emb_ref = ray.put(dict(zip(emb_df["vec_id"],
-                               [np.asarray(e, dtype=np.float64) for e in emb_df["embedding"]])))
-
-    class Rerank:
-        def __init__(self, qlut_ref, emb_ref, k: int) -> None:
-            self.qlut, self.qvecs = ray.get(qlut_ref)
-            self.emb = ray.get(emb_ref)
-            self.k = k
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            t = int(df["table_id"].iloc[0])
-            b = int(df["bucket"].iloc[0])
-            qids = self.qlut.get((t, b), [])
-            if not qids:
-                return pd.DataFrame({"qid": [], "vec_id": [], "sim": []})
-            vids = df["vec_id"].unique()
-            vecs = np.stack([self.emb[v] for v in vids])
-            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-            out_q, out_v, out_s = [], [], []
-            for qid in qids:
-                q = self.qvecs[qid]
-                sims = vecs @ q
-                for v, s in zip(vids, sims):
-                    if v != qid:
-                        out_q.append(qid)
-                        out_v.append(int(v))
-                        out_s.append(float(s))
-            return pd.DataFrame({"qid": out_q, "vec_id": out_v, "sim": out_s})
-
-    rerank = Rerank(qlut_ref, emb_ref, k)
+    # the only shipped state: the (table, bucket) -> query lut + the query
+    # vectors themselves — KB-scale however big the corpus is.  Each bucket
+    # group carries its own member embeddings from LshBucketStage.
+    qvecs = dict(zip(qids_arr.tolist(), [q for q in qm]))
 
     def rerank_group(df: pd.DataFrame) -> pd.DataFrame:
-        return rerank(df)
+        t = int(df["table_id"].iloc[0])
+        b = int(df["bucket"].iloc[0])
+        qids = qlut.get((t, b), [])
+        if not qids:
+            return pd.DataFrame({"qid": [], "vec_id": [], "sim": []})
+        rows = df.drop_duplicates("vec_id")
+        vids = rows["vec_id"].to_numpy()
+        vecs = np.stack([np.asarray(e, dtype=np.float64)
+                         for e in rows["embedding"]])
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        out_q, out_v, out_s = [], [], []
+        for qid in qids:
+            sims = vecs @ qvecs[qid]
+            for v, s in zip(vids, sims):
+                if v != qid:
+                    out_q.append(qid)
+                    out_v.append(int(v))
+                    out_s.append(float(s))
+        return pd.DataFrame({"qid": out_q, "vec_id": out_v, "sim": out_s})
 
     cand = buckets.groupby(["table_id", "bucket"]).map_groups(
         rerank_group, batch_format="pandas")

@@ -61,6 +61,7 @@ SQL_CHECKED = [
     "transcripts_quality_bands", "transcripts_conf_histogram",
     "transcripts_low_confidence", "transcripts_spans_by_kind",
     "transcripts_recognized_split",
+    "multimodal_decode", "multimodal_resize",
 ]
 
 
@@ -82,7 +83,8 @@ def test_sql_checked_query_matches_oracle(contract, con, name):
 
 ROWS_ONLY = ["knn_lsh", "knn_ivf", "docs_minhash_pairs", "docs_simhash",
              "docs_simhash_pairs", "docs_fingerprint",
-             "multimodal_decode", "multimodal_resize", "multimodal_frames",
+             "docs_embedding_neardup_lsh",
+             "multimodal_frames",
              "transcripts_extract"]
 
 

@@ -65,6 +65,92 @@ def test_embedding_neardup_matches_numpy_reference(ray_session, emb):
     assert got_pairs == ref and len(ref) > 0
 
 
+def _canon_hash(df):
+    import hashlib
+
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()[:16]
+
+
+def test_deterministic_rows_only_outputs_pinned(ray_session):
+    """Golden-hash pins for the deterministic queries that have no SQL
+    oracle (their inputs are the driver's stable sf0.01 documents table):
+    any silent change to the fingerprint/simhash/frame-sampling math shows
+    up as a hash break here, turning their rows-only driver checks into
+    real correctness gates."""
+    from schoolocr_ray.pipelines import dedup, multimodal, text
+
+    sf = SF_DIR
+    assert _canon_hash(text.fingerprint(sf).to_pandas()) == "697edf812035fff4"
+    assert _canon_hash(dedup.simhash(sf).to_pandas()) == "4eebf08d0061c74d"
+    assert _canon_hash(multimodal.frame_sample(sf).to_pandas()) == "e08f229e0a66f80c"
+
+
+def test_embedding_neardup_lsh_recall_vs_exact(ray_session, emb):
+    """The bucketed scale path must recover most of the exact matmul path's
+    pairs (16 tables x 4 planes -> ~0.96 expected collision prob per true
+    pair at cosine 0.45) and emit NO pair below threshold."""
+    from schoolocr_ray.pipelines.dedup import embedding_neardup_lsh
+
+    ids, m = emb
+    sims = m @ m.T
+    iu = np.triu_indices(len(ids), 1)
+    exact = {(int(min(ids[a], ids[b])), int(max(ids[a], ids[b])))
+             for a, b in zip(*iu) if sims[a, b] >= 0.45}
+    got = embedding_neardup_lsh(SF_DIR).to_pandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["vec_a"], got["vec_b"])}
+    assert len(exact) > 0
+    assert len(got_pairs & exact) / len(exact) >= 0.7, (len(got_pairs), len(exact))
+    # soundness: every emitted pair genuinely clears the threshold
+    idx = {int(v): i for i, v in enumerate(ids)}
+    for a, b in got_pairs:
+        assert sims[idx[a], idx[b]] >= 0.45
+
+
+def test_minhash_dedup_recall_vs_exact_jaccard(ray_session):
+    """The banding guarantee, minhash flavour: the signature-verified LSH
+    pairs must recover the exact-Jaccard pair set (threshold 0.5) with high
+    recall and no wild false positives — with NOTHING broadcast (the verify
+    reads only signatures carried through the band shuffle).  The synth
+    near-dups sit at jaccard >= ~0.8 where the 8x8 banding catch probability
+    is >= 97% and the 64-perm estimate's std is < 0.05, so 0.9 recall is a
+    conservative floor."""
+    from schoolocr_ray.pipelines.dedup import minhash_dedup
+    from schoolocr_ray.pipelines.text import jaccard_pairs
+
+    got = minhash_dedup(SF_DIR).to_pandas()
+    exact = jaccard_pairs(SF_DIR).to_pandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["doc_a"], got["doc_b"])}
+    exact_pairs = {(int(a), int(b)) for a, b in zip(exact["doc_a"], exact["doc_b"])}
+    assert len(exact_pairs) > 0
+    recall = len(got_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.9, (recall, len(got_pairs), len(exact_pairs))
+    # estimates are unbiased: false positives only near the threshold
+    assert len(got_pairs - exact_pairs) <= max(2, len(exact_pairs) // 4)
+    # and every estimate is a plausible jaccard
+    assert got["est_jaccard"].between(0.5, 1.0).all()
+
+
+def test_simhash_hot_bucket_cap(ray_session):
+    """A degenerate bucket (many docs sharing a chunk signature) is capped:
+    pair generation per bucket is bounded by hot_cap^2 regardless of bucket
+    size, and the capped run still returns the full-corpus near-dup pairs
+    for small buckets."""
+    import pandas as pd
+
+    from schoolocr_ray.pipelines.dedup import simhash_near_pairs
+
+    capped = simhash_near_pairs(SF_DIR, hot_cap=8).to_pandas()
+    # with hot_cap=8 no single (chunk, sig) bucket can emit > C(8,2) pairs;
+    # the result is a subset of the uncapped pairs
+    full = simhash_near_pairs(SF_DIR).to_pandas()
+    capped_pairs = set(zip(capped["doc_a"], capped["doc_b"]))
+    full_pairs = set(zip(full["doc_a"], full["doc_b"]))
+    assert capped_pairs <= full_pairs
+    assert len(capped_pairs) > 0
+
+
 def test_simhash_near_pairs_find_true_neardups(ray_session):
     """Documents that are near-identical (simhash hamming <= 8) must be
     returned; every returned pair must satisfy the hamming bound."""
