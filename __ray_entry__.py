@@ -209,11 +209,16 @@ def _transcripts_dedup(sf_dir: str) -> Any:
         g = df.groupby(["conv_id", "turn_idx"], as_index=False)["ts_us"].min()
         return g[["conv_id", "turn_idx", "ts_us"]]
 
-    # materialize: union() re-executes its inputs' lineage, so an
-    # unmaterialized base would be read+mapped twice (small result, safe)
-    base = ds.map_batches(to_us, batch_format="pyarrow",
-                          zero_copy_batch=True).materialize()
-    echoed = base.map_batches(echo, batch_format="pyarrow", zero_copy_batch=True)
+    # scale-safe union: union() re-executes its inputs' lineage, so the
+    # echoed branch re-READS the (column-pruned) parquet instead of
+    # materializing the shared base into the object store — at 10^12 turns
+    # a second pruned read streams, a materialized base does not (round-1
+    # advice; the extra read is 3 int/string columns, row-group pruned)
+    base = ds.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
+    echoed = ray.data.read_parquet(ensure_corpus(sf_dir),
+                                   columns=["conv_id", "turn_idx", "ts"]) \
+        .map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True) \
+        .map_batches(echo, batch_format="pyarrow", zero_copy_batch=True)
     return base.union(echoed).groupby("bk").map_groups(
         dedup_bucket, batch_format="pandas")
 
@@ -278,8 +283,67 @@ def _transcripts_low_confidence(sf_dir: str) -> Any:
         _read_extracted(sf_dir, columns=["doc_class", "table_cells"]))
 
 
+def _transcripts_wired_cells(sf_dir: str) -> Any:
+    """A6: the wired-table alternate engine as an offline re-extraction
+    query — one row per logical-row-1 cell per page turn (the Ray analog of
+    batch-running scripts/app_debug/Table_extractor.py over a folder of
+    cropped tables).  Rows-only at the driver (classification is not
+    SQL-expressible); output golden-pinned in tests/test_functions.py."""
+    import pyarrow as pa
+    import ray.data
+
+    from schoolocr_ray.functions.classify import GlyphClassifier
+    from schoolocr_ray.functions.render import KIND_INVALID, KIND_TOOL
+    from schoolocr_ray.functions.table_rec import CellDetector
+    from schoolocr_ray.functions.wired import extract_wired_table
+    from schoolocr_ray.oracle import decode_pass_lines
+
+    ds = ray.data.read_parquet(ensure_corpus(sf_dir),
+                               columns=["conv_id", "turn_idx", "text"])
+
+    class WiredStage:
+        def __init__(self) -> None:
+            self.model = GlyphClassifier()
+            self.detector = CellDetector()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            convs, turns, idxs, contents, probs = [], [], [], [], []
+            for c, t, x in zip(batch.column("conv_id").to_pylist(),
+                               batch.column("turn_idx").to_pylist(),
+                               batch.column("text").to_pylist()):
+                kind, work = decode_pass_lines(x)
+                if kind in (KIND_TOOL, KIND_INVALID):
+                    continue
+                rec = extract_wired_table(work, self.model, self.detector)
+                if rec is None:
+                    continue
+                for cell in rec["cells"]:
+                    convs.append(c)
+                    turns.append(t)
+                    idxs.append(cell["index"])
+                    contents.append(cell["content"])
+                    probs.append(cell["probability"])
+            return pa.Table.from_pydict({
+                "conv_id": pa.array(convs, pa.string()),
+                "turn_idx": pa.array(turns, pa.int32()),
+                "cell_index": pa.array(idxs, pa.int32()),
+                "content": pa.array(contents, pa.int32()),
+                "probability": pa.array(probs, pa.float64()),
+            })
+
+    return ds.map_batches(WiredStage, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=(1, 4))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    from schoolocr_ray.pipelines import dedup, multimodal, relational, similarity, text
+    from schoolocr_ray.pipelines import (
+        dedup,
+        evaluation,
+        multimodal,
+        relational,
+        similarity,
+        text,
+    )
 
     return {
         # --- relational operator analogs (SQL-checked)
@@ -316,7 +380,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resize": lambda sf: multimodal.resize(sf).select_columns(
             ["doc_id", "width", "height", "n_bytes"]),
         "multimodal_frames": multimodal.frame_sample,
-        # --- transcript domain (rows-only except conv_shape)
+        # --- model eval analog (deterministic; golden-pinned in pytest)
+        "glyph_eval_report": evaluation.glyph_eval,
+        # --- transcript domain
+        "transcripts_wired_cells": _transcripts_wired_cells,
         "transcripts_extract": _transcripts_extract,
         "transcripts_dedup": _transcripts_dedup,
         "transcripts_fragments": _transcripts_fragments,

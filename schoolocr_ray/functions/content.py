@@ -32,14 +32,24 @@ _DIGIT_RE = re.compile(r"\d")
 class ContentScorer:
     """Load-once boilerplate model (compiled patterns + weights built in
     ``__init__``); ``score_block`` is pure and deterministic, with all
-    char-level counting done by C regex kernels."""
+    char-level counting done by C regex kernels.
+
+    Scores are memoized per actor (bounded LRU): boilerplate blocks —
+    navigation, ads, footers — repeat across a web-scale corpus by
+    construction, so the cache converts the dominant regex work for those
+    blocks into a dict hit (pure function -> memoization is
+    semantics-free).  Content blocks mostly miss, which is fine: they are
+    the minority of blocks and the cache is bounded."""
 
     def __init__(self) -> None:
+        from functools import lru_cache
+
         self._markers = tuple(BOILERPLATE_MARKERS)
         self._stop = STOPWORDS
         self._threshold = CONTENT_SCORE_THRESHOLD
+        self.score_block = lru_cache(maxsize=8192)(self._score_block)
 
-    def score_block(self, text: str) -> float:
+    def _score_block(self, text: str) -> float:
         n_words = text.count(" ") + 1 if text else 0
         if not text.strip():
             return -1.0
@@ -108,15 +118,20 @@ class ContentScorer:
         table_first = table_last = None
         for li in range(BODY_START_LINE, len(lines)):
             ln = lines[li]
+            if not ln:                       # blank (lines are rstripped):
+                if block_lines:              # flush only at a block edge
+                    flush_block()
+                continue
             p1 = ln.find("|")
             if p1 != -1 and ln.find("|", p1 + 1) != -1:
-                flush_block()
+                if block_lines:
+                    flush_block()
                 if table_first is None:
                     table_first = li
                 table_last = li
             elif ln.strip():
                 block_lines.append((li, ln))
-            else:
+            elif block_lines:
                 flush_block()
         flush_block()
 

@@ -49,8 +49,15 @@ def recognize_hat(region_lines: list[str]) -> str:
     return text
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8192)
 def parse_hat_text(text: str) -> tuple[str | None, str | None, str | None]:
-    """(subject, grade, variant) via the verbatim cascade (app.py:121-141)."""
+    """(subject, grade, variant) via the verbatim cascade (app.py:121-141).
+
+    Pure; memoized (bounded LRU) — the cascade's backtracking regexes are
+    the expensive part and header strings are templated in a web corpus."""
     match = _PATTERN_1.search(text)
     if match:
         return match.group(1).lower(), match.group(2), match.group(3)

@@ -76,9 +76,15 @@ def sniff_kind(text: str | None) -> str:
     return KIND_TOOL
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8192)
 def _clean_inline(fragment: str) -> str:
     """Strip tags, decode entities, collapse whitespace — the 'what the OCR
-    sees' text of an inline HTML fragment."""
+    sees' text of an inline HTML fragment.  Pure; memoized (bounded LRU)
+    because template fragments — nav items, cell labels, footer lines —
+    repeat across a web corpus by construction."""
     txt = _TAG_RE.sub(" ", fragment)
     txt = _htmllib.unescape(txt)
     return _WS_RE.sub(" ", txt).strip()
@@ -149,8 +155,11 @@ def parse_pdfish(text: str) -> DocParts:
     return parts
 
 
-def _wrap(text: str, width: int) -> list[str]:
-    """Deterministic greedy word-wrap."""
+@lru_cache(maxsize=8192)
+def _wrap(text: str, width: int) -> tuple[str, ...]:
+    """Deterministic greedy word-wrap.  Pure; memoized like
+    ``_clean_inline`` (repeated blocks wrap identically); returns a tuple
+    so the cached value is immutable."""
     words = text.split()
     lines: list[str] = []
     cur = ""
@@ -164,7 +173,7 @@ def _wrap(text: str, width: int) -> list[str]:
             cur = w
     if cur:
         lines.append(cur)
-    return lines or [""]
+    return tuple(lines) or ("",)
 
 
 def _format_html_table_row(cells: list[str]) -> str:

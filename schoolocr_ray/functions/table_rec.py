@@ -52,9 +52,18 @@ class CellDetector:
         self._speck_conf = DET_CONF_SPECK_EXTRA if extra else DET_CONF_SPECK
 
     def detect(self, lines: list[str]) -> list[tuple[Box, float]]:
-        """All candidate cell boxes on the page with confidences."""
+        """All candidate cell boxes within the detector's y-band.
+
+        Scanning is restricted to lines whose boxes can pass the
+        ``MIN_Y <= y1 <= MAX_Y`` filter (Yolo_cell_rec.py:34) that every
+        caller applies — boxes outside the band are unconditionally
+        discarded, so skipping those lines is a pure equivalence that
+        halves the per-page scan."""
+        li_min = -(-MIN_Y // LINE_H)          # ceil: first line with y1 >= MIN_Y
+        li_max = min(MAX_Y // LINE_H, len(lines) - 1)
         out: list[tuple[Box, float]] = []
-        for li, ln in enumerate(lines):
+        for li in range(li_min, li_max + 1):
+            ln = lines[li]
             pipes = []
             i = ln.find("|")
             while i != -1:

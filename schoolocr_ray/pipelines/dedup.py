@@ -220,7 +220,11 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 8,
                 out_a.append(da)
                 out_b.append(db)
                 out_d.append(d)
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_d})
+        # typed even when empty: untyped empty frames infer float64 and
+        # trip Ray's block-schema unification (cosmetic warning in r1)
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                             "doc_b": pd.Series(out_b, dtype="int64"),
+                             "hamming": pd.Series(out_d, dtype="int64")})
 
     cand = ds.groupby(["chunk_id", "chunk_sig"]).map_groups(pairs, batch_format="pandas")
     return cand.groupby(["doc_a", "doc_b"]).map_groups(

@@ -150,7 +150,9 @@ def knn_lsh(sf_dir: str, k: int = DEFAULT_K, query_ids=DEFAULT_QUERIES,
         b = int(df["bucket"].iloc[0])
         qids = qlut.get((t, b), [])
         if not qids:
-            return pd.DataFrame({"qid": [], "vec_id": [], "sim": []})
+            return pd.DataFrame({"qid": pd.Series(dtype="int64"),
+                                 "vec_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
         rows = df.drop_duplicates("vec_id")
         vids = rows["vec_id"].to_numpy()
         vecs = np.stack([np.asarray(e, dtype=np.float64)

@@ -85,6 +85,7 @@ ROWS_ONLY = ["knn_lsh", "knn_ivf", "docs_minhash_pairs", "docs_simhash",
              "docs_simhash_pairs", "docs_fingerprint",
              "docs_embedding_neardup_lsh",
              "multimodal_frames",
+             "glyph_eval_report", "transcripts_wired_cells",
              "transcripts_extract"]
 
 

@@ -219,3 +219,32 @@ def test_tool_passthrough():
     assert out["doc_class"] == "tool"
     assert out["extracted_text"] == "result: 42\nstatus: ok"
     assert out["errors"] == [] and out["table_cells"] == []
+
+
+def test_wired_table_extractor_semantics():
+    """A6 (wired-table alternate engine, ref Table_extractor.py:14-126):
+    logic-row-1 selection + [1:-2] slice + per-cell classify with
+    content=None/prob=0.0 degradation on empty crops."""
+    from schoolocr_ray.functions.classify import GlyphClassifier
+    from schoolocr_ray.functions.render import decode_payload_lines
+    from schoolocr_ray.functions.wired import extract_wired_table
+    from schoolocr_ray.layouts import GLYPH_TABLE
+
+    payload = ("%PDF-1.7\n%%HDR\nВПР. Математика. 6 класс. Вариант 1\n%%BODY\nтекст\n"
+               "%%TABLE\n"
+               "|  Задание  |  1  |  2  |  3  |  Сумма  |  Подпись  |\n"
+               "|  Баллы  |  2  |  x  |  3  |  5  |  Подпись  |\n%%END")
+    _, lines = decode_payload_lines(payload)
+    rec = extract_wired_table(lines, GlyphClassifier())
+    # row 1 = the value row; [1:-2] drops the label + the trailing
+    # total/signature cells -> exactly the three score cells
+    assert rec["total_cells"] == 3
+    assert [c["content"] for c in rec["cells"]] == [2, 11, 3]
+    for c in rec["cells"]:
+        assert c["probability"] == round(GLYPH_TABLE[str("2x3"[rec["cells"].index(c)])][1], 4)
+    # indices are 1-based positions within the detected row (label = 1)
+    assert [c["index"] for c in rec["cells"]] == [2, 3, 4]
+
+    # no table -> None (Table_extractor.py:51-53)
+    _, plain = decode_payload_lines("%PDF-1.7\n%%BODY\nтолько текст\n%%END")
+    assert extract_wired_table(plain, GlyphClassifier()) is None

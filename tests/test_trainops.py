@@ -87,6 +87,21 @@ def test_deterministic_rows_only_outputs_pinned(ray_session):
     assert _canon_hash(multimodal.frame_sample(sf).to_pandas()) == "e08f229e0a66f80c"
 
 
+def test_glyph_eval_report_pinned(ray_session):
+    """Eval-loop analog (ref cnn_train/mnist_eval.py): the per-class
+    accuracy report over the deterministic eval corpus is pinned — a model
+    registry change shows up as an accuracy/hash break."""
+    from schoolocr_ray.pipelines.evaluation import glyph_eval
+
+    df = glyph_eval().to_pandas()
+    assert _canon_hash(df) == "d4bb09df8fab9560"
+    assert set(df["cls"]) == set(range(12))          # full serving alphabet
+    assert (df["accuracy"] > 0).all()                # never degenerate
+    # unmutated registry glyphs always classify correctly -> accuracy has a
+    # floor of 1/(1+n_noise) per class
+    assert (df["correct"] >= df["n"] // 9).all()
+
+
 def test_embedding_neardup_lsh_recall_vs_exact(ray_session, emb):
     """The bucketed scale path must recover most of the exact matmul path's
     pairs (16 tables x 4 planes -> ~0.96 expected collision prob per true
