@@ -158,15 +158,15 @@ def _transcripts_spans_by_kind(sf_dir: str) -> Any:
     ds = _read_extracted(sf_dir, columns=["spans"])
 
     def explode(batch: pa.Table) -> pa.Table:
-        kinds, chars = [], []
-        for spans in batch.column("spans").to_pylist():
-            for s in spans:
-                kinds.append(s["kind"])
-                chars.append(s["end"] - s["start"])
         import pandas as pd
-        g = pd.DataFrame({"kind": kinds, "chars": chars}) \
-            .groupby("kind", sort=False) \
-            .agg(n_spans=("chars", "size"), n_chars=("chars", "sum")).reset_index()
+
+        flat = batch.column("spans").combine_chunks().flatten()
+        g = pd.DataFrame({
+            "kind": flat.field("kind").to_numpy(zero_copy_only=False),
+            "chars": (flat.field("end").to_numpy(zero_copy_only=False)
+                      - flat.field("start").to_numpy(zero_copy_only=False)),
+        }).groupby("kind", sort=False) \
+          .agg(n_spans=("chars", "size"), n_chars=("chars", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True) \

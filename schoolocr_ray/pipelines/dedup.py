@@ -80,44 +80,84 @@ class MinHashStage:
         })
 
 
-def _bucket_pairs_verified(df: pd.DataFrame, threshold: float,
-                           hot_cap: int) -> pd.DataFrame:
-    """Within one (band_id, band_sig) bucket: estimate each pair's Jaccard
-    as the fraction of agreeing signature components and keep pairs above
-    threshold.  Deterministic hot-bucket cap (lowest doc_ids) bounds the
-    O(bucket^2) worst case."""
+N_SKETCH_BUCKETS = 128  # hash buckets per sketch-group shuffle
+
+
+def _pair_dedup(ds: ray.data.Dataset, cols: list[str],
+                num_buckets: int = 64) -> ray.data.Dataset:
+    """Distinct (doc_a, doc_b) rows via a pair-hash bucket shuffle + one
+    vectorized drop_duplicates per bucket (a multi-key Ray groupby over
+    every pair row is pathological at ~1M groups — same lesson as
+    jaccard_pairs)."""
+
+    def add_pb(batch: pa.Table) -> pa.Table:
+        da = batch.column(cols[0]).to_numpy()
+        db = batch.column(cols[1]).to_numpy()
+        pb = ((da * 1_000_003 + db) % num_buckets).astype(np.int32)
+        return batch.append_column("pb", pa.array(pb))
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(cols[:2]).drop(columns=["pb"])
+
+    return ds.map_batches(add_pb, batch_format="pyarrow", zero_copy_batch=True) \
+             .groupby("pb").map_groups(uniq, batch_format="pandas")
+
+
+def _minhash_bucket_pairs(df: pd.DataFrame, threshold: float,
+                          hot_cap: int) -> pd.DataFrame:
+    """One hash bucket of (band_id, band_sig) groups: cap each group at its
+    ``hot_cap`` lowest doc_ids, form candidate pairs with ONE vectorized
+    self-merge over the whole bucket, and estimate each pair's Jaccard as
+    the fraction of agreeing signature components — all numpy/pandas, no
+    per-group Python calls (a Ray groupby over the raw ~n_docs x n_bands
+    signature groups ran one Python call per tiny group)."""
     empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                           "doc_b": pd.Series(dtype="int64"),
                           "est_jaccard": pd.Series(dtype="float64")})
-    df = df.drop_duplicates("doc_id").sort_values("doc_id")
-    if len(df) > hot_cap:
-        df = df.head(hot_cap)
-    if len(df) < 2:
+    df = df.drop_duplicates(["band_id", "band_sig", "doc_id"])
+    df = df.sort_values("doc_id", kind="mergesort") \
+           .groupby(["band_id", "band_sig"], sort=False).head(hot_cap)
+    docs = df.drop_duplicates("doc_id")
+    if len(docs) < 2:
         return empty
-    ids = df["doc_id"].to_numpy()
-    sigs = np.stack([np.frombuffer(b, dtype=np.int64) for b in df["sig"]])
-    agree = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)  # (n, n)
-    ai, bi = np.nonzero(np.triu(agree >= threshold, k=1))
-    if not len(ai):
+    row_of = pd.Series(np.arange(len(docs)), index=docs["doc_id"].to_numpy())
+    sigs = np.stack([np.frombuffer(b, dtype=np.int64) for b in docs["sig"]])
+    small = df[["band_id", "band_sig", "doc_id"]]
+    j = small.merge(small, on=["band_id", "band_sig"])
+    j = j[j["doc_id_x"] < j["doc_id_y"]].drop_duplicates(["doc_id_x", "doc_id_y"])
+    if j.empty:
         return empty
-    return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi],
-                         "est_jaccard": np.round(agree[ai, bi], 6)})
+    ai = row_of[j["doc_id_x"].to_numpy()].to_numpy()
+    bi = row_of[j["doc_id_y"].to_numpy()].to_numpy()
+    est = (sigs[ai] == sigs[bi]).mean(axis=1)
+    keep = est >= threshold
+    return pd.DataFrame({"doc_a": j["doc_id_x"].to_numpy()[keep],
+                         "doc_b": j["doc_id_y"].to_numpy()[keep],
+                         "est_jaccard": np.round(est[keep], 6)})
 
 
-def minhash_candidate_pairs(sf_dir: str, k: int = 3) -> ray.data.Dataset:
-    """shingle -> minhash -> band -> bucket groupby -> candidate pairs
-    (unverified: every same-band-signature pair, hot-capped)."""
+def _minhash_band_buckets(sf_dir: str, k: int) -> ray.data.Dataset:
     ds = _read_docs(sf_dir).map_batches(MinHashStage, batch_format="pyarrow",
                                         zero_copy_batch=True,
                                         fn_constructor_kwargs={"k": k},
                                         concurrency=(1, 4))
 
-    cand = ds.groupby(["band_id", "band_sig"]).map_groups(
-        lambda df: _bucket_pairs_verified(df, 0.0, HOT_CAP)[["doc_a", "doc_b"]],
+    def add_bk(batch: pa.Table) -> pa.Table:
+        bs = batch.column("band_sig").to_numpy()
+        bid = batch.column("band_id").to_numpy()
+        bk = ((bs + bid * 2654435761) % N_SKETCH_BUCKETS).astype(np.int32)
+        return batch.append_column("bk", pa.array(bk))
+
+    return ds.map_batches(add_bk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def minhash_candidate_pairs(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """shingle -> minhash -> band -> bucket groupby -> candidate pairs
+    (unverified: every same-band-signature pair, hot-capped)."""
+    cand = _minhash_band_buckets(sf_dir, k).groupby("bk").map_groups(
+        lambda df: _minhash_bucket_pairs(df, 0.0, HOT_CAP)[["doc_a", "doc_b"]],
         batch_format="pandas")
-    # distinct pairs (a pair can collide in several bands)
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas")
+    return _pair_dedup(cand, ["doc_a", "doc_b"])
 
 
 def minhash_dedup(sf_dir: str, threshold: float = 0.5, k: int = 3,
@@ -131,16 +171,11 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.5, k: int = 3,
     that survives 10^12 docs.  The estimate's resolution is 1/64; pairs
     near the threshold can flip vs the exact-Jaccard oracle, which the
     recall test (tests/test_trainops.py) bounds."""
-    ds = _read_docs(sf_dir).map_batches(MinHashStage, batch_format="pyarrow",
-                                        zero_copy_batch=True,
-                                        fn_constructor_kwargs={"k": k},
-                                        concurrency=(1, 4))
-    pairs = ds.groupby(["band_id", "band_sig"]).map_groups(
-        lambda df: _bucket_pairs_verified(df, threshold, hot_cap),
+    pairs = _minhash_band_buckets(sf_dir, k).groupby("bk").map_groups(
+        lambda df: _minhash_bucket_pairs(df, threshold, hot_cap),
         batch_format="pandas")
     # a pair collides in several bands with the SAME estimate: keep one
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas")
+    return _pair_dedup(pairs, ["doc_a", "doc_b"])
 
 
 def simhash64(text: str) -> int:
@@ -186,7 +221,6 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 8,
     selection): a popular 16-bit chunk signature — boilerplate at corpus
     scale — would otherwise contribute O(bucket^2) pairs (round-2 fix,
     mirrored in the banding test)."""
-    from itertools import combinations
 
     def chunks(batch: pa.Table) -> pa.Table:
         cids, sigs, dids, full = [], [], [], []
@@ -208,27 +242,37 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 8,
     ds = _read_docs(sf_dir).map_batches(chunks, batch_format="pyarrow",
                                         zero_copy_batch=True)
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        rows = df.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(rows) > hot_cap:
-            rows = rows.head(hot_cap)
-        recs = list(zip(rows["doc_id"], rows["h"]))
-        out_a, out_b, out_d = [], [], []
-        for (da, ha), (db, hb) in combinations(recs, 2):
-            d = bin(ha ^ hb).count("1")
-            if d <= max_hamming:
-                out_a.append(da)
-                out_b.append(db)
-                out_d.append(d)
-        # typed even when empty: untyped empty frames infer float64 and
-        # trip Ray's block-schema unification (cosmetic warning in r1)
-        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
-                             "doc_b": pd.Series(out_b, dtype="int64"),
-                             "hamming": pd.Series(out_d, dtype="int64")})
+    def add_bk(batch: pa.Table) -> pa.Table:
+        cs = batch.column("chunk_sig").to_numpy()
+        cid = batch.column("chunk_id").to_numpy()
+        bk = ((cs + cid * 65537) % N_SKETCH_BUCKETS).astype(np.int32)
+        return batch.append_column("bk", pa.array(bk))
 
-    cand = ds.groupby(["chunk_id", "chunk_sig"]).map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas")
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """One hash bucket of (chunk_id, chunk_sig) groups, fully
+        vectorized: cap per group, one self-merge for candidates, numpy
+        popcount for the hamming verify."""
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                              "doc_b": pd.Series(dtype="int64"),
+                              "hamming": pd.Series(dtype="int64")})
+        df = df.drop_duplicates(["chunk_id", "chunk_sig", "doc_id"])
+        df = df.sort_values("doc_id", kind="mergesort") \
+               .groupby(["chunk_id", "chunk_sig"], sort=False).head(hot_cap)
+        small = df[["chunk_id", "chunk_sig", "doc_id", "h"]]
+        j = small.merge(small, on=["chunk_id", "chunk_sig"])
+        j = j[j["doc_id_x"] < j["doc_id_y"]].drop_duplicates(["doc_id_x", "doc_id_y"])
+        if j.empty:
+            return empty
+        x = np.bitwise_xor(j["h_x"].to_numpy(), j["h_y"].to_numpy())
+        d = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        keep = d <= max_hamming
+        return pd.DataFrame({"doc_a": j["doc_id_x"].to_numpy()[keep],
+                             "doc_b": j["doc_id_y"].to_numpy()[keep],
+                             "hamming": d[keep].astype("int64")})
+
+    cand = ds.map_batches(add_bk, batch_format="pyarrow", zero_copy_batch=True) \
+             .groupby("bk").map_groups(bucket_pairs, batch_format="pandas")
+    return _pair_dedup(cand, ["doc_a", "doc_b"])
 
 
 def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45,

@@ -34,6 +34,16 @@ def resolve_input_files(input_path: str | list[str]) -> list[str]:
     return [input_path]
 
 
+def _manifest_rows(out_dir: str, pids) -> pd.DataFrame:
+    import json
+
+    rows = []
+    for pid in sorted(pids):
+        with open(os.path.join(out_dir, "manifest", f"part-{pid}.json")) as f:
+            rows.append(json.load(f))
+    return pd.DataFrame(rows)
+
+
 def run_job(
     input_path: str | list[str],
     out_dir: str,
@@ -60,6 +70,12 @@ def run_job(
     files = resolve_input_files(input_path)
     fingerprint = job_fingerprint(files, num_partitions, salt_span)
     done = completed_partitions(out_dir, fingerprint)
+    if len(done) == num_partitions:
+        # every partition has a matching manifest: nothing to do — skip
+        # even the input scan (a resume of a COMPLETE job must be O(manifest),
+        # not O(corpus); partitions that held zero rows lack manifests and
+        # fall through to the normal scan-and-filter path)
+        return _manifest_rows(out_dir, done)
     staging = staging_dir(out_dir)
     shutil.rmtree(staging, ignore_errors=True)
 
@@ -80,9 +96,6 @@ def run_job(
 
     # full manifest = resumed (already done) + newly written
     all_done = completed_partitions(out_dir, fingerprint)
-    import json
-    rows = []
-    for pid in sorted(all_done):
-        with open(os.path.join(out_dir, "manifest", f"part-{pid}.json")) as f:
-            rows.append(json.load(f))
-    return pd.DataFrame(rows) if rows else manifest_new
+    if all_done:
+        return _manifest_rows(out_dir, all_done)
+    return manifest_new

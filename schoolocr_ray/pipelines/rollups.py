@@ -35,9 +35,9 @@ def conv_rollup(ds: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
-            "conv_id": batch.column("conv_id").to_pylist(),
-            "turn_idx": batch.column("turn_idx").to_pylist(),
-            "total_score": batch.column("total_score").to_pylist(),
+            "conv_id": batch.column("conv_id").to_numpy(zero_copy_only=False),
+            "turn_idx": batch.column("turn_idx").to_numpy(zero_copy_only=False),
+            "total_score": batch.column("total_score").to_numpy(zero_copy_only=False),
             "n_err": pc.greater(pc.list_value_length(batch.column("errors")), 0).to_numpy(zero_copy_only=False),
             "n_warn": pc.greater(pc.list_value_length(batch.column("warnings")), 0).to_numpy(zero_copy_only=False),
         })
@@ -62,6 +62,11 @@ def conv_rollup(ds: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset
         return g
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # partial rows are one-per-(conv, block): orders of magnitude smaller
+    # than the input.  Coalesce before the groupby so the shuffle runs a
+    # handful of map tasks instead of one per input block (the sort
+    # shuffle's per-task overhead dominated this small exchange).
+    partials = partials.repartition(max(4, num_buckets // 8))
     return partials.groupby("bk").map_groups(merge_bucket, batch_format="pandas")
 
 
@@ -70,14 +75,17 @@ def confidence_histogram(ds: ray.data.Dataset, n_bins: int = 10) -> ray.data.Dat
     + partial counts per batch, then a tiny groupby."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        counts: dict[int, int] = {}
-        for cells in batch.column("table_cells").to_pylist():
-            for c in cells:
-                b = min(int(c["conf"] * n_bins), n_bins - 1)
-                counts[b] = counts.get(b, 0) + 1
+        import numpy as np
+
+        # flatten list<struct> -> one conf value per cell, all Arrow/numpy
+        # (the per-row python loop dominated the rollup at 500k turns)
+        flat = batch.column("table_cells").combine_chunks().flatten()
+        conf = flat.field("conf").to_numpy(zero_copy_only=False)
+        bins = np.minimum((conf * n_bins).astype(np.int64), n_bins - 1)
+        uniq, counts = np.unique(bins, return_counts=True)
         return pa.Table.from_pydict({
-            "bin": pa.array(sorted(counts), pa.int32()),
-            "n": pa.array([counts[b] for b in sorted(counts)], pa.int64()),
+            "bin": pa.array(uniq.astype("int32"), pa.int32()),
+            "n": pa.array(counts, pa.int64()),
         })
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -89,18 +97,16 @@ def quality_bands(ds: ray.data.Dataset) -> ray.data.Dataset:
     >=0.7 / poor — verbatim thresholds from stats.py:27-34."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        counts = {"perfect": 0, "good": 0, "acceptable": 0, "poor": 0}
-        for cells in batch.column("table_cells").to_pylist():
-            for c in cells:
-                p = c["conf"]
-                if p >= 0.9:
-                    counts["perfect"] += 1
-                elif p >= 0.8:
-                    counts["good"] += 1
-                elif p >= 0.7:
-                    counts["acceptable"] += 1
-                else:
-                    counts["poor"] += 1
+        import numpy as np
+
+        conf = batch.column("table_cells").combine_chunks().flatten() \
+                    .field("conf").to_numpy(zero_copy_only=False)
+        counts = {
+            "perfect": int((conf >= 0.9).sum()),
+            "good": int(((conf >= 0.8) & (conf < 0.9)).sum()),
+            "acceptable": int(((conf >= 0.7) & (conf < 0.8)).sum()),
+            "poor": int((conf < 0.7).sum()),
+        }
         return pa.Table.from_pydict({
             "band": pa.array(list(counts), pa.string()),
             "n": pa.array(list(counts.values()), pa.int64()),
@@ -136,19 +142,31 @@ def low_confidence_tasks(ds: ray.data.Dataset) -> ray.data.Dataset:
     threshold (app.py:222)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        rows: dict[str, list[int]] = {}
-        classes = batch.column("doc_class").to_pylist()
-        for dc, cells in zip(classes, batch.column("table_cells").to_pylist()):
-            key = dc if dc is not None else "<none>"
-            agg = rows.setdefault(key, [0, 0])
-            for c in cells:
-                agg[0] += 1
-                if c["conf"] < LOW_CONF:
-                    agg[1] += 1
+        import numpy as np
+
+        cells = batch.column("table_cells").combine_chunks()
+        lens = pc.list_value_length(cells).to_numpy(zero_copy_only=False)
+        classes = pd.Series(batch.column("doc_class").to_numpy(zero_copy_only=False)) \
+            .fillna("<none>").to_numpy()
+        conf = cells.flatten().field("conf").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "doc_class": np.repeat(classes, lens),   # one row per cell
+            "low": conf < LOW_CONF,
+        })
+        g = df.groupby("doc_class", sort=False).agg(
+            n_cells=("low", "size"), n_low_conf=("low", "sum")).reset_index()
+        # rows whose doc_class had NO cells still count with (0, 0) —
+        # preserve the per-row-loop semantics
+        zero = pd.Series(classes[lens == 0]).drop_duplicates()
+        missing = zero[~zero.isin(g["doc_class"])]
+        if len(missing):
+            g = pd.concat([g, pd.DataFrame({"doc_class": missing,
+                                            "n_cells": 0, "n_low_conf": 0})],
+                          ignore_index=True)
         return pa.Table.from_pydict({
-            "doc_class": pa.array(list(rows), pa.string()),
-            "n_cells": pa.array([v[0] for v in rows.values()], pa.int64()),
-            "n_low_conf": pa.array([v[1] for v in rows.values()], pa.int64()),
+            "doc_class": pa.array(g["doc_class"], pa.string()),
+            "n_cells": pa.array(g["n_cells"].astype("int64"), pa.int64()),
+            "n_low_conf": pa.array(g["n_low_conf"].astype("int64"), pa.int64()),
         })
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
