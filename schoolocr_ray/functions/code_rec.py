@@ -93,3 +93,35 @@ def recognize_code(region_lines: list[str], model: GlyphClassifier) -> str | Non
         digit, _prob = model.predict(tok)
         result += str(digit)
     return result
+
+
+CODE_SHIFT_PX = 30
+
+
+def recognize_code_shift_retry(lines: list[str], model: GlyphClassifier,
+                               regions: dict) -> tuple[str | None, list[str]]:
+    """M23, the debug-path code-region shift retry — ref
+    scripts/app_debug/debug_utils.py:178-184, ported quirk-for-quirk:
+
+    - when the code comes back falsy, the debug tool shifts the region's
+      ``x1`` left by 30 px by mutating the PASSED regions dict in place
+      (``new_conf = config["regions"]["code"]`` aliases, so the shift
+      sticks for every subsequent document — reference bug preserved);
+    - the shifted region is only re-CROPPED for inspection; the reference
+      never re-runs ``recognize_code`` on it, so ``code`` stays falsy.
+
+    Returns ``(code, region_lines)``.  Debug tier only — kept out of the
+    served ``extract_turn`` chain exactly like the reference keeps it out
+    of app.py; callers who care about their regions dict must pass a copy.
+    """
+    from ..textpage import extract_region
+
+    try:
+        code = recognize_code(extract_region(lines, regions["code"]), model)
+    except Exception:  # the served path's except -> error entry analog
+        code = None
+    region = extract_region(lines, regions["code"])
+    if not code:
+        regions["code"]["x1"] -= CODE_SHIFT_PX          # in-place, sticky
+        region = extract_region(lines, regions["code"])
+    return code, region

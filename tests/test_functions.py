@@ -248,3 +248,35 @@ def test_wired_table_extractor_semantics():
     # no table -> None (Table_extractor.py:51-53)
     _, plain = decode_payload_lines("%PDF-1.7\n%%BODY\nтолько текст\n%%END")
     assert extract_wired_table(plain, GlyphClassifier()) is None
+
+
+def test_code_region_shift_retry_quirks():
+    """M23 (debug tier): falsy code -> x1 shifted 30 px IN PLACE (sticky,
+    ref bug preserved) and the region re-cropped WITHOUT re-recognition."""
+    import copy
+
+    from schoolocr_ray.functions.classify import GlyphClassifier
+    from schoolocr_ray.functions.code_rec import recognize_code_shift_retry
+    from schoolocr_ray.layouts import CHAR_W, REGIONS
+
+    regions = copy.deepcopy(REGIONS)
+    model = GlyphClassifier()
+    # the code strip starts 2 columns LEFT of the region edge: the normal
+    # crop loses the opening bracket, the shifted crop sees it
+    col = regions["code"]["x1"] // CHAR_W - 2
+    lines = [""] * 6 + [" " * col + "[ К О Д 1 2 3 4 5 ]"] + [""] * 10
+
+    code, region = recognize_code_shift_retry(lines, model, regions)
+    # quirk 1: no re-recognition after the shift -> code stays None
+    assert code is None
+    # the shifted crop now contains the bracket the first crop cut off
+    assert any("[" in ln for ln in region)
+    # quirk 2: the shift mutated the caller's dict and is sticky
+    assert regions["code"]["x1"] == REGIONS["code"]["x1"] - 30
+    # a well-placed code is unaffected and recognized
+    regions2 = copy.deepcopy(REGIONS)
+    col2 = regions2["code"]["x1"] // CHAR_W + 1
+    lines2 = [""] * 6 + [" " * col2 + "[ К О Д 1 2 3 4 5 ]"] + [""] * 10
+    code2, _ = recognize_code_shift_retry(lines2, model, regions2)
+    assert code2 == "12345"
+    assert regions2["code"]["x1"] == REGIONS["code"]["x1"]
