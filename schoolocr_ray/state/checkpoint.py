@@ -31,7 +31,8 @@ CODE_VERSION = "schoolocr-ray-v2"
 ACK_SCHEMA = pa.schema([
     ("part_id", pa.int32()),
     ("n_rows", pa.int64()),
-    ("frag", pa.string()),
+    ("frag", pa.string()),       # block file id (content hash)
+    ("batch_idx", pa.int32()),   # record-batch index of this partition's run
     ("node_id", pa.string()),
 ])
 
@@ -119,6 +120,9 @@ def stage_fragments(table: pa.Table, staging: str) -> pa.Table:
     import numpy as np
     import pyarrow.compute as pc
 
+    if table.num_rows == 0:
+        return pa.Table.from_pylist([], schema=ACK_SCHEMA)
+
     # block identity = hash of the WHOLE block's key+payload buffers,
     # computed before the partition sort: a retry reproduces the exact
     # block -> same names; two different blocks can never share a name
@@ -141,44 +145,57 @@ def stage_fragments(table: pa.Table, staging: str) -> pa.Table:
                if _ray.is_initialized() else "local")
 
     idx = pc.sort_indices(table, sort_keys=[("part_id", "ascending")])
-    table = table.take(idx)
+    table = table.take(idx).combine_chunks()
     pids = table.column("part_id").to_numpy()
     bounds = [0] + list(np.nonzero(np.diff(pids))[0] + 1) + [len(pids)]
+    # ONE IPC file per block, one record batch per partition run: at high
+    # partition counts, one file per (block, partition) meant ~100 tiny
+    # file creations per actor call (measured ~3-4 s of actor time at
+    # sf0.5/128 partitions) and a ~900-table concat per finalize.  The
+    # IPC file format gives zero-copy mmap random access per batch, so
+    # finalize still reads ONLY its partition's runs.
+    os.makedirs(os.path.join(staging, "blocks"), exist_ok=True)
+    tmp = os.path.join(staging, "blocks", f".{block_id}.arrow.tmp")
     acks = []
-    for a, b in zip(bounds, bounds[1:]):
-        sub = table.slice(a, b - a)
-        pid = int(pids[a])
-        name = f"{block_id}-{pid}"
-        pdir = os.path.join(staging, f"part_id={pid}")
-        os.makedirs(pdir, exist_ok=True)
-        tmp = os.path.join(pdir, f".{name}.arrow.tmp")
-        # uncompressed IPC: staging lives on node-local memory-backed
-        # storage, and lz4 framing measured net-negative here (encode CPU
-        # outweighs the saved shm bandwidth)
-        with pa.OSFile(tmp, "wb") as f:
-            with pa.ipc.new_file(f, sub.schema) as w:
-                w.write_table(sub)
-        os.replace(tmp, os.path.join(pdir, f"{name}.arrow"))
-        acks.append({"part_id": pid, "n_rows": b - a, "frag": name,
-                     "node_id": node_id})
+    # uncompressed IPC: staging lives on node-local memory-backed
+    # storage, and lz4 framing measured net-negative here (encode CPU
+    # outweighs the saved shm bandwidth)
+    with pa.OSFile(tmp, "wb") as f:
+        with pa.ipc.new_file(f, table.schema) as w:
+            for bi, (a, b) in enumerate(zip(bounds, bounds[1:])):
+                sub = table.slice(a, b - a)
+                w.write_table(sub)      # contiguous slice -> one batch
+                acks.append({"part_id": int(pids[a]), "n_rows": b - a,
+                             "frag": block_id, "batch_idx": bi,
+                             "node_id": node_id})
+    os.replace(tmp, os.path.join(staging, "blocks", f"{block_id}.arrow"))
     return pa.Table.from_pylist(acks, schema=ACK_SCHEMA)
 
 
-def _read_acked_fragments(staging: str, pid: int, frag_names: list[str]) -> list[pa.Table]:
-    """Read exactly the acked fragment set for one partition from this
-    node's staging root.  A missing fragment is a hard error — writing a
-    checkpoint from fewer fragments than were acked would be silent row
-    loss (the round-1 multi-node flaw), so the job must die loudly
-    instead."""
-    pdir = os.path.join(staging, f"part_id={pid}")
+def _read_acked_fragments(staging: str, pid: int,
+                          frags: list[tuple[str, int]]) -> list[pa.Table]:
+    """Read exactly the acked fragment set — (block_id, batch_idx) pairs —
+    for one partition from this node's staging root: mmap each block file
+    once and random-access only this partition's record batches (zero
+    copy).  A missing fragment is a hard error — writing a checkpoint from
+    fewer fragments than were acked would be silent row loss (the round-1
+    multi-node flaw), so the job must die loudly instead."""
+    by_file: dict[str, list[int]] = {}
+    for name, bi in frags:
+        by_file.setdefault(name, []).append(bi)
     tables, missing = [], []
-    for name in sorted(frag_names):
-        f = os.path.join(pdir, f"{name}.arrow")
+    for name in sorted(by_file):
+        f = os.path.join(staging, "blocks", f"{name}.arrow")
         if not os.path.exists(f):
             missing.append(name)
             continue
         with pa.memory_map(f, "r") as src:
-            tables.append(pa.ipc.open_file(src).read_all())
+            reader = pa.ipc.open_file(src)
+            for bi in sorted(by_file[name]):
+                if bi >= reader.num_record_batches:
+                    missing.append(f"{name}#{bi}")
+                    continue
+                tables.append(pa.Table.from_batches([reader.get_batch(bi)]))
     if missing:
         raise RuntimeError(
             f"staging root {staging} is missing {len(missing)} acked "
@@ -312,28 +329,13 @@ def finalize_staged(staging: str, out_dir: str, fingerprint: str,
     else /dev/shm when present (this sandbox's stand-in for node-local
     NVMe, whose aggregate bandwidth scales with cluster size), else under
     ``out_dir``."""
-    import glob
     import shutil
 
     from ray.util.scheduling_strategies import NodeAffinitySchedulingStrategy
 
     os.makedirs(out_dir, exist_ok=True)
 
-    if acks is None:
-        # legacy single-node path: trust the local glob
-        rows = []
-        for d in glob.glob(os.path.join(staging, "part_id=*")):
-            pid = int(os.path.basename(d).split("=")[1])
-            frags = [os.path.basename(f)[: -len(".arrow")]
-                     for f in glob.glob(os.path.join(d, "*.arrow"))]
-            for fr in frags:
-                rows.append({"part_id": pid, "n_rows": 0, "frag": fr,
-                             "node_id": "local"})
-        acks = pd.DataFrame(rows, columns=["part_id", "n_rows", "frag", "node_id"])
-        node_roots = {"local": staging}
-        pin = False
-
-    if acks.empty:
+    if acks is None or acks.empty:
         shutil.rmtree(staging, ignore_errors=True)
         return pd.DataFrame()
 
@@ -348,16 +350,19 @@ def finalize_staged(staging: str, out_dir: str, fingerprint: str,
 
     futures = []
     for pid, g in acks.groupby("part_id"):
-        per_node = g.groupby("node_id").agg(frags=("frag", lambda s: sorted(set(s))),
-                                            rows=("n_rows", "sum"))
-        owner = per_node["rows"].idxmax()
+        rows_by_node = g.groupby("node_id")["n_rows"].sum()
+        owner = rows_by_node.idxmax()
+        frags_by_node = {
+            nid: sorted({(f, int(b)) for f, b in zip(sub["frag"], sub["batch_idx"])})
+            for nid, sub in g.groupby("node_id")
+        }
         remote_refs = [
             _fetch_fragments_task.options(**opts(nid)).remote(
                 node_roots[nid], int(pid), frags)
-            for nid, frags in per_node["frags"].items() if nid != owner
+            for nid, frags in frags_by_node.items() if nid != owner
         ]
         futures.append(_finalize_task.options(**opts(owner)).remote(
-            node_roots[owner], int(pid), per_node.loc[owner, "frags"],
+            node_roots[owner], int(pid), frags_by_node[owner],
             remote_refs, out_dir, fingerprint, code_version))
     manifest = pd.DataFrame(ray.get(futures))
 

@@ -166,8 +166,7 @@ def test_multinode_staging_merge_and_reconciliation(ray_session, small_corpus, t
     acks_a2["node_id"] = "nodeA"
     acks_b2["node_id"] = "nodeB"
     lost = acks_b2.iloc[0]
-    os.remove(os.path.join(root_b, f"part_id={lost['part_id']}",
-                           f"{lost['frag']}.arrow"))
+    os.remove(os.path.join(root_b, "blocks", f"{lost['frag']}.arrow"))
     with _pytest.raises(Exception, match="missing.*acked"):
         finalize_staged(str(tmp_path / "unused2"), str(tmp_path / "out_bad"),
                         fp, acks=pd.concat([acks_a2, acks_b2], ignore_index=True),
