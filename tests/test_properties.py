@@ -1,0 +1,141 @@
+"""Property-based invariants (hypothesis): the deterministic primitives the
+distributed pipeline's correctness rests on — partition mapping, page
+normalization, word-wrap, staging round-trip, and the never-raises contract
+over arbitrary payloads."""
+from __future__ import annotations
+
+import hypothesis.strategies as st
+import numpy as np
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+
+SET = settings(max_examples=60, deadline=None,
+               suppress_health_check=[HealthCheck.too_slow])
+
+
+@SET
+@given(st.lists(st.text(alphabet=st.characters(codec="utf-8"), max_size=30),
+                min_size=1, max_size=50),
+       st.integers(min_value=1, max_value=64))
+def test_hash_partition_ids_range_and_determinism(conv_ids, p):
+    from schoolocr_ray.pipelines.extract import hash_partition_ids
+
+    a = hash_partition_ids(conv_ids, p)
+    b = hash_partition_ids(conv_ids, p)
+    assert (a == b).all()                      # process-stable
+    assert ((0 <= a) & (a < p)).all()          # in range
+    # same conv_id always lands in the same partition
+    pid_of = {}
+    for cid, pid in zip(conv_ids, a):
+        assert pid_of.setdefault(cid, pid) == pid
+
+
+@SET
+@given(st.lists(st.text(alphabet=st.characters(codec="utf-8"), max_size=30),
+                min_size=1, max_size=30),
+       st.integers(min_value=0, max_value=5000))
+def test_salting_respects_span_chunks(conv_ids, max_turn):
+    from schoolocr_ray.pipelines.extract import hash_partition_ids
+
+    turn_idx = np.arange(len(conv_ids)) % (max_turn + 1)
+    pids = hash_partition_ids(conv_ids, 16, turn_idx=turn_idx, salt_span=512)
+    # rows of the same (conv, chunk) always agree
+    seen = {}
+    for cid, ti, pid in zip(conv_ids, turn_idx, pids):
+        assert seen.setdefault((cid, ti // 512), pid) == pid
+
+
+@SET
+@given(st.text(max_size=400), st.integers(min_value=5, max_value=120))
+def test_wrap_preserves_words_and_width(text, width):
+    from schoolocr_ray.functions.render import _wrap
+
+    lines = _wrap(text, width)
+    # words survive verbatim, in order
+    assert " ".join(lines).split() == text.split()
+    # no line exceeds width unless a single word does
+    for ln in lines:
+        assert len(ln) <= width or " " not in ln
+
+
+@SET
+@given(st.lists(st.text(alphabet=st.characters(codec="utf-8",
+                                               exclude_characters="\n"),
+                        max_size=300), max_size=200))
+def test_make_page_lines_fixed_geometry(lines):
+    from schoolocr_ray.layouts import PAGE_COLS, PAGE_LINES
+    from schoolocr_ray.textpage import make_page_lines
+
+    out = make_page_lines(lines)
+    assert len(out) == PAGE_LINES
+    for ln in out:
+        assert len(ln) <= PAGE_COLS
+        assert ln == ln.rstrip()
+
+
+@SET
+@given(st.one_of(
+    st.none(),
+    st.text(max_size=600),
+    st.text(alphabet="<>|[]%PDF \nВПРМатематика6класс.123Вариант", max_size=600),
+))
+def test_extract_turn_total_on_arbitrary_text(text):
+    """The never-raises contract, hypothesis-shrunk: any payload yields a
+    well-formed record."""
+    from schoolocr_ray.oracle import extract_turn
+
+    r = extract_turn(text)
+    assert isinstance(r["errors"], list) and isinstance(r["warnings"], list)
+    assert isinstance(r["table_cells"], list) and isinstance(r["spans"], list)
+    assert isinstance(r["total_score"], int)
+    assert r["payload_kind"] in ("html", "pdfish", "tool_output", "invalid")
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.text(min_size=1, max_size=8),   # conv_id
+                          st.integers(0, 500),               # turn_idx
+                          st.text(max_size=40)),             # text
+                min_size=1, max_size=120),
+       st.integers(min_value=1, max_value=16))
+def test_staging_roundtrip_preserves_rows(rows, p):
+    """stage_fragments -> _read_acked_fragments is lossless per partition:
+    the union of all partitions' read-back rows equals the staged block."""
+    import shutil
+    import tempfile
+
+    from schoolocr_ray.pipelines.extract import hash_partition_ids
+    from schoolocr_ray.state.checkpoint import (
+        _read_acked_fragments,
+        stage_fragments,
+    )
+
+    conv, ti, tx = zip(*rows)
+    pid = hash_partition_ids(list(conv), p, turn_idx=np.asarray(ti))
+    table = pa.table({
+        "conv_id": pa.array(conv, pa.string()),
+        "turn_idx": pa.array(ti, pa.int32()),
+        "ts": pa.array(range(len(rows)), pa.timestamp("us")),
+        "text": pa.array(tx, pa.string()),
+        "part_id": pa.array(pid, pa.int32()),
+    })
+    staging = tempfile.mkdtemp(prefix="prop_staging_")
+    try:
+        acks = stage_fragments(table, staging).to_pylist()
+        got = []
+        by_pid: dict[int, list] = {}
+        for a in acks:
+            by_pid.setdefault(a["part_id"], []).append((a["frag"], a["batch_idx"]))
+        for part, frags in by_pid.items():
+            for t in _read_acked_fragments(staging, part, frags):
+                assert (t.column("part_id").to_numpy() == part).all()
+                got.append(t)
+        merged = pa.concat_tables(got) if got else table.slice(0, 0)
+        assert merged.num_rows == table.num_rows
+        key = sorted(zip(merged.column("conv_id").to_pylist(),
+                         merged.column("turn_idx").to_pylist(),
+                         merged.column("text").to_pylist()))
+        want = sorted(zip(conv, ti, tx))
+        assert key == want
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
