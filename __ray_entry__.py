@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": relational.events_distinct_users,
         "events_windowed": relational.events_windowed,
         "events_lag": relational.events_lag,
+        "events_asof_purchase": relational.events_asof_purchase,
         "customers_per_region": relational.customers_per_region,
         "lineitem_semi_join": relational.lineitem_semi_join,
         "lineitem_order_join": relational.lineitem_order_join,
@@ -565,6 +566,27 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(LAG(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id), -1) AS prev_cents
             FROM events
+        """,
+        "events_asof_purchase": """
+            WITH u AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+                       CAST(FLOOR(value * 100) AS BIGINT) AS cents
+                FROM events WHERE event_type IN ('click', 'purchase')),
+            w AS (
+                SELECT event_id, event_type,
+                       LAST_VALUE(CASE WHEN event_type = 'purchase'
+                                       THEN event_id END IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_id,
+                       LAST_VALUE(CASE WHEN event_type = 'purchase'
+                                       THEN cents END IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_cents
+                FROM u)
+            SELECT event_id,
+                   COALESCE(p_id, -1) AS purchase_event_id,
+                   COALESCE(p_cents, -1) AS purchase_cents
+            FROM w WHERE event_type = 'click'
         """,
         "docs_embedding_neardup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

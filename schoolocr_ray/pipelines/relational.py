@@ -251,6 +251,55 @@ def events_lag(sf_dir: str, num_buckets: int | None = None,
              .groupby("bk").map_groups(lag_bucket, batch_format="pandas")
 
 
+def events_asof_purchase(sf_dir: str, num_buckets: int | None = None,
+                         target_rows_per_bucket: int = 250_000) -> ray.data.Dataset:
+    """As-of join: every 'click' event matched to the same user's most
+    recent 'purchase' at ts <= click ts (ties broken by event_id order;
+    -1 sentinel when no prior purchase).  The missing-from-Ray-Data
+    operator implemented as the documented composition: hash-bucket by
+    user (whole histories co-located — the same partitioning assumption as
+    ``events_lag``), then one vectorized sort + per-user forward-fill per
+    bucket.  Bucket count scales with input like ``events_lag``."""
+    if num_buckets is None:
+        n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+        num_buckets = max(32, -(-n // target_rows_per_bucket))
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array(["click", "purchase"]))
+        batch = batch.filter(keep)
+        uid = batch.column("user_id").to_numpy()
+        return pa.Table.from_pydict({
+            "event_id": batch.column("event_id"),
+            "ts_us": batch.column("ts").cast(pa.int64()),
+            "user_id": batch.column("user_id"),
+            "event_type": batch.column("event_type"),
+            "cents": pa.array(_cents(batch.column("value").to_numpy()), pa.int64()),
+            "bk": pa.array((uid % num_buckets).astype(np.int32)),
+        })
+
+    def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        is_p = df["event_type"] == "purchase"
+        df["p_id"] = df["event_id"].where(is_p)
+        df["p_cents"] = df["cents"].where(is_p)
+        df[["p_id", "p_cents"]] = df.groupby("user_id", sort=False)[
+            ["p_id", "p_cents"]].ffill()
+        out = df[df["event_type"] == "click"]
+        return pd.DataFrame({
+            "event_id": out["event_id"].to_numpy(),
+            "purchase_event_id": out["p_id"].fillna(-1).astype("int64").to_numpy(),
+            "purchase_cents": out["p_cents"].fillna(-1).astype("int64").to_numpy(),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True) \
+             .groupby("bk").map_groups(asof_bucket, batch_format="pandas")
+
+
 def events_distinct_users(sf_dir: str) -> ray.data.Dataset:
     """Distinct aggregate: COUNT(DISTINCT user_id) per event_type, as
     two-level pre-aggregation — per-batch distinct pairs, a pair-level
