@@ -353,6 +353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": relational.events_windowed,
         "events_lag": relational.events_lag,
         "events_asof_purchase": relational.events_asof_purchase,
+        "events_hopping": relational.events_hopping,
+        "events_sessions": relational.events_sessions,
         "customers_per_region": relational.customers_per_region,
         "lineitem_semi_join": relational.lineitem_semi_join,
         "lineitem_order_join": relational.lineitem_order_join,
@@ -566,6 +568,37 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(LAG(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id), -1) AS prev_cents
             FROM events
+        """,
+        "events_hopping": """
+            WITH e AS (
+                SELECT epoch_us(ts) // CAST(7200000000 AS BIGINT) AS last_w,
+                       event_type,
+                       CAST(FLOOR(value * 100) AS BIGINT) AS cents
+                FROM events),
+            x AS (
+                SELECT event_type, last_w - i AS win, cents
+                FROM e, unnest(generate_series(0, 2)) AS t(i))
+            SELECT event_type, win, COUNT(*) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM x WHERE win >= 0 GROUP BY event_type, win
+        """,
+        "events_sessions": """
+            WITH e AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+            m AS (
+                SELECT *, CASE WHEN LAG(ts_us) OVER w IS NULL
+                                 OR ts_us - LAG(ts_us) OVER w > 1800000000
+                               THEN 1 ELSE 0 END AS brk
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+            s AS (
+                SELECT *, SUM(brk) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+                FROM m)
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   COUNT(*) AS n_events,
+                   MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+            FROM s GROUP BY user_id, session_idx
         """,
         "events_asof_purchase": """
             WITH u AS (

@@ -251,6 +251,80 @@ def events_lag(sf_dir: str, num_buckets: int | None = None,
              .groupby("bk").map_groups(lag_bucket, batch_format="pandas")
 
 
+def events_hopping(sf_dir: str, window_hours: int = 6,
+                   hop_hours: int = 2) -> ray.data.Dataset:
+    """Hopping (sliding) window aggregate: each event contributes to every
+    window of span ``window_hours`` that contains it, windows starting
+    every ``hop_hours`` — span/hop windows per event, emitted by a pure
+    flat-map projection (no state), then the usual partial-aggregate +
+    small groupby.  The overlap factor (3 here) is the only data
+    amplification; no shuffle sees raw events."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    span_us = window_hours * 3600 * 1_000_000
+    hop_us = hop_hours * 3600 * 1_000_000
+    k = span_us // hop_us                        # windows per event
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        last = ts // hop_us                      # last window containing the event
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        cents = _cents(batch.column("value").to_numpy())
+        # k rows per event: window ids last-k+1 .. last (clipped at 0)
+        wins = np.concatenate([last - i for i in range(int(k))])
+        ets = np.tile(et, int(k))
+        cs = np.tile(cents, int(k))
+        keep = wins >= 0
+        df = pd.DataFrame({"event_type": ets[keep], "win": wins[keep],
+                           "cents": cs[keep]})
+        g = df.groupby(["event_type", "win"], sort=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+             .groupby(["event_type", "win"]).aggregate(
+                 Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+
+
+def events_sessions(sf_dir: str, gap_minutes: int = 30,
+                    num_buckets: int | None = None,
+                    target_rows_per_bucket: int = 250_000) -> ray.data.Dataset:
+    """Session windows: per user, events split into sessions at inactivity
+    gaps > ``gap_minutes``; emits one row per session with event count and
+    exact integer bounds.  The stateful-streaming-window analog for bounded
+    data: hash-bucket users (whole histories co-located), then one
+    vectorized diff + cumsum per bucket — the same partitioning assumption
+    as ``events_lag``/``events_asof_purchase``."""
+    if num_buckets is None:
+        n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+        num_buckets = max(32, -(-n // target_rows_per_bucket))
+    gap_us = gap_minutes * 60 * 1_000_000
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        return pa.Table.from_pydict({
+            "event_id": batch.column("event_id"),
+            "ts_us": batch.column("ts").cast(pa.int64()),
+            "user_id": batch.column("user_id"),
+            "bk": pa.array((uid % num_buckets).astype(np.int32)),
+        })
+
+    def sessions_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        new_user = df["user_id"] != df["user_id"].shift(1)
+        gap = (df["ts_us"] - df["ts_us"].shift(1)) > gap_us
+        df["session"] = (new_user | gap).cumsum()
+        g = df.groupby(["user_id", "session"], sort=False).agg(
+            n_events=("event_id", "size"),
+            start_us=("ts_us", "min"), end_us=("ts_us", "max")).reset_index()
+        # session ordinal per user (stable: sessions are in time order)
+        g["session_idx"] = g.groupby("user_id", sort=False).cumcount()
+        return g[["user_id", "session_idx", "n_events", "start_us", "end_us"]]
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True) \
+             .groupby("bk").map_groups(sessions_bucket, batch_format="pandas")
+
+
 def events_asof_purchase(sf_dir: str, num_buckets: int | None = None,
                          target_rows_per_bucket: int = 250_000) -> ray.data.Dataset:
     """As-of join: every 'click' event matched to the same user's most
