@@ -12,7 +12,6 @@ from __future__ import annotations
 import hashlib
 import re
 import zlib
-from itertools import combinations
 
 import numpy as np
 import pandas as pd
