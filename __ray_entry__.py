@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jaccard_pairs": text.jaccard_pairs,
         "docs_embedding_neardup": dedup.embedding_neardup,
         "docs_embedding_neardup_lsh": dedup.embedding_neardup_lsh,
+        "docs_embedding_neardup_ivf": dedup.embedding_neardup_ivf,
         # --- similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,

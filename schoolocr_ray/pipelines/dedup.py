@@ -330,6 +330,62 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45,
         lambda df: df.head(1), batch_format="pandas")
 
 
+def embedding_neardup_ivf(sf_dir: str, threshold: float = 0.45,
+                          n_centroids: int = 16, hot_cap: int = 2048) -> ray.data.Dataset:
+    """Embedding near-dup pairs via IVF coarse quantization — the second
+    bucketed scale path next to ``embedding_neardup_lsh``: assign each
+    vector to its nearest centroid (KB-scale broadcast), shuffle by list
+    id, all-pairs cosine within each list.  One bucket per vector (vs the
+    LSH variant's n_tables) so data amplification is 1x; recall is bounded
+    by pairs straddling a centroid boundary — recall-tested vs the exact
+    matmul path.  ``n_centroids`` scales with corpus (target list size
+    ~n/centroids); ``hot_cap`` hard-bounds a degenerate list."""
+    from .similarity import _ivf_centroids
+
+    cent = _ivf_centroids(sf_dir, n_centroids)
+    cent_ref = ray.put(cent)
+
+    class Assign:
+        def __init__(self, ref) -> None:
+            self.cent = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            em = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+            em /= np.linalg.norm(em, axis=1, keepdims=True)
+            lists = (em @ self.cent.T).argmax(axis=1)
+            return pa.Table.from_pydict({
+                "list_id": pa.array(lists.astype("int32"), pa.int32()),
+                "vec_id": batch.column("vec_id"),
+                "embedding": batch.column("embedding"),
+            })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    assigned = ds.map_batches(Assign, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              fn_constructor_args=(cent_ref,),
+                              concurrency=(1, 4))
+
+    def list_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                              "vec_b": pd.Series(dtype="int64")})
+        rows = df.drop_duplicates("vec_id").sort_values("vec_id")
+        if len(rows) > hot_cap:
+            rows = rows.head(hot_cap)
+        if len(rows) < 2:
+            return empty
+        ids = rows["vec_id"].to_numpy()
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in rows["embedding"]])
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        ai, bi = np.nonzero(np.triu(m @ m.T >= threshold, k=1))
+        if not len(ai):
+            return empty
+        return pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bi]})
+
+    return assigned.groupby("list_id").map_groups(list_pairs,
+                                                  batch_format="pandas")
+
+
 def embedding_neardup(sf_dir: str, threshold: float = 0.45) -> ray.data.Dataset:
     """Embedding-cosine near-duplicate pairs over the ``embeddings`` table:
     every (a, b) with a < b and cosine >= threshold.

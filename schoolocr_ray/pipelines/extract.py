@@ -70,8 +70,39 @@ def with_partition_id(ds: ray.data.Dataset, num_partitions: int = DEFAULT_NUM_PA
     return ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
 
 
+REQUIRED_COLUMNS = {"conv_id": "string", "turn_idx": "int32", "role": "string",
+                    "text": "string", "tool": "string", "ts": "timestamp[us]"}
+
+
 def read_transcripts(path: str | list[str]) -> ray.data.Dataset:
-    """S1/S7 analog: schema-validated parquet read of the transcripts table."""
+    """S1/S7 analog: schema-validated parquet read of the transcripts table.
+
+    Validation happens against the parquet FOOTER of the first fragment
+    (driver-side O(1), no data read): a missing or mistyped column fails
+    fast with a clear error instead of a mid-stream task crash hours into
+    a 100 TB job."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    probe = path if isinstance(path, str) else path[0]
+    if os.path.isdir(probe):
+        files = sorted(glob.glob(os.path.join(probe, "*.parquet")))
+        probe = files[0] if files else None
+    if probe and os.path.isfile(probe):
+        schema = pq.read_schema(probe)
+        missing = [c for c in REQUIRED_COLUMNS if c not in schema.names]
+        if missing:
+            raise ValueError(
+                f"transcripts input {probe} is missing required column(s) "
+                f"{missing}; expected schema {REQUIRED_COLUMNS}")
+        for col, want in REQUIRED_COLUMNS.items():
+            got = str(schema.field(col).type)
+            if got != want:
+                raise ValueError(
+                    f"transcripts column {col!r} has type {got}, expected "
+                    f"{want} (input {probe})")
     return ray.data.read_parquet(path)
 
 

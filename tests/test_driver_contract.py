@@ -84,7 +84,7 @@ def test_sql_checked_query_matches_oracle(contract, con, name):
 
 ROWS_ONLY = ["knn_lsh", "knn_ivf", "docs_minhash_pairs", "docs_simhash",
              "docs_simhash_pairs", "docs_fingerprint",
-             "docs_embedding_neardup_lsh",
+             "docs_embedding_neardup_lsh", "docs_embedding_neardup_ivf",
              "multimodal_frames",
              "glyph_eval_report", "transcripts_wired_cells",
              "transcripts_extract"]

@@ -162,3 +162,30 @@ def test_exact_dedup(ray_session, small_corpus):
     deduped = dedup_turns(ds)
     assert before == 2 * table.num_rows
     assert deduped.count() == table.num_rows
+
+
+def test_read_transcripts_schema_validation(ray_session, tmp_path):
+    """S1: a missing or mistyped column fails fast at the read, not
+    mid-stream hours into a job."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from schoolocr_ray.pipelines.extract import read_transcripts
+
+    bad = tmp_path / "bad.parquet"
+    pq.write_table(pa.table({"conv_id": pa.array(["a"], pa.string())}), str(bad))
+    with pytest.raises(ValueError, match="missing required column"):
+        read_transcripts(str(bad))
+
+    wrong = tmp_path / "wrong.parquet"
+    pq.write_table(pa.table({
+        "conv_id": pa.array(["a"], pa.string()),
+        "turn_idx": pa.array([1], pa.int64()),       # int64, not int32
+        "role": pa.array(["user"], pa.string()),
+        "text": pa.array(["x"], pa.string()),
+        "tool": pa.array([""], pa.string()),
+        "ts": pa.array([0], pa.timestamp("us")),
+    }), str(wrong))
+    with pytest.raises(ValueError, match="turn_idx.*int64"):
+        read_transcripts(str(wrong))

@@ -185,3 +185,22 @@ def test_simhash_near_pairs_find_true_neardups(ray_session):
         for b in ids[i + 1:]:
             if bin(h[a] ^ h[b]).count("1") <= 3:
                 assert (a, b) in got_pairs
+
+
+def test_embedding_neardup_ivf_recall_vs_exact(ray_session, emb):
+    """The IVF-bucketed scale path: 1x data amplification; recall bounded
+    by centroid-boundary pairs, soundness exact."""
+    from schoolocr_ray.pipelines.dedup import embedding_neardup_ivf
+
+    ids, m = emb
+    sims = m @ m.T
+    iu = np.triu_indices(len(ids), 1)
+    exact = {(int(min(ids[a], ids[b])), int(max(ids[a], ids[b])))
+             for a, b in zip(*iu) if sims[a, b] >= 0.45}
+    got = embedding_neardup_ivf(SF_DIR).to_pandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["vec_a"], got["vec_b"])}
+    assert len(exact) > 0
+    assert len(got_pairs & exact) / len(exact) >= 0.5, (len(got_pairs), len(exact))
+    idx = {int(v): i for i, v in enumerate(ids)}
+    for a, b in got_pairs:
+        assert sims[idx[a], idx[b]] >= 0.45
