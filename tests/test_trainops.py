@@ -36,8 +36,9 @@ def test_knn_ivf_recall_floor(ray_session, emb):
     for qid, g in got.groupby("qid"):
         exact = set(_exact_topk(ids, m, qid))
         recalls.append(len(exact & set(g["vec_id"])) / len(exact))
-    # approximate by construction (probes 4/16 lists) but must beat a floor
-    assert np.mean(recalls) >= 0.3, recalls
+    # approximate by construction (probes 6/16 lists); measured ~0.66 on
+    # this corpus — the floor leaves room for seed-level jitter only
+    assert np.mean(recalls) >= 0.5, recalls
 
 
 def test_knn_lsh_recall_floor(ray_session, emb):
@@ -49,7 +50,8 @@ def test_knn_lsh_recall_floor(ray_session, emb):
     for qid, g in got.groupby("qid"):
         exact = set(_exact_topk(ids, m, qid))
         recalls.append(len(exact & set(g["vec_id"])) / len(exact))
-    assert np.mean(recalls) >= 0.2, recalls
+    # measured ~0.7 on this corpus (8 tables x 4 planes)
+    assert np.mean(recalls) >= 0.5, recalls
 
 
 def test_embedding_neardup_matches_numpy_reference(ray_session, emb):
