@@ -216,3 +216,24 @@ def test_rollups(ray_session, small_corpus):
     low = rollups.low_confidence_tasks(ds).to_pandas()
     exp_low = sum(1 for _, w in want for c in w["table_cells"] if c["conf"] < 0.6)
     assert int(low["n_low_conf"].sum()) == exp_low
+
+
+def test_run_job_empty_input(ray_session, tmp_path):
+    """Zero-row input -> empty manifest, no crash, clean staging."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schoolocr_ray.pipelines.job import run_job
+    from schoolocr_ray.synth import TRANSCRIPTS_SCHEMA
+
+    from schoolocr_ray.state.checkpoint import staging_dir
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    pq.write_table(TRANSCRIPTS_SCHEMA.empty_table(), str(d / "empty.parquet"))
+    out = str(tmp_path / "out")
+    m = run_job(str(d), out, num_partitions=8)
+    assert len(m) == 0
+    assert not os.path.exists(staging_dir(out))
