@@ -85,7 +85,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         for name in ("events_stats", "customers_per_region", "lineitem_semi_join",
                      "lineitem_order_join", "top_customers", "docs_token_count",
                      "docs_exact_dedup", "docs_jaccard_pairs", "docs_minhash_pairs",
-                     "knn_bruteforce", "transcripts_conv_rollup"):
+                     "knn_bruteforce", "transcripts_conv_rollup",
+                     "events_asof_purchase", "events_sessions",
+                     "docs_embedding_neardup_lsh"):
             t0 = time.monotonic()
             res = q[name](sf_dir)
             if hasattr(res, "to_pandas"):
