@@ -22,9 +22,13 @@ DEFAULT_QUERIES = (0, 1, 2, 3, 4)
 
 
 def _load_queries(sf_dir: str, query_ids) -> tuple[np.ndarray, np.ndarray]:
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas()
-    df = df[df["vec_id"].isin(query_ids)].sort_values("vec_id")
+    """Driver-side load of ONLY the query vectors: predicate pushdown at the
+    parquet reader (row-group + dictionary pruning), never the whole
+    embeddings table — the query set is O(queries) however big the corpus."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", sorted(query_ids))])
+    df = t.to_pandas().sort_values("vec_id")
     qm = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
     return df["vec_id"].to_numpy(), qm

@@ -145,7 +145,8 @@ def shingles(text: str, k: int = 3) -> set[str]:
 
 
 def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
-                  k: int = 3, hot_cap: int = JACCARD_HOT_CAP) -> ray.data.Dataset:
+                  k: int = 3, hot_cap: int = JACCARD_HOT_CAP,
+                  count_mode: str = "auto") -> ray.data.Dataset:
     """n-gram Jaccard near-duplicate pairs, fully distributed:
 
         docs -> distinct k-shingles -> explode (shingle, doc) -> groupby
@@ -156,19 +157,37 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     pair generation (boilerplate/stopword runs otherwise contribute
     O(df^2) pairs each — 158 s vs ~20 s at the 5k-doc tier).  The DuckDB
     oracle applies the identical cap, so Ray-vs-SQL equality is exact;
-    Jaccard denominators still use each document's FULL shingle count."""
+    Jaccard denominators still use each document's FULL shingle count.
+
+    ``count_mode`` picks how the per-doc shingle counts reach the verify:
+    ``"broadcast"`` collects the one-row-per-doc count table to the driver
+    and ships it once via ``ray.put`` (right up to ~1M docs);
+    ``"join"`` is the 100 TB path — the counts stay a Dataset and the
+    candidate pairs hash-join against it twice (doc_a, then doc_b), so no
+    O(n_docs) state ever lands on the driver.  ``"auto"`` switches on the
+    corpus row count.  Both paths produce identical pairs (equality-tested
+    at sf0.01)."""
+    import pyarrow.parquet as _pq
+
     import ray as _ray
 
-    # per-doc shingle counts: small (one row per doc) -> broadcast
+    if count_mode == "auto":
+        n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+        count_mode = "broadcast" if n_docs <= 1_000_000 else "join"
+
+    # per-doc shingle counts: one row per doc
     def doc_counts(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         ns = [len(shingles(t, k)) for t in batch.column("text").to_pylist()]
         return pa.Table.from_pydict({"doc_id": pa.array(ids, pa.int64()),
                                      "n_sh": pa.array(ns, pa.int64())})
 
-    counts_df = _read_docs(sf_dir).map_batches(
-        doc_counts, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    counts_ref = _ray.put(dict(zip(counts_df["doc_id"], counts_df["n_sh"])))
+    counts_ds = _read_docs(sf_dir).map_batches(
+        doc_counts, batch_format="pyarrow", zero_copy_batch=True)
+    counts_ref = None
+    if count_mode == "broadcast":
+        counts_df = counts_ds.to_pandas()
+        counts_ref = _ray.put(dict(zip(counts_df["doc_id"], counts_df["n_sh"])))
 
     def explode(batch: pa.Table) -> pa.Table:
         ids, shs, buckets = [], [], []
@@ -218,18 +237,49 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
                                        zero_copy_batch=True) \
                           .groupby("pb").map_groups(sum_pairs, batch_format="pandas")
 
-    def verify(batch: pa.Table, counts=counts_ref) -> pa.Table:
-        lut = _ray.get(counts)
-        da = batch.column("doc_a").to_pylist()
-        db = batch.column("doc_b").to_pylist()
-        cc = batch.column("c").to_pylist()
-        keep_a, keep_b = [], []
-        for x, y, c in zip(da, db, cc):
-            denom = lut[x] + lut[y] - c
-            if denom > 0 and c / denom >= threshold:
-                keep_a.append(x)
-                keep_b.append(y)
-        return pa.Table.from_pydict({"doc_a": pa.array(keep_a, pa.int64()),
-                                     "doc_b": pa.array(keep_b, pa.int64())})
+    if count_mode == "broadcast":
+        def verify(batch: pa.Table, counts=counts_ref) -> pa.Table:
+            lut = _ray.get(counts)
+            da = batch.column("doc_a").to_numpy()
+            db = batch.column("doc_b").to_numpy()
+            cc = batch.column("c").to_numpy()
+            na = np.array([lut[x] for x in da], dtype=np.int64)
+            nb = np.array([lut[y] for y in db], dtype=np.int64)
+            denom = na + nb - cc
+            keep = (denom > 0) & (cc / np.maximum(denom, 1) >= threshold)
+            return pa.Table.from_pydict({"doc_a": pa.array(da[keep], pa.int64()),
+                                         "doc_b": pa.array(db[keep], pa.int64())})
 
-    return pair_counts.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+        return pair_counts.map_batches(verify, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+
+    # join path: counts stay distributed; the (much smaller) candidate-pair
+    # set is hash-joined against them on each side
+    def rename_b(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({"doc_id_b": batch.column("doc_id"),
+                                     "n_sh_b": batch.column("n_sh")})
+
+    counts_b = counts_ds.map_batches(rename_b, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    # join partition count sized to the session: the hash-join operator
+    # holds one aggregator actor per partition, and a count above the CPU
+    # budget starves the rest of the DAG on small clusters
+    ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    nparts = max(2, min(64, ncpu // 2))
+    joined = pair_counts.join(counts_ds, join_type="inner", num_partitions=nparts,
+                              on=("doc_a",), right_on=("doc_id",))
+    joined = joined.join(counts_b, join_type="inner", num_partitions=nparts,
+                         on=("doc_b",), right_on=("doc_id_b",))
+
+    def verify_joined(batch: pa.Table) -> pa.Table:
+        cc = batch.column("c").to_numpy()
+        denom = (batch.column("n_sh").to_numpy()
+                 + batch.column("n_sh_b").to_numpy() - cc)
+        keep = (denom > 0) & (cc / np.maximum(denom, 1) >= threshold)
+        return pa.Table.from_pydict({
+            "doc_a": pa.array(batch.column("doc_a").to_numpy()[keep], pa.int64()),
+            "doc_b": pa.array(batch.column("doc_b").to_numpy()[keep], pa.int64()),
+        })
+
+    return joined.map_batches(verify_joined, batch_format="pyarrow",
+                              zero_copy_batch=True)

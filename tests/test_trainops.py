@@ -206,3 +206,15 @@ def test_embedding_neardup_ivf_recall_vs_exact(ray_session, emb):
     idx = {int(v): i for i, v in enumerate(ids)}
     for a, b in got_pairs:
         assert sims[idx[a], idx[b]] >= 0.45
+
+
+def test_jaccard_join_count_mode_equals_broadcast(ray_session):
+    """The 100 TB count path (distributed hash join of per-doc counts)
+    produces exactly the broadcast path's pairs."""
+    from schoolocr_ray.pipelines.text import jaccard_pairs
+
+    a = jaccard_pairs(SF_DIR, count_mode="broadcast").to_pandas()
+    b = jaccard_pairs(SF_DIR, count_mode="join").to_pandas()
+    pa_ = set(zip(a["doc_a"], a["doc_b"]))
+    pb_ = set(zip(b["doc_a"], b["doc_b"]))
+    assert pa_ == pb_ and len(pa_) > 0
