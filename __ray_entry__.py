@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid": text.lang_id,
         "docs_exact_dedup": text.exact_dedup,
         "docs_jaccard_pairs": text.jaccard_pairs,
+        "docs_dedup_clusters": text.dedup_clusters,
         "docs_embedding_neardup": dedup.embedding_neardup,
         "docs_embedding_neardup_lsh": dedup.embedding_neardup_lsh,
         "docs_embedding_neardup_ivf": dedup.embedding_neardup_ivf,
@@ -678,6 +679,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON ca.doc_id = doc_a
             JOIN cnt cb ON cb.doc_id = doc_b
             WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+        """,
+        "docs_dedup_clusters": r"""
+            WITH RECURSIVE pairs AS (
+            WITH tok AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+                FROM documents WHERE trim(text) <> ''),
+            sh AS (
+                SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+                FROM (SELECT doc_id, ts,
+                             unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+                      FROM tok)),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            cold AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= """ + str(_JACCARD_HOT_CAP) + r"""),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                WHERE a.s IN (SELECT s FROM cold)
+                GROUP BY 1, 2)
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = doc_a
+            JOIN cnt cb ON cb.doc_id = doc_b
+            WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+        ),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS doc FROM edges),
+            reach(doc, lbl) AS (
+                SELECT doc, doc FROM nodes
+                UNION
+                SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.doc = e.b)
+            SELECT doc AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY doc
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -283,3 +283,44 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
 
     return joined.map_batches(verify_joined, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.5, k: int = 3):
+    """Connected components over the verified near-dup pairs ->
+    one (doc_id, cluster) row per clustered document, cluster = the
+    component's minimum doc_id (the canonical keep-representative for
+    dedup).
+
+    Scale shape: the pair list is O(near-dup docs) — orders of magnitude
+    smaller than the corpus by construction (it already survived banding +
+    verification) — so union-find runs in one pass over the COLLECTED pair
+    list; the corpus itself never leaves the cluster.  At extreme scale
+    where even the pair list is huge, the same computation runs as
+    iterative min-label propagation over the edge Dataset (join labels to
+    edges, min per node, repeat to fixpoint); the driver pass is the
+    documented sandbox-and-mid-scale fast path."""
+    import pyarrow as pa
+
+    pairs = jaccard_pairs(sf_dir, threshold, k).to_pandas()
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:          # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # union by min id -> the representative IS the min doc_id
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    docs = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
+    return pa.Table.from_pydict({
+        "doc_id": pa.array(docs, pa.int64()),
+        "cluster": pa.array([find(int(d)) for d in docs], pa.int64()),
+    })
