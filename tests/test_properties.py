@@ -9,7 +9,9 @@ import numpy as np
 import pyarrow as pa
 from hypothesis import HealthCheck, given, settings
 
-SET = settings(max_examples=60, deadline=None,
+# derandomize: the driver's gate must see the same example stream every
+# run — a novel failing example belongs in a dev run, not a CI flake
+SET = settings(max_examples=60, deadline=None, derandomize=True,
                suppress_health_check=[HealthCheck.too_slow])
 
 
@@ -91,7 +93,7 @@ def test_extract_turn_total_on_arbitrary_text(text):
     assert r["payload_kind"] in ("html", "pdfish", "tool_output", "invalid")
 
 
-@settings(max_examples=20, deadline=None,
+@settings(max_examples=20, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(st.tuples(st.text(min_size=1, max_size=8),   # conv_id
                           st.integers(0, 500),               # turn_idx
