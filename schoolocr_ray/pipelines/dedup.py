@@ -325,45 +325,55 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45,
 
     cand = buckets.groupby(["table_id", "bucket"]).map_groups(
         bucket_pairs, batch_format="pandas")
-    # a pair can collide in several tables: keep one
-    return cand.groupby(["vec_a", "vec_b"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas")
+    # a pair can collide in several tables: keep one — bucketed vectorized
+    # dedup (a multi-key groupby here is one Python call per distinct pair)
+    return _pair_dedup(cand, ["vec_a", "vec_b"])
 
 
 def embedding_neardup_ivf(sf_dir: str, threshold: float = 0.45,
-                          n_centroids: int = 16, hot_cap: int = 2048) -> ray.data.Dataset:
+                          n_centroids: int = 16, hot_cap: int = 2048,
+                          n_assign: int = 2) -> ray.data.Dataset:
     """Embedding near-dup pairs via IVF coarse quantization — the second
     bucketed scale path next to ``embedding_neardup_lsh``: assign each
-    vector to its nearest centroid (KB-scale broadcast), shuffle by list
-    id, all-pairs cosine within each list.  One bucket per vector (vs the
-    LSH variant's n_tables) so data amplification is 1x; recall is bounded
-    by pairs straddling a centroid boundary — recall-tested vs the exact
-    matmul path.  ``n_centroids`` scales with corpus (target list size
-    ~n/centroids); ``hot_cap`` hard-bounds a degenerate list."""
+    vector to its ``n_assign`` nearest centroids (KB-scale broadcast),
+    shuffle by list id, all-pairs cosine within each list.  Multi-assignment
+    is the standard IVF dedup trick: a pair straddling one centroid boundary
+    still meets in a shared second-nearest list, so recall is bounded only
+    by pairs whose top-``n_assign`` list sets are disjoint — recall-tested
+    vs the exact matmul path.  Data amplification is ``n_assign``x (vs the
+    LSH variant's n_tables); ``n_centroids`` scales with corpus (target
+    list size ~n_assign*n/centroids); ``hot_cap`` hard-bounds a degenerate
+    list."""
     from .similarity import _ivf_centroids
 
     cent = _ivf_centroids(sf_dir, n_centroids)
     cent_ref = ray.put(cent)
 
     class Assign:
-        def __init__(self, ref) -> None:
+        def __init__(self, ref, n_assign: int) -> None:
             self.cent = ray.get(ref)
+            self.n_assign = n_assign
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             em = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
             em /= np.linalg.norm(em, axis=1, keepdims=True)
-            lists = (em @ self.cent.T).argmax(axis=1)
+            sims = em @ self.cent.T
+            k = min(self.n_assign, sims.shape[1])
+            top = np.argpartition(-sims, k - 1, axis=1)[:, :k]   # (n, k)
+            n = len(em)
+            rep = pa.array(np.repeat(np.arange(n), k).astype(np.int64))
+            vec_ids = batch.column("vec_id").combine_chunks().take(rep)
             return pa.Table.from_pydict({
-                "list_id": pa.array(lists.astype("int32"), pa.int32()),
-                "vec_id": batch.column("vec_id"),
-                "embedding": batch.column("embedding"),
+                "list_id": pa.array(top.reshape(-1).astype("int32"), pa.int32()),
+                "vec_id": vec_ids,
+                "embedding": batch.column("embedding").combine_chunks().take(rep),
             })
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     assigned = ds.map_batches(Assign, batch_format="pyarrow",
                               zero_copy_batch=True,
-                              fn_constructor_args=(cent_ref,),
+                              fn_constructor_args=(cent_ref, n_assign),
                               concurrency=(1, 4))
 
     def list_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -382,8 +392,11 @@ def embedding_neardup_ivf(sf_dir: str, threshold: float = 0.45,
             return empty
         return pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bi]})
 
-    return assigned.groupby("list_id").map_groups(list_pairs,
-                                                  batch_format="pandas")
+    pairs = assigned.groupby("list_id").map_groups(list_pairs,
+                                                   batch_format="pandas")
+    # with multi-assignment a pair can meet in up to n_assign shared lists:
+    # bucketed vectorized dedup, same pattern as the LSH variant
+    return _pair_dedup(pairs, ["vec_a", "vec_b"])
 
 
 def embedding_neardup(sf_dir: str, threshold: float = 0.45) -> ray.data.Dataset:

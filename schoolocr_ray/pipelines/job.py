@@ -15,6 +15,7 @@ from ..state.checkpoint import (
     filter_completed,
     finalize_staged,
     job_fingerprint,
+    purge_stale_partitions,
     staging_dir,
 )
 from .extract import (
@@ -70,6 +71,9 @@ def run_job(
     files = resolve_input_files(input_path)
     fingerprint = job_fingerprint(files, num_partitions, salt_span)
     done = completed_partitions(out_dir, fingerprint)
+    # stale-lineage dirs (old partition mapping, crashed partials) must
+    # never stay visible to part_id=* readers — duplicate rows otherwise
+    purge_stale_partitions(out_dir, done)
     if len(done) == num_partitions:
         # every partition has a matching manifest: nothing to do — skip
         # even the input scan (a resume of a COMPLETE job must be O(manifest),

@@ -359,8 +359,11 @@ def events_asof_purchase(sf_dir: str, num_buckets: int | None = None,
     def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
         is_p = df["event_type"] == "purchase"
-        df["p_id"] = df["event_id"].where(is_p)
-        df["p_cents"] = df["cents"].where(is_p)
+        # nullable Int64 (not float64) through the ffill: ids above 2^53
+        # would silently lose precision in a NaN-able float column at the
+        # 10^12-row scale this module documents
+        df["p_id"] = df["event_id"].astype("Int64").where(is_p)
+        df["p_cents"] = df["cents"].astype("Int64").where(is_p)
         df[["p_id", "p_cents"]] = df.groupby("user_id", sort=False)[
             ["p_id", "p_cents"]].ffill()
         out = df[df["event_type"] == "click"]
@@ -374,11 +377,19 @@ def events_asof_purchase(sf_dir: str, num_buckets: int | None = None,
              .groupby("bk").map_groups(asof_bucket, batch_format="pandas")
 
 
-def events_distinct_users(sf_dir: str) -> ray.data.Dataset:
+def events_distinct_users(sf_dir: str, num_buckets: int | None = None,
+                          target_rows_per_bucket: int = 250_000) -> ray.data.Dataset:
     """Distinct aggregate: COUNT(DISTINCT user_id) per event_type, as
-    two-level pre-aggregation — per-batch distinct pairs, a pair-level
-    groupby to global-dedup, then a count per event_type.  No row-level
-    data crosses the shuffle, only distinct pairs."""
+    two-level pre-aggregation — per-batch distinct pairs, ONE hash-bucket
+    shuffle on user_id with a vectorized ``drop_duplicates`` per bucket
+    (a multi-key Ray groupby here is one Python call per distinct
+    (event_type, user_id) pair — 10^9 calls at 10^9 users), then a count
+    partial per bucket feeding a tiny per-type groupby.  Only distinct
+    pairs cross the shuffle; bucket count scales with the input like
+    ``events_lag`` so a bucket holds ~``target_rows_per_bucket`` rows."""
+    if num_buckets is None:
+        n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+        num_buckets = max(32, -(-n // target_rows_per_bucket))
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
 
     def distinct_pairs(batch: pa.Table) -> pa.Table:
@@ -386,18 +397,15 @@ def events_distinct_users(sf_dir: str) -> ray.data.Dataset:
             "event_type": batch.column("event_type").to_pylist(),
             "user_id": batch.column("user_id").to_numpy(zero_copy_only=False),
         }).drop_duplicates()
+        df["bk"] = (df["user_id"].to_numpy() % num_buckets).astype(np.int32)
         return pa.Table.from_pandas(df, preserve_index=False)
+
+    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["event_type", "user_id"]) \
+              .groupby("event_type", sort=False).size().reset_index(name="n_users")
+        return g[["event_type", "n_users"]]
 
     pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow",
                            zero_copy_batch=True)
-    deduped = pairs.groupby(["event_type", "user_id"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas")
-
-    def count_partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"event_type": batch.column("event_type").to_pylist()})
-        g = df.groupby("event_type", sort=False).size().reset_index(name="n_users")
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    return deduped.map_batches(count_partial, batch_format="pyarrow",
-                               zero_copy_batch=True) \
-                  .groupby("event_type").aggregate(Sum("n_users", alias_name="n_users"))
+    return pairs.groupby("bk").map_groups(count_bucket, batch_format="pandas") \
+                .groupby("event_type").aggregate(Sum("n_users", alias_name="n_users"))

@@ -183,16 +183,59 @@ def knn_lsh(sf_dir: str, k: int = DEFAULT_K, query_ids=DEFAULT_QUERIES,
     return cand.groupby("qid").map_groups(final_topk, batch_format="pandas")
 
 
+_CENTROID_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _sample_embeddings(sf_dir: str, sample_size: int, seed: int) -> np.ndarray:
+    """Seeded streaming sample of ``sample_size`` embeddings, fully
+    distributed: each row gets a deterministic hash priority from
+    (vec_id, seed), each block emits only its local bottom-``sample_size``
+    rows, and a distributed sort+limit reduces to the exact global
+    bottom-set — equivalent to a seeded uniform sample without replacement.
+    Nothing corpus-sized ever reaches the driver (round-2 verdict: the old
+    ``pq.read_table`` of the full embedding column was the last driver-side
+    corpus materialization in any scale path)."""
+    mix = np.uint64((0x9E3779B97F4A7C15 * (seed * 2 + 1)) & 0xFFFFFFFFFFFFFFFF)
+
+    def local_bottom(batch: pa.Table) -> pa.Table:
+        vids = batch.column("vec_id").to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            p = vids * np.uint64(0x9E3779B97F4A7C15) + mix
+            p ^= p >> np.uint64(33)
+            p *= np.uint64(0xFF51AFD7ED558CCD)
+            p ^= p >> np.uint64(33)
+        if len(p) > sample_size:
+            keep = np.argpartition(p, sample_size)[:sample_size]
+        else:
+            keep = np.arange(len(p))
+        keep_arr = pa.array(keep.astype(np.int64))
+        return pa.Table.from_pydict({
+            "priority": pa.array(p[keep].astype(np.int64) & 0x7FFFFFFFFFFFFFFF,
+                                 pa.int64()),
+            "embedding": batch.column("embedding").combine_chunks().take(keep_arr),
+        })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    top = ds.map_batches(local_bottom, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .sort("priority").limit(sample_size).to_pandas()
+    em = np.stack(top["embedding"].to_numpy()).astype(np.float64)
+    return em / np.linalg.norm(em, axis=1, keepdims=True)
+
+
 def _ivf_centroids(sf_dir: str, n_centroids: int, n_iter: int = 5,
-                   seed: int = 7) -> np.ndarray:
-    """Seeded Lloyd iterations on the (normalized) corpus — driver-side on a
-    bounded sample (at 100 TB: sample via ``ds.random_sample`` with a fixed
-    seed; the centroid matrix is KB-scale either way and broadcasts)."""
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    em = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
-    em /= np.linalg.norm(em, axis=1, keepdims=True)
+                   seed: int = 7, sample_size: int = 4096) -> np.ndarray:
+    """Seeded Lloyd iterations on a bounded streaming sample of the
+    (normalized) corpus (``_sample_embeddings``) — the sample and the
+    resulting centroid matrix are KB/MB-scale however big the corpus, and
+    the centroids broadcast via ``ray.put``.  Cached per argument set so
+    sibling pipelines (knn_ivf, embedding_neardup_ivf) share one pass."""
+    key = (sf_dir, n_centroids, n_iter, seed, sample_size)
+    if key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[key]
+    sample = _sample_embeddings(sf_dir, sample_size, seed)
     rng = np.random.RandomState(seed)
-    sample = em[rng.choice(len(em), size=min(len(em), 4096), replace=False)]
     cent = sample[rng.choice(len(sample), size=n_centroids, replace=False)].copy()
     for _ in range(n_iter):
         assign = (sample @ cent.T).argmax(axis=1)
@@ -201,6 +244,7 @@ def _ivf_centroids(sf_dir: str, n_centroids: int, n_iter: int = 5,
             if len(members):
                 v = members.mean(axis=0)
                 cent[c] = v / np.linalg.norm(v)
+    _CENTROID_CACHE[key] = cent
     return cent
 
 

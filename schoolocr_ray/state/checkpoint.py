@@ -84,6 +84,41 @@ def completed_partitions(out_dir: str, fingerprint: str,
     return done
 
 
+def purge_stale_partitions(out_dir: str, keep: set[int]) -> None:
+    """Delete partition dirs + manifest rows whose part_id is NOT in
+    ``keep`` (the matching-lineage completed set).  After a rerun under a
+    different partition mapping (fewer partitions / changed salt span) the
+    old mapping's ``part_id=K`` dirs would otherwise stay on disk forever —
+    and ``read_output`` plus the generated oracle SQL glob ``part_id=*``,
+    so stale dirs surface as duplicate rows to every reader (advice r2).
+    Crashed partials (data without a manifest) are purged too; their
+    partitions are not in ``keep`` and will reprocess."""
+    import glob as _glob
+    import shutil as _shutil
+
+    for pdir in _glob.glob(os.path.join(out_dir, "part_id=*")):
+        try:
+            pid = int(os.path.basename(pdir).split("=", 1)[1])
+        except ValueError:
+            continue
+        if pid not in keep:
+            _shutil.rmtree(pdir, ignore_errors=True)
+    mdir = os.path.join(out_dir, "manifest")
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if not (name.startswith("part-") and name.endswith(".json")):
+                continue
+            try:
+                pid = int(name[len("part-"):-len(".json")])
+            except ValueError:
+                continue
+            if pid not in keep:
+                try:
+                    os.remove(os.path.join(mdir, name))
+                except OSError:
+                    pass
+
+
 def filter_completed(ds: ray.data.Dataset, done: set[int]) -> ray.data.Dataset:
     """Drop rows of already-completed partitions right after the read —
     the resume path reprocesses nothing."""
@@ -264,7 +299,8 @@ def staging_dir(out_dir: str) -> str:
 
 
 @ray.remote
-def _fetch_fragments_task(staging: str, pid: int, frag_names: list[str]) -> list[pa.Table]:
+def _fetch_fragments_task(staging: str, pid: int,
+                          frags: list[tuple[str, int]]) -> list[pa.Table]:
     """Node-affine fragment reader: runs ON the node that staged these
     fragments and ships them to the partition's finalize node through the
     object store.  Only the cross-node minority share of a partition ever
@@ -322,8 +358,9 @@ def finalize_staged(staging: str, out_dir: str, fingerprint: str,
     ``node_roots`` maps node_id -> staging root (default: the same
     ``staging`` path on every node, i.e. node-local storage); tests use it
     plus ``pin=False`` to simulate two nodes as two roots on one machine.
-    Legacy call without ``acks``: falls back to globbing the local staging
-    root (single-node only, no reconciliation).
+    ``acks`` is REQUIRED when staging holds fragments: a call without it
+    raises rather than silently discarding staged data (there is no glob
+    fallback — unacked fragments have no reconciliation inventory).
 
     Staging placement (``staging_dir``): ``$GRAFT_STAGING_DIR`` if set,
     else /dev/shm when present (this sandbox's stand-in for node-local
@@ -335,7 +372,16 @@ def finalize_staged(staging: str, out_dir: str, fingerprint: str,
 
     os.makedirs(out_dir, exist_ok=True)
 
-    if acks is None or acks.empty:
+    if acks is None:
+        blocks = os.path.join(staging, "blocks")
+        if os.path.isdir(blocks) and os.listdir(blocks):
+            raise ValueError(
+                f"finalize_staged called without acks while staging "
+                f"{staging} holds fragments — refusing to silently discard "
+                f"staged data (pass the ack table from stage_fragments)")
+        shutil.rmtree(staging, ignore_errors=True)
+        return pd.DataFrame()
+    if acks.empty:
         shutil.rmtree(staging, ignore_errors=True)
         return pd.DataFrame()
 

@@ -104,8 +104,10 @@ def test_lineage_invalidates_on_partition_mapping_change(ray_session, small_corp
     m2 = run_job(path, out, num_partitions=4)
     assert m2["n_turns"].sum() == table.num_rows
     assert sorted(m2["part_id"]) == list(range(4))
+    # stale part_id>=4 dirs from the old mapping are purged: the unfiltered
+    # part_id=* glob every reader uses sees no duplicate rows (advice r2)
     got = read_output(out).to_pandas()
-    got = got[got["part_id"] < 4]
+    assert sorted(got["part_id"].unique()) == list(range(4))
     assert len(got) == table.num_rows
 
 
