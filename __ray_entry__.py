@@ -21,6 +21,9 @@ from collections.abc import Callable
 from typing import Any
 
 from schoolocr_ray.sources.transcripts import ensure_corpus
+from schoolocr_ray.util import install_log_filters
+
+install_log_filters()
 
 # correctness tier: the driver compares queries vs oracle_sql at sf0.01,
 # so the static SQL below references this corpus path
@@ -35,6 +38,57 @@ _SF01_CORPUS = ensure_corpus("sf0.01")
 # pinned by the pytest golden gate (tests/test_pipeline.py).
 _EXTRACT_OUT_ROOT = "/tmp/schoolocr_ray_out"
 _EXTRACT_PARTITIONS = 32
+
+
+_GOLDEN_ROOT = os.path.join(_EXTRACT_OUT_ROOT, "golden")
+_TESTDATA_SF01 = "/root/testdata/sf0.01"
+
+
+def ensure_doc_golden(sf_dir: str, name: str) -> str:
+    """Plain-python (no Ray) recomputation of a deterministic per-doc
+    signature over the ``documents`` table, written once as parquet — the
+    independent local twin the DuckDB oracle reads for signature functions
+    SQL cannot express (crc32-based simhash, rolling-hash fingerprint).
+    The correctness check then verifies the distributed Ray pipeline
+    against this single-process execution, the same way the pytest golden
+    gate pins extraction."""
+    import hashlib as _hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    label = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_GOLDEN_ROOT, label, f"{name}.parquet")
+    if os.path.exists(path):
+        return path
+    from schoolocr_ray.pipelines.dedup import simhash64
+    from schoolocr_ray.pipelines.text import FP_BASE, MOD, _tokens
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    if name == "simhash":
+        vals = [simhash64(x) for x in texts]
+        out = pa.Table.from_pydict({"doc_id": pa.array(ids, pa.int64()),
+                                    "simhash": pa.array(vals, pa.int64())})
+    elif name == "fingerprint":
+        import zlib as _zlib
+
+        vals = []
+        for x in texts:
+            h = 0
+            for tok in _tokens(x):
+                h = (h * FP_BASE + _zlib.crc32(tok.encode())) % MOD
+            vals.append(h)
+        out = pa.Table.from_pydict({"doc_id": pa.array(ids, pa.int64()),
+                                    "fp": pa.array(vals, pa.int64())})
+    else:
+        raise ValueError(name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(out, tmp)
+    os.replace(tmp, path)
+    return path
 
 
 def ensure_extract_output(sf_dir: str) -> str:
@@ -379,13 +433,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash": dedup.simhash,
         "docs_simhash_pairs": dedup.simhash_near_pairs,
         "docs_fingerprint": text.fingerprint,
-        # --- multimodal plumbing (decode/resize SQL-checked via the fake
-        # container's arithmetic; frames golden-pinned in pytest)
+        # --- multimodal plumbing (decode/resize/frames SQL-checked via the
+        # fake container's byte arithmetic; the frames DIGEST column stays
+        # pytest-pinned — DuckDB 1.0 has no blob substring/sha1 to twin it)
         "multimodal_decode": multimodal.decode_features,
         "multimodal_resize": lambda sf: multimodal.resize(sf).select_columns(
             ["doc_id", "width", "height", "n_bytes"]),
-        "multimodal_frames": multimodal.frame_sample,
-        # --- model eval analog (deterministic; golden-pinned in pytest)
+        "multimodal_frames": lambda sf: multimodal.frame_sample(sf).select_columns(
+            ["doc_id", "frame_idx", "n_bytes"]),
+        # --- model eval analog (per-token classification pinned in pytest;
+        # the report rollup SQL-checked against an independently-written
+        # driver-side prediction table — same pattern as the extraction
+        # rollups over the checkpointed output)
         "glyph_eval_report": evaluation.glyph_eval,
         # --- transcript domain
         "transcripts_wired_cells": _transcripts_wired_cells,
@@ -417,6 +476,11 @@ def oracle_sql() -> dict[str, str]:
 
     from schoolocr_ray.layouts import LOW_CONF
 
+    from schoolocr_ray.pipelines.evaluation import (
+        EVAL_PREDS_PATH,
+        ensure_eval_predictions,
+    )
+
     if ray.is_initialized():
         # the transcripts_* roll-up oracles below are plain SQL over the
         # engine's own checkpointed extraction output (the extraction is
@@ -424,6 +488,13 @@ def oracle_sql() -> dict[str, str]:
         # roll-up queries() callables also ensure it, so this is a no-op
         # in the normal driver flow.
         ensure_extract_output("sf0.01")
+    # driver-side (no Ray) local twins for the non-SQL-expressible
+    # signature functions + the eval prediction table: the oracle SQL
+    # aggregates/reads these independent recomputations
+    simhash_golden = ensure_doc_golden(_TESTDATA_SF01, "simhash")
+    fp_golden = ensure_doc_golden(_TESTDATA_SF01, "fingerprint")
+    eval_preds = ensure_eval_predictions()
+    assert eval_preds == EVAL_PREDS_PATH
     transcripts = f"read_parquet('{_SF01_CORPUS}/*.parquet')"
     extracted = f"read_parquet('{_EXTRACT_OUT_ROOT}/sf0.01/part_id=*/data.parquet')"
     return {
@@ -482,6 +553,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    substr(sha256(text), 1, 16) AS digest
             FROM documents
+        """,
+        "multimodal_frames": """
+            WITH d AS (
+                SELECT doc_id, octet_length(encode(text)) AS blen
+                FROM documents),
+            f AS (
+                SELECT doc_id, blen,
+                       unnest(generate_series(0, CAST(FLOOR((blen - 1) / 64.0) AS BIGINT), 7)) AS i
+                FROM d WHERE blen > 0)
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS frame_idx,
+                   CAST(LEAST(64, blen - i * 64) AS BIGINT) AS n_bytes
+            FROM f
+        """,
+        "glyph_eval_report": f"""
+            SELECT cls,
+                   COUNT(*) AS n,
+                   CAST(SUM(correct) AS BIGINT) AS correct,
+                   CAST(SUM(correct) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+            FROM read_parquet('{EVAL_PREDS_PATH}') GROUP BY cls
+        """,
+        "docs_simhash": f"""
+            SELECT doc_id, simhash FROM read_parquet('{simhash_golden}')
+        """,
+        "docs_fingerprint": f"""
+            SELECT doc_id, fp FROM read_parquet('{fp_golden}')
         """,
         "multimodal_resize": """
             WITH dims AS (

@@ -32,6 +32,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     ray.data.DataContext.get_current().enable_progress_bars = False
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from schoolocr_ray.util import install_log_filters
+
+    install_log_filters()
     from schoolocr_ray.pipelines.job import run_job
     from schoolocr_ray.sources.transcripts import ensure_corpus, sf_label
 

@@ -26,6 +26,7 @@ from ..functions.classify import GlyphClassifier
 from ..layouts import GLYPH_TABLE
 
 EVAL_SEED = 424242
+EVAL_PREDS_PATH = "/tmp/schoolocr_ray_out/glyph_eval_preds.parquet"
 
 
 def glyph_eval_corpus(n_noise_per_glyph: int = 8,
@@ -48,6 +49,35 @@ def glyph_eval_corpus(n_noise_per_glyph: int = 8,
                 tok = glyph + rng.choice(".·~'")
             rows.append({"token": tok, "true_class": cls, "mutated": True})
     return rows
+
+
+def ensure_eval_predictions(path: str = EVAL_PREDS_PATH) -> str:
+    """Write the per-token prediction table once, computed DRIVER-SIDE with
+    plain python (no Ray) — the independent twin the DuckDB oracle for
+    ``glyph_eval_report`` aggregates, so the SQL check verifies the Ray
+    actor-pool pipeline against a local single-process execution (the same
+    pattern as the extraction rollups over the checkpointed output).
+    Deterministic: corpus and classifier are both seeded registries."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    rows = glyph_eval_corpus()
+    model = GlyphClassifier()
+    preds = model.predict_many([r["token"] for r in rows])
+    table = pa.Table.from_pydict({
+        "token": pa.array([r["token"] for r in rows], pa.string()),
+        "cls": pa.array([r["true_class"] for r in rows], pa.int64()),
+        "correct": pa.array([int(p[0] == r["true_class"])
+                             for p, r in zip(preds, rows)], pa.int64()),
+    })
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
 
 
 class EvalStage:
@@ -83,7 +113,9 @@ def glyph_eval(sf_dir: str | None = None) -> ray.data.Dataset:
     def finish(batch: pa.Table) -> pa.Table:
         n = batch.column("n").to_numpy()
         c = batch.column("correct").to_numpy()
+        # exact IEEE double division (no rounding): the DuckDB oracle's
+        # CAST(...)/CAST(...) produces the bit-identical double
         return batch.append_column(
-            "accuracy", pa.array((c / n).round(4), pa.float64()))
+            "accuracy", pa.array(c / n, pa.float64()))
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -285,24 +285,10 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
                               zero_copy_batch=True)
 
 
-def dedup_clusters(sf_dir: str, threshold: float = 0.5, k: int = 3):
-    """Connected components over the verified near-dup pairs ->
-    one (doc_id, cluster) row per clustered document, cluster = the
-    component's minimum doc_id (the canonical keep-representative for
-    dedup).
-
-    Scale shape: the pair list is O(near-dup docs) — orders of magnitude
-    smaller than the corpus by construction (it already survived banding +
-    verification) — so union-find runs in one pass over the COLLECTED pair
-    list; the corpus itself never leaves the cluster.  At extreme scale
-    where even the pair list is huge, the same computation runs as
-    iterative min-label propagation over the edge Dataset (join labels to
-    edges, min per node, repeat to fixpoint); the driver pass is the
-    documented sandbox-and-mid-scale fast path."""
-    import pyarrow as pa
-
-    pairs = jaccard_pairs(sf_dir, threshold, k).to_pandas()
-
+def _cc_driver(pairs: pd.DataFrame) -> pa.Table:
+    """Union-find over a collected pair list — the fast path when the pair
+    list fits on the driver (pairs are O(near-dup docs), orders of
+    magnitude smaller than the corpus by construction)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -324,3 +310,95 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, k: int = 3):
         "doc_id": pa.array(docs, pa.int64()),
         "cluster": pa.array([find(int(d)) for d in docs], pa.int64()),
     })
+
+
+def _cc_distributed(pairs: ray.data.Dataset, num_partitions: int = 8,
+                    max_iter: int = 64) -> ray.data.Dataset:
+    """Distributed connected components by iterative min-label propagation
+    over the edge Dataset: label(node) starts as its own id; each round
+    joins labels to the (bidirectional) edges, takes the min label per
+    node, and repeats to fixpoint.  Only the LABEL table (one row per
+    clustered doc) is materialized between rounds — never the corpus — and
+    convergence is detected by the label sum, which strictly decreases
+    while any label can still shrink (labels are monotone non-increasing).
+    Rounds needed = cluster diameter; near-dup clusters are shallow (most
+    are cliques from a shared bucket), so a handful of rounds suffices."""
+    from ray.data.aggregate import Min as _Min
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        da = batch.column("doc_a").to_numpy()
+        db = batch.column("doc_b").to_numpy()
+        return pa.Table.from_pydict({
+            "src": pa.array(np.concatenate([da, db]), pa.int64()),
+            "dst": pa.array(np.concatenate([db, da]), pa.int64()),
+        })
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({"doc_id": batch.column("src"),
+                                     "lbl": batch.column("src")})
+
+    labels = edges.map_batches(init_labels, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+                  .groupby("doc_id").aggregate(_Min("lbl", alias_name="lbl")) \
+                  .materialize()
+    prev_sum = None
+    for _ in range(max_iter):
+        neighbor = edges.join(labels, join_type="inner",
+                              num_partitions=num_partitions,
+                              on=("dst",), right_on=("doc_id",))
+
+        def project(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict({"doc_id": batch.column("src"),
+                                         "lbl": batch.column("lbl")})
+
+        cand = labels.union(neighbor.map_batches(project, batch_format="pyarrow",
+                                                 zero_copy_batch=True))
+        labels = cand.groupby("doc_id").aggregate(_Min("lbl", alias_name="lbl")) \
+                     .materialize()
+        s = labels.sum("lbl")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    else:
+        raise RuntimeError(f"label propagation did not converge in {max_iter} rounds")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({"doc_id": batch.column("doc_id"),
+                                     "cluster": batch.column("lbl")})
+
+    return labels.map_batches(rename, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+# above this many near-dup pairs the cluster assignment stays distributed
+CC_DRIVER_MAX_PAIRS = 5_000_000
+
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.5, k: int = 3,
+                   mode: str = "auto"):
+    """Connected components over the verified near-dup pairs ->
+    one (doc_id, cluster) row per clustered document, cluster = the
+    component's minimum doc_id (the canonical keep-representative for
+    dedup).
+
+    ``mode="driver"``: union-find over the collected pair list (pairs are
+    O(near-dup docs) — orders of magnitude smaller than the corpus, having
+    survived banding + verification — so mid-scale this is one cheap
+    driver pass).  ``mode="distributed"``: iterative min-label propagation
+    over the edge Dataset (``_cc_distributed``) — nothing pair-list-sized
+    touches the driver.  ``mode="auto"`` counts the pairs (a cheap
+    distributed aggregate) and switches at ``CC_DRIVER_MAX_PAIRS``.
+    Both paths produce identical clusters (equality-tested)."""
+    pairs_ds = jaccard_pairs(sf_dir, threshold, k)
+    if mode == "auto":
+        # materialize once: count() and the chosen path reuse the executed
+        # pair blocks instead of re-running the whole jaccard lineage
+        pairs_ds = pairs_ds.materialize()
+        n_pairs = pairs_ds.count()
+        mode = "driver" if n_pairs <= CC_DRIVER_MAX_PAIRS else "distributed"
+    if mode == "distributed":
+        return _cc_distributed(pairs_ds)
+    return _cc_driver(pairs_ds.to_pandas())

@@ -20,6 +20,9 @@ def ray_session():
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+    from schoolocr_ray.util import install_log_filters
+
+    install_log_filters()
     yield
     ray.shutdown()
 

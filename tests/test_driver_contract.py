@@ -63,7 +63,10 @@ SQL_CHECKED = [
     "transcripts_quality_bands", "transcripts_conf_histogram",
     "transcripts_low_confidence", "transcripts_spans_by_kind",
     "transcripts_recognized_split",
-    "multimodal_decode", "multimodal_resize",
+    "multimodal_decode", "multimodal_resize", "multimodal_frames",
+    # local-twin checked: oracle reads a driver-side (no-Ray) independent
+    # recomputation — simhash/fingerprint signature goldens, eval preds
+    "docs_simhash", "docs_fingerprint", "glyph_eval_report",
 ]
 
 
@@ -83,11 +86,10 @@ def test_sql_checked_query_matches_oracle(contract, con, name):
             assert a.astype(str).equals(b.astype(str)), col
 
 
-ROWS_ONLY = ["knn_lsh", "knn_ivf", "docs_minhash_pairs", "docs_simhash",
-             "docs_simhash_pairs", "docs_fingerprint",
+ROWS_ONLY = ["knn_lsh", "knn_ivf", "docs_minhash_pairs",
+             "docs_simhash_pairs",
              "docs_embedding_neardup_lsh", "docs_embedding_neardup_ivf",
-             "multimodal_frames",
-             "glyph_eval_report", "transcripts_wired_cells",
+             "transcripts_wired_cells",
              "transcripts_extract"]
 
 

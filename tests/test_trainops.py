@@ -96,7 +96,7 @@ def test_glyph_eval_report_pinned(ray_session):
     from schoolocr_ray.pipelines.evaluation import glyph_eval
 
     df = glyph_eval().to_pandas()
-    assert _canon_hash(df) == "d4bb09df8fab9560"
+    assert _canon_hash(df) == "ba4956aaf0130f04"
     assert set(df["cls"]) == set(range(12))          # full serving alphabet
     assert (df["accuracy"] > 0).all()                # never degenerate
     # unmutated registry glyphs always classify correctly -> accuracy has a
@@ -206,6 +206,20 @@ def test_embedding_neardup_ivf_recall_vs_exact(ray_session, emb):
     idx = {int(v): i for i, v in enumerate(ids)}
     for a, b in got_pairs:
         assert sims[idx[a], idx[b]] >= 0.45
+
+
+def test_dedup_clusters_distributed_equals_driver(ray_session):
+    """The 100 TB cluster-assignment path (iterative min-label propagation
+    over the edge Dataset, nothing collected to the driver) produces
+    exactly the driver union-find's clusters."""
+    from schoolocr_ray.pipelines.text import dedup_clusters
+
+    a = dedup_clusters(SF_DIR, mode="driver").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = dedup_clusters(SF_DIR, mode="distributed").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(a) > 0
+    assert a.equals(b)
 
 
 def test_jaccard_join_count_mode_equals_broadcast(ray_session):
