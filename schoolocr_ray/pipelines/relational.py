@@ -208,8 +208,123 @@ def events_windowed(sf_dir: str, window_hours: int = 6) -> ray.data.Dataset:
                  Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
 
 
+def _scaled_buckets(sf_dir: str, target_rows_per_bucket: int) -> int:
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    return max(32, -(-n // target_rows_per_bucket))
+
+
+def _events_lag_salted(sf_dir: str, num_buckets: int,
+                       chunk_hours: int) -> ray.data.Dataset:
+    """Mega-user-safe LAG: a user's timeline is chunked into
+    ``chunk_hours`` spans, each (user, chunk) co-locates independently
+    (bucket key hashes user AND chunk), and the one row of boundary state a
+    chunk needs — the previous chunk's last value — flows through a
+    summary-scale second pass: per-chunk summaries shuffle by user (tiny:
+    one row per non-empty chunk), a vectorized shift computes each chunk's
+    carry-in, and a hash join resolves the pending first-row-per-chunk
+    events.  The big table is shuffled exactly once; no single group ever
+    holds a whole mega-user history (the extraction path's salt-span
+    treatment applied to the ordered operators)."""
+    span_us = chunk_hours * 3600 * 1_000_000
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        ts_us = batch.column("ts").cast(pa.int64()).to_numpy()
+        ck = ts_us // span_us
+        return pa.Table.from_pydict({
+            "event_id": batch.column("event_id"),
+            "ts_us": pa.array(ts_us, pa.int64()),
+            "user_id": batch.column("user_id"),
+            "cents": pa.array(_cents(batch.column("value").to_numpy()), pa.int64()),
+            "ck": pa.array(ck, pa.int64()),
+            "bk": pa.array(((uid * 1_000_003 + ck) % num_buckets).astype(np.int32)),
+        })
+
+    # kind 0: resolved row (event_id, val=prev_cents)
+    # kind 1: pending first-of-chunk row (event_id, user_id, ck)
+    # kind 2: chunk summary (user_id, ck, val=last cents of chunk)
+    def lag_chunk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ck", "ts_us", "event_id"],
+                            kind="mergesort")
+        g = df.groupby(["user_id", "ck"], sort=False)
+        prev = g["cents"].shift(1)
+        first = prev.isna()
+        rows = pd.DataFrame({
+            "kind": np.where(first, 1, 0).astype("int8"),
+            "event_id": df["event_id"].to_numpy(),
+            "val": prev.fillna(-1).astype("int64").to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "ck": df["ck"].to_numpy(),
+        })
+        last = g.tail(1)
+        summ = pd.DataFrame({
+            "kind": np.int8(2),
+            "event_id": np.int64(-1),
+            "val": last["cents"].to_numpy(),
+            "user_id": last["user_id"].to_numpy(),
+            "ck": last["ck"].to_numpy(),
+        })
+        return pd.concat([rows, summ], ignore_index=True)
+
+    staged = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True) \
+               .groupby("bk").map_groups(lag_chunk, batch_format="pandas") \
+               .materialize()
+
+    def pick(kind: int, cols: dict[str, str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            sub = batch.filter(pc.equal(batch.column("kind"), kind))
+            return pa.Table.from_pydict(
+                {out: sub.column(src) for out, src in cols.items()})
+        return fn
+
+    resolved = staged.map_batches(
+        pick(0, {"event_id": "event_id", "prev_cents": "val"}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    pending = staged.map_batches(
+        pick(1, {"event_id": "event_id", "user_id": "user_id", "ck": "ck"}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    summaries = staged.map_batches(
+        pick(2, {"user_id": "user_id", "ck": "ck", "val": "val"}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    # summary-scale pass: each chunk's carry-in = previous non-empty
+    # chunk's last value (shift over existing rows skips empty chunks)
+    def carry_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ck"], kind="mergesort")
+        df["carry"] = df.groupby("user_id", sort=False)["val"].shift(1)
+        out = df[df["carry"].notna()]
+        return pd.DataFrame({"user_id": out["user_id"].to_numpy(),
+                             "ck": out["ck"].to_numpy(),
+                             "carry": out["carry"].astype("int64").to_numpy()})
+
+    def add_ubk(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        return batch.append_column(
+            "ubk", pa.array((uid % 64).astype(np.int32)))
+
+    carries = summaries.map_batches(add_ubk, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+                       .groupby("ubk").map_groups(carry_bucket,
+                                                  batch_format="pandas")
+
+    joined = pending.join(carries, join_type="left_outer", num_partitions=8,
+                          on=("user_id", "ck"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        carry = pc.fill_null(batch.column("carry"), -1).cast(pa.int64())
+        return pa.Table.from_pydict({"event_id": batch.column("event_id"),
+                                     "prev_cents": carry})
+
+    return resolved.union(joined.map_batches(finish, batch_format="pyarrow",
+                                             zero_copy_batch=True))
+
+
 def events_lag(sf_dir: str, num_buckets: int | None = None,
-               target_rows_per_bucket: int = 250_000) -> ray.data.Dataset:
+               target_rows_per_bucket: int = 250_000,
+               chunk_hours: int | None = None) -> ray.data.Dataset:
     """Ordered analytic (as-of within the stream): for every event, the
     user's previous event value — LAG(value) OVER (PARTITION BY user_id
     ORDER BY ts, event_id).  Hash-bucket users so each bucket holds whole
@@ -222,10 +337,13 @@ def events_lag(sf_dir: str, num_buckets: int | None = None,
     rows no matter the corpus size — a fixed bucket count would hand each
     ``lag_bucket`` call 1/32 of the dataset (round-1 flaw).  The residual
     bound is per-USER history size, the operator's documented co-location
-    assumption."""
+    assumption; pass ``chunk_hours`` to lift it (``_events_lag_salted``:
+    time-chunked histories with summary-scale carry rows between chunks —
+    equality-tested against this path, incl. a planted mega-user)."""
     if num_buckets is None:
-        n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
-        num_buckets = max(32, -(-n // target_rows_per_bucket))
+        num_buckets = _scaled_buckets(sf_dir, target_rows_per_bucket)
+    if chunk_hours is not None:
+        return _events_lag_salted(sf_dir, num_buckets, chunk_hours)
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
 
     def project(batch: pa.Table) -> pa.Table:
@@ -285,18 +403,216 @@ def events_hopping(sf_dir: str, window_hours: int = 6,
                  Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
 
 
+def _events_sessions_salted(sf_dir: str, gap_minutes: int, num_buckets: int,
+                            chunk_hours: int) -> ray.data.Dataset:
+    """Mega-user-safe session windows, the salt-span treatment for the one
+    ordered operator whose boundary state is not a single row: chunks
+    compute their sessions locally; a summary-scale pass over per-chunk
+    first/last-session summaries decides which chunk-boundary sessions
+    merge (gap <= threshold across the boundary, chaining through
+    single-session chunks), emits the merged boundary sessions, and hands
+    every chunk a correction row (global session-index base + drop flags
+    for its consumed first/last session).  The big table is shuffled once;
+    only summaries and corrections (one row per non-empty (user, chunk))
+    take the second, tiny shuffle + join."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    span_us = chunk_hours * 3600 * 1_000_000
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        ts_us = batch.column("ts").cast(pa.int64()).to_numpy()
+        ck = ts_us // span_us
+        return pa.Table.from_pydict({
+            "event_id": batch.column("event_id"),
+            "ts_us": pa.array(ts_us, pa.int64()),
+            "user_id": batch.column("user_id"),
+            "ck": pa.array(ck, pa.int64()),
+            "bk": pa.array(((uid * 1_000_003 + ck) % num_buckets).astype(np.int32)),
+        })
+
+    # kind 0: local session row      (local_idx, n, start, end)
+    # kind 2: first-session summary  (local_idx=n_sessions, n/start/end = first's)
+    # kind 3: last-session summary   (n/start/end = last's)
+    def sessions_chunk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ck", "ts_us", "event_id"],
+                            kind="mergesort")
+        key_change = (df["user_id"] != df["user_id"].shift(1)) | \
+                     (df["ck"] != df["ck"].shift(1))
+        gap = (df["ts_us"] - df["ts_us"].shift(1)) > gap_us
+        df["session"] = (key_change | gap).cumsum()
+        g = df.groupby(["user_id", "ck", "session"], sort=False).agg(
+            n=("event_id", "size"),
+            start=("ts_us", "min"), end=("ts_us", "max")).reset_index()
+        g["local_idx"] = g.groupby(["user_id", "ck"], sort=False).cumcount()
+        cg = g.groupby(["user_id", "ck"], sort=False)
+        firsts, lasts = cg.head(1), cg.tail(1)
+        ns = cg.size().to_numpy()
+        rows = pd.DataFrame({
+            "kind": np.int8(0), "user_id": g["user_id"].to_numpy(),
+            "ck": g["ck"].to_numpy(),
+            "local_idx": g["local_idx"].astype("int64").to_numpy(),
+            "n": g["n"].astype("int64").to_numpy(),
+            "start": g["start"].to_numpy(), "end": g["end"].to_numpy()})
+        f = pd.DataFrame({
+            "kind": np.int8(2), "user_id": firsts["user_id"].to_numpy(),
+            "ck": firsts["ck"].to_numpy(), "local_idx": ns.astype("int64"),
+            "n": firsts["n"].astype("int64").to_numpy(),
+            "start": firsts["start"].to_numpy(), "end": firsts["end"].to_numpy()})
+        l = pd.DataFrame({
+            "kind": np.int8(3), "user_id": lasts["user_id"].to_numpy(),
+            "ck": lasts["ck"].to_numpy(),
+            "local_idx": np.int64(-1),
+            "n": lasts["n"].astype("int64").to_numpy(),
+            "start": lasts["start"].to_numpy(), "end": lasts["end"].to_numpy()})
+        return pd.concat([rows, f, l], ignore_index=True)
+
+    staged = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True) \
+               .groupby("bk").map_groups(sessions_chunk, batch_format="pandas") \
+               .materialize()
+
+    def pick_kinds(kinds: list[int]):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return batch.filter(pc.is_in(batch.column("kind"),
+                                         value_set=pa.array(kinds, pa.int8())))
+        return fn
+
+    local_rows = staged.map_batches(pick_kinds([0]), batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    summaries = staged.map_batches(pick_kinds([2, 3]), batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    # summary-scale merge pass.  Output rows:
+    #   kind 0 correction: (user_id, ck, v1=idx base, v2=n_sessions,
+    #                       v3=drop_first, v4=drop_last)
+    #   kind 1 merged session: (user_id, ck=-1, v1=session_idx, v2=n_events,
+    #                           v3=start_us, v4=end_us)
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        f = df[df["kind"] == 2].rename(columns={
+            "local_idx": "ns", "n": "fn_", "start": "fs", "end": "fe"})
+        l = df[df["kind"] == 3].rename(columns={
+            "n": "ln_", "start": "ls", "end": "le"})
+        s = f[["user_id", "ck", "ns", "fn_", "fs", "fe"]].merge(
+            l[["user_id", "ck", "ln_", "ls", "le"]], on=["user_id", "ck"])
+        s = s.sort_values(["user_id", "ck"], kind="mergesort").reset_index(drop=True)
+        g = s.groupby("user_id", sort=False)
+        prev_le = g["le"].shift(1)
+        b = ((s["fs"] - prev_le) <= gap_us) & prev_le.notna()
+        singles = s["ns"] == 1
+        prev_b = b.groupby(s["user_id"], sort=False).shift(1).fillna(False)
+        prev_singles = g["ns"].shift(1).eq(1).fillna(False)
+        chain = b & prev_b & prev_singles
+        cumsess_excl = g["ns"].cumsum() - s["ns"]
+        merges_incl = b.astype("int64").groupby(s["user_id"], sort=False).cumsum()
+        base = (cumsess_excl - merges_incl).astype("int64")
+        drop_first = b
+        drop_last = b.groupby(s["user_id"], sort=False).shift(-1).fillna(False)
+        corrections = pd.DataFrame({
+            "kind": np.int8(0), "user_id": s["user_id"].to_numpy(),
+            "ck": s["ck"].to_numpy(), "v1": base.to_numpy(),
+            "v2": s["ns"].astype("int64").to_numpy(),
+            "v3": drop_first.astype("int64").to_numpy(),
+            "v4": drop_last.astype("int64").to_numpy()})
+        bd = s[b.to_numpy()].copy()
+        if bd.empty:
+            return corrections
+        bd["comp"] = (b & ~chain).cumsum()[b.to_numpy()].to_numpy()
+        bd["prev_ls"] = g["ls"].shift(1)[b.to_numpy()].to_numpy()
+        bd["prev_ln"] = g["ln_"].shift(1)[b.to_numpy()].to_numpy()
+        prev_base = base.groupby(s["user_id"], sort=False).shift(1)
+        prev_ns = g["ns"].shift(1)
+        bd["prev_idx"] = (prev_base + prev_ns - 1)[b.to_numpy()].to_numpy()
+        m = bd.groupby("comp", sort=False).agg(
+            user_id=("user_id", "first"),
+            session_idx=("prev_idx", "first"),
+            start_us=("prev_ls", "first"),
+            carry_n=("prev_ln", "first"),
+            member_n=("fn_", "sum"),
+            end_us=("fe", "last")).reset_index(drop=True)
+        merged = pd.DataFrame({
+            "kind": np.int8(1), "user_id": m["user_id"].to_numpy(),
+            "ck": np.int64(-1),
+            "v1": m["session_idx"].astype("int64").to_numpy(),
+            "v2": (m["carry_n"] + m["member_n"]).astype("int64").to_numpy(),
+            "v3": m["start_us"].astype("int64").to_numpy(),
+            "v4": m["end_us"].astype("int64").to_numpy()})
+        return pd.concat([corrections, merged], ignore_index=True)
+
+    def add_ubk(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        return batch.append_column(
+            "ubk", pa.array((uid % 64).astype(np.int32)))
+
+    merged_out = summaries.map_batches(add_ubk, batch_format="pyarrow",
+                                       zero_copy_batch=True) \
+                          .groupby("ubk").map_groups(merge_bucket,
+                                                     batch_format="pandas") \
+                          .materialize()
+
+    def corrections_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        sub = batch.filter(pc.equal(batch.column("kind"), 0))
+        return pa.Table.from_pydict({
+            "user_id": sub.column("user_id"), "ck": sub.column("ck"),
+            "base": sub.column("v1"), "ns": sub.column("v2"),
+            "drop_first": sub.column("v3"), "drop_last": sub.column("v4")})
+
+    def merged_sessions(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        sub = batch.filter(pc.equal(batch.column("kind"), 1))
+        return pa.Table.from_pydict({
+            "user_id": sub.column("user_id"), "session_idx": sub.column("v1"),
+            "n_events": sub.column("v2"), "start_us": sub.column("v3"),
+            "end_us": sub.column("v4")})
+
+    corrections = merged_out.map_batches(corrections_only,
+                                         batch_format="pyarrow",
+                                         zero_copy_batch=True)
+    merged = merged_out.map_batches(merged_sessions, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    # drop the local-rows columns that collide with correction names before
+    # the join, then apply base + drop flags
+    joined = local_rows.join(corrections, join_type="inner", num_partitions=8,
+                             on=("user_id", "ck"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        li = batch.column("local_idx").to_numpy()
+        ns = batch.column("ns").to_numpy()
+        dfirst = batch.column("drop_first").to_numpy().astype(bool)
+        dlast = batch.column("drop_last").to_numpy().astype(bool)
+        keep = ~((dfirst & (li == 0)) | (dlast & (li == ns - 1)))
+        return pa.Table.from_pydict({
+            "user_id": pa.array(batch.column("user_id").to_numpy()[keep], pa.int64()),
+            "session_idx": pa.array((batch.column("base").to_numpy() + li)[keep],
+                                    pa.int64()),
+            "n_events": pa.array(batch.column("n").to_numpy()[keep], pa.int64()),
+            "start_us": pa.array(batch.column("start").to_numpy()[keep], pa.int64()),
+            "end_us": pa.array(batch.column("end").to_numpy()[keep], pa.int64()),
+        })
+
+    return merged.union(joined.map_batches(finish, batch_format="pyarrow",
+                                           zero_copy_batch=True))
+
+
 def events_sessions(sf_dir: str, gap_minutes: int = 30,
                     num_buckets: int | None = None,
-                    target_rows_per_bucket: int = 250_000) -> ray.data.Dataset:
+                    target_rows_per_bucket: int = 250_000,
+                    chunk_hours: int | None = None) -> ray.data.Dataset:
     """Session windows: per user, events split into sessions at inactivity
     gaps > ``gap_minutes``; emits one row per session with event count and
     exact integer bounds.  The stateful-streaming-window analog for bounded
     data: hash-bucket users (whole histories co-located), then one
     vectorized diff + cumsum per bucket — the same partitioning assumption
-    as ``events_lag``/``events_asof_purchase``."""
+    as ``events_lag``/``events_asof_purchase``; pass ``chunk_hours`` for
+    the mega-user-safe chunked path (``_events_sessions_salted``,
+    equality-tested against this one)."""
     if num_buckets is None:
-        n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
-        num_buckets = max(32, -(-n // target_rows_per_bucket))
+        num_buckets = _scaled_buckets(sf_dir, target_rows_per_bucket)
+    if chunk_hours is not None:
+        return _events_sessions_salted(sf_dir, gap_minutes, num_buckets,
+                                       chunk_hours)
     gap_us = gap_minutes * 60 * 1_000_000
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
 
@@ -325,18 +641,174 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30,
              .groupby("bk").map_groups(sessions_bucket, batch_format="pandas")
 
 
+def _events_asof_salted(sf_dir: str, num_buckets: int,
+                        chunk_hours: int) -> ray.data.Dataset:
+    """Mega-user-safe as-of join, same salt-span treatment as
+    ``_events_lag_salted``: (user, time-chunk) groups resolve clicks that
+    follow an in-chunk purchase locally; clicks before any in-chunk
+    purchase are pending and resolve against a summary-scale carry table —
+    per chunk, the latest purchase of any strictly-earlier chunk, computed
+    with one vectorized forward-fill over the per-chunk purchase summaries
+    (kind 3 chunk-key rows interleave BEFORE same-chunk summaries in the
+    sort, so a chunk's carry never sees its own purchases)."""
+    span_us = chunk_hours * 3600 * 1_000_000
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array(["click", "purchase"]))
+        batch = batch.filter(keep)
+        uid = batch.column("user_id").to_numpy()
+        ts_us = batch.column("ts").cast(pa.int64()).to_numpy()
+        ck = ts_us // span_us
+        return pa.Table.from_pydict({
+            "event_id": batch.column("event_id"),
+            "ts_us": pa.array(ts_us, pa.int64()),
+            "user_id": batch.column("user_id"),
+            "event_type": batch.column("event_type"),
+            "cents": pa.array(_cents(batch.column("value").to_numpy()), pa.int64()),
+            "ck": pa.array(ck, pa.int64()),
+            "bk": pa.array(((uid * 1_000_003 + ck) % num_buckets).astype(np.int32)),
+        })
+
+    # kind 0: resolved click (event_id, p_id, p_cents)
+    # kind 1: pending click (event_id, user_id, ck)
+    # kind 2: chunk purchase summary (user_id, ck, p_id, p_cents)
+    # kind 3: pending chunk key (user_id, ck) — one per chunk with pendings
+    def asof_chunk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ck", "ts_us", "event_id"],
+                            kind="mergesort")
+        is_p = df["event_type"] == "purchase"
+        df["p_id"] = df["event_id"].astype("Int64").where(is_p)
+        df["p_cents"] = df["cents"].astype("Int64").where(is_p)
+        df[["p_id", "p_cents"]] = df.groupby(["user_id", "ck"], sort=False)[
+            ["p_id", "p_cents"]].ffill()
+        clicks = df[df["event_type"] == "click"]
+        pending_mask = clicks["p_id"].isna()
+        out = pd.DataFrame({
+            "kind": np.where(pending_mask, 1, 0).astype("int8"),
+            "event_id": clicks["event_id"].to_numpy(),
+            "p_id": clicks["p_id"].fillna(-1).astype("int64").to_numpy(),
+            "p_cents": clicks["p_cents"].fillna(-1).astype("int64").to_numpy(),
+            "user_id": clicks["user_id"].to_numpy(),
+            "ck": clicks["ck"].to_numpy(),
+        })
+        parts = [out]
+        dfp = df[is_p]
+        if len(dfp):
+            last_p = dfp.groupby(["user_id", "ck"], sort=False).tail(1)
+            parts.append(pd.DataFrame({
+                "kind": np.int8(2), "event_id": np.int64(-1),
+                "p_id": last_p["event_id"].to_numpy(),
+                "p_cents": last_p["cents"].to_numpy(),
+                "user_id": last_p["user_id"].to_numpy(),
+                "ck": last_p["ck"].to_numpy(),
+            }))
+        pend_keys = clicks[pending_mask].drop_duplicates(["user_id", "ck"])
+        if len(pend_keys):
+            parts.append(pd.DataFrame({
+                "kind": np.int8(3), "event_id": np.int64(-1),
+                "p_id": np.int64(-1), "p_cents": np.int64(-1),
+                "user_id": pend_keys["user_id"].to_numpy(),
+                "ck": pend_keys["ck"].to_numpy(),
+            }))
+        return pd.concat(parts, ignore_index=True)
+
+    staged = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True) \
+               .groupby("bk").map_groups(asof_chunk, batch_format="pandas") \
+               .materialize()
+
+    def pick(kind: int, cols: dict[str, str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            sub = batch.filter(pc.equal(batch.column("kind"), kind))
+            return pa.Table.from_pydict(
+                {out: sub.column(src) for out, src in cols.items()})
+        return fn
+
+    resolved = staged.map_batches(
+        pick(0, {"event_id": "event_id", "purchase_event_id": "p_id",
+                 "purchase_cents": "p_cents"}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    pending = staged.map_batches(
+        pick(1, {"event_id": "event_id", "user_id": "user_id", "ck": "ck"}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def keep_keys_and_summaries(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        sub = batch.filter(pc.is_in(batch.column("kind"),
+                                    value_set=pa.array([2, 3], pa.int8())))
+        return pa.Table.from_pydict({
+            "kind": sub.column("kind"), "user_id": sub.column("user_id"),
+            "ck": sub.column("ck"), "p_id": sub.column("p_id"),
+            "p_cents": sub.column("p_cents")})
+
+    summ = staged.map_batches(keep_keys_and_summaries, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # summary-scale carry: within a user, sort by (ck, kind) so a chunk's
+    # pending KEY row (kind 3) precedes its own purchase summary (kind 2 is
+    # sorted after? no — 2 < 3).  Sort kind DESCENDING within ck so kind 3
+    # sees only ffill state from strictly earlier chunks.
+    def carry_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ck", "kind"],
+                            ascending=[True, True, False], kind="mergesort")
+        is_s = df["kind"] == 2
+        df["c_id"] = df["p_id"].astype("Int64").where(is_s)
+        df["c_cents"] = df["p_cents"].astype("Int64").where(is_s)
+        df[["c_id", "c_cents"]] = df.groupby("user_id", sort=False)[
+            ["c_id", "c_cents"]].ffill()
+        out = df[df["kind"] == 3]
+        return pd.DataFrame({
+            "user_id": out["user_id"].to_numpy(),
+            "ck": out["ck"].to_numpy(),
+            "carry_id": out["c_id"].fillna(-1).astype("int64").to_numpy(),
+            "carry_cents": out["c_cents"].fillna(-1).astype("int64").to_numpy(),
+        })
+
+    def add_ubk(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        return batch.append_column(
+            "ubk", pa.array((uid % 64).astype(np.int32)))
+
+    carries = summ.map_batches(add_ubk, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+                  .groupby("ubk").map_groups(carry_bucket, batch_format="pandas")
+
+    joined = pending.join(carries, join_type="left_outer", num_partitions=8,
+                          on=("user_id", "ck"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cid = pc.fill_null(batch.column("carry_id"), -1).cast(pa.int64())
+        cc = pc.fill_null(batch.column("carry_cents"), -1).cast(pa.int64())
+        return pa.Table.from_pydict({"event_id": batch.column("event_id"),
+                                     "purchase_event_id": cid,
+                                     "purchase_cents": cc})
+
+    return resolved.union(joined.map_batches(finish, batch_format="pyarrow",
+                                             zero_copy_batch=True))
+
+
 def events_asof_purchase(sf_dir: str, num_buckets: int | None = None,
-                         target_rows_per_bucket: int = 250_000) -> ray.data.Dataset:
+                         target_rows_per_bucket: int = 250_000,
+                         chunk_hours: int | None = None) -> ray.data.Dataset:
     """As-of join: every 'click' event matched to the same user's most
     recent 'purchase' at ts <= click ts (ties broken by event_id order;
     -1 sentinel when no prior purchase).  The missing-from-Ray-Data
     operator implemented as the documented composition: hash-bucket by
     user (whole histories co-located — the same partitioning assumption as
     ``events_lag``), then one vectorized sort + per-user forward-fill per
-    bucket.  Bucket count scales with input like ``events_lag``."""
+    bucket.  Bucket count scales with input like ``events_lag``; pass
+    ``chunk_hours`` for the mega-user-safe chunked path
+    (``_events_asof_salted``, equality-tested against this one)."""
     if num_buckets is None:
-        n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
-        num_buckets = max(32, -(-n // target_rows_per_bucket))
+        num_buckets = _scaled_buckets(sf_dir, target_rows_per_bucket)
+    if chunk_hours is not None:
+        return _events_asof_salted(sf_dir, num_buckets, chunk_hours)
     ds = _read(sf_dir, "events",
                columns=["event_id", "ts", "user_id", "event_type", "value"])
 
