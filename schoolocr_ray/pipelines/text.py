@@ -145,13 +145,13 @@ def shingles(text: str, k: int = 3) -> set[str]:
 
 
 def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
-                  k: int = 3, hot_cap: int = JACCARD_HOT_CAP,
-                  count_mode: str = "auto") -> ray.data.Dataset:
+                  k: int = 3, hot_cap: int = JACCARD_HOT_CAP) -> ray.data.Dataset:
     """n-gram Jaccard near-duplicate pairs, fully distributed:
 
-        docs -> distinct k-shingles -> explode (shingle, doc) -> groupby
-        shingle -> co-occurring pairs -> groupby pair (intersection counts)
-        -> join per-doc shingle counts (broadcast) -> jaccard >= threshold
+        docs -> distinct k-shingles -> explode (shingle, doc, |shingles|)
+        -> groupby shingle-bucket -> co-occurring pairs (intersection
+        partials, denominators riding along) -> groupby pair-bucket (sum)
+        -> jaccard >= threshold
 
     Shingles shared by more than ``hot_cap`` documents are excluded from
     pair generation (boilerplate/stopword runs otherwise contribute
@@ -159,47 +159,35 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     oracle applies the identical cap, so Ray-vs-SQL equality is exact;
     Jaccard denominators still use each document's FULL shingle count.
 
-    ``count_mode`` picks how the per-doc shingle counts reach the verify:
-    ``"broadcast"`` collects the one-row-per-doc count table to the driver
-    and ships it once via ``ray.put`` (right up to ~1M docs);
-    ``"join"`` is the 100 TB path — the counts stay a Dataset and the
-    candidate pairs hash-join against it twice (doc_a, then doc_b), so no
-    O(n_docs) state ever lands on the driver.  ``"auto"`` switches on the
-    corpus row count.  Both paths produce identical pairs (equality-tested
-    at sf0.01)."""
-    import pyarrow.parquet as _pq
-
-    import ray as _ray
-
-    if count_mode == "auto":
-        n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-        count_mode = "broadcast" if n_docs <= 1_000_000 else "join"
-
-    # per-doc shingle counts: one row per doc
-    def doc_counts(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        ns = [len(shingles(t, k)) for t in batch.column("text").to_pylist()]
-        return pa.Table.from_pydict({"doc_id": pa.array(ids, pa.int64()),
-                                     "n_sh": pa.array(ns, pa.int64())})
-
-    counts_ds = _read_docs(sf_dir).map_batches(
-        doc_counts, batch_format="pyarrow", zero_copy_batch=True)
-    counts_ref = None
-    if count_mode == "broadcast":
-        counts_df = counts_ds.to_pandas()
-        counts_ref = _ray.put(dict(zip(counts_df["doc_id"], counts_df["n_sh"])))
+    The per-doc shingle counts the verify needs are attached to each
+    exploded shingle row (+8 bytes on rows dominated by the shingle
+    string) and carried through both bucketed exchanges, so the counts
+    need no second corpus pass, no driver-side lookup table, and no hash
+    join at ANY scale — this replaces round-2's dual broadcast/join count
+    paths with one plan that is already the 100 TB shape."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, shs, buckets = [], [], []
+        ids, shs, buckets, nsh = [], [], [], []
         for did, t in zip(batch.column("doc_id").to_pylist(),
                           batch.column("text").to_pylist()):
-            for s in shingles(t, k):
+            sh = shingles(t, k)
+            n = len(sh)
+            for s in sh:
                 ids.append(did)
                 shs.append(s)
                 buckets.append(zlib.crc32(s.encode()) % JACCARD_BUCKETS)
+                nsh.append(n)
         return pa.Table.from_pydict({"s": pa.array(shs, pa.string()),
                                      "doc_id": pa.array(ids, pa.int64()),
+                                     "n_sh": pa.array(nsh, pa.int64()),
                                      "b": pa.array(buckets, pa.int32())})
+
+    _EMPTY_PAIRS = {"doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "c": pd.Series(dtype="int64"),
+                    "na": pd.Series(dtype="int64"),
+                    "nb": pd.Series(dtype="int64"),
+                    "pb": pd.Series(dtype="int32")}
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # vectorized per-bucket pair generation: a shingle's group lives
@@ -209,23 +197,29 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
         keep = vc[(vc >= 2) & (vc <= hot_cap)].index
         df = df[df["s"].isin(keep)]
         if df.empty:
-            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                 "doc_b": pd.Series(dtype="int64"),
-                                 "c": pd.Series(dtype="int64")})
+            return pd.DataFrame(_EMPTY_PAIRS)
         j = df.merge(df, on="s")
         j = j[j["doc_id_x"] < j["doc_id_y"]]
-        g = j.groupby(["doc_id_x", "doc_id_y"]).size().reset_index(name="c")
-        return g.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
-
-    def add_pair_bucket(batch: pa.Table) -> pa.Table:
-        da = batch.column("doc_a").to_numpy()
-        db = batch.column("doc_b").to_numpy()
-        pb = ((da * 1_000_003 + db) % 64).astype(np.int32)
-        return batch.append_column("pb", pa.array(pb))
+        g = j.groupby(["doc_id_x", "doc_id_y"], as_index=False).agg(
+            c=("s", "size"), na=("n_sh_x", "first"), nb=("n_sh_y", "first"))
+        g = g.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
+        # length-ratio prefilter (the PPJoin size bound): the FULL
+        # intersection C <= min(na, nb) and denom >= max(na, nb), so
+        # jaccard <= min/max — pairs failing it can never reach the
+        # threshold and need not cross the pair shuffle at all.  A pure
+        # candidate prune: the surviving pairs' final jaccard is computed
+        # from the exact summed counts, so the output set is unchanged.
+        lo = np.minimum(g["na"].to_numpy(), g["nb"].to_numpy())
+        hi_ = np.maximum(g["na"].to_numpy(), g["nb"].to_numpy())
+        g = g[lo >= threshold * hi_]
+        g["pb"] = ((g["doc_a"].to_numpy() * 1_000_003 + g["doc_b"].to_numpy())
+                   % 64).astype(np.int32)
+        return g
 
     def sum_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["doc_a", "doc_b"], as_index=False)["c"].sum()
-        return g[["doc_a", "doc_b", "c"]]
+        g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            c=("c", "sum"), na=("na", "first"), nb=("nb", "first"))
+        return g[["doc_a", "doc_b", "c", "na", "nb"]]
 
     exploded = _read_docs(sf_dir).map_batches(explode, batch_format="pyarrow",
                                               zero_copy_batch=True)
@@ -233,56 +227,19 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     # multi-key aggregate over ~1M pair rows ran 150 s where 64 bucketed
     # vectorized pandas sums run in ~3 s — one python call per bucket
     pair_counts = exploded.groupby("b").map_groups(pairs_in_bucket, batch_format="pandas") \
-                          .map_batches(add_pair_bucket, batch_format="pyarrow",
-                                       zero_copy_batch=True) \
                           .groupby("pb").map_groups(sum_pairs, batch_format="pandas")
 
-    if count_mode == "broadcast":
-        def verify(batch: pa.Table, counts=counts_ref) -> pa.Table:
-            lut = _ray.get(counts)
-            da = batch.column("doc_a").to_numpy()
-            db = batch.column("doc_b").to_numpy()
-            cc = batch.column("c").to_numpy()
-            na = np.array([lut[x] for x in da], dtype=np.int64)
-            nb = np.array([lut[y] for y in db], dtype=np.int64)
-            denom = na + nb - cc
-            keep = (denom > 0) & (cc / np.maximum(denom, 1) >= threshold)
-            return pa.Table.from_pydict({"doc_a": pa.array(da[keep], pa.int64()),
-                                         "doc_b": pa.array(db[keep], pa.int64())})
-
-        return pair_counts.map_batches(verify, batch_format="pyarrow",
-                                       zero_copy_batch=True)
-
-    # join path: counts stay distributed; the (much smaller) candidate-pair
-    # set is hash-joined against them on each side
-    def rename_b(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict({"doc_id_b": batch.column("doc_id"),
-                                     "n_sh_b": batch.column("n_sh")})
-
-    counts_b = counts_ds.map_batches(rename_b, batch_format="pyarrow",
-                                     zero_copy_batch=True)
-    # join partition count sized to the session: the hash-join operator
-    # holds one aggregator actor per partition, and a count above the CPU
-    # budget starves the rest of the DAG on small clusters
-    ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-    nparts = max(2, min(64, ncpu // 2))
-    joined = pair_counts.join(counts_ds, join_type="inner", num_partitions=nparts,
-                              on=("doc_a",), right_on=("doc_id",))
-    joined = joined.join(counts_b, join_type="inner", num_partitions=nparts,
-                         on=("doc_b",), right_on=("doc_id_b",))
-
-    def verify_joined(batch: pa.Table) -> pa.Table:
+    def verify(batch: pa.Table) -> pa.Table:
+        da = batch.column("doc_a").to_numpy()
+        db = batch.column("doc_b").to_numpy()
         cc = batch.column("c").to_numpy()
-        denom = (batch.column("n_sh").to_numpy()
-                 + batch.column("n_sh_b").to_numpy() - cc)
+        denom = batch.column("na").to_numpy() + batch.column("nb").to_numpy() - cc
         keep = (denom > 0) & (cc / np.maximum(denom, 1) >= threshold)
-        return pa.Table.from_pydict({
-            "doc_a": pa.array(batch.column("doc_a").to_numpy()[keep], pa.int64()),
-            "doc_b": pa.array(batch.column("doc_b").to_numpy()[keep], pa.int64()),
-        })
+        return pa.Table.from_pydict({"doc_a": pa.array(da[keep], pa.int64()),
+                                     "doc_b": pa.array(db[keep], pa.int64())})
 
-    return joined.map_batches(verify_joined, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    return pair_counts.map_batches(verify, batch_format="pyarrow",
+                                   zero_copy_batch=True)
 
 
 def _cc_driver(pairs: pd.DataFrame) -> pa.Table:

@@ -222,13 +222,35 @@ def test_dedup_clusters_distributed_equals_driver(ray_session):
     assert a.equals(b)
 
 
-def test_jaccard_join_count_mode_equals_broadcast(ray_session):
-    """The 100 TB count path (distributed hash join of per-doc counts)
-    produces exactly the broadcast path's pairs."""
-    from schoolocr_ray.pipelines.text import jaccard_pairs
+def test_jaccard_pairs_equal_bruteforce_reference(ray_session):
+    """The bucketed distributed plan (with per-doc shingle counts riding
+    the exploded rows) produces exactly the pairs a driver-side brute-force
+    computation yields under the same semantics: shingles with document
+    frequency > hot_cap excluded from intersections, denominators from the
+    FULL shingle sets."""
+    from collections import Counter
 
-    a = jaccard_pairs(SF_DIR, count_mode="broadcast").to_pandas()
-    b = jaccard_pairs(SF_DIR, count_mode="join").to_pandas()
-    pa_ = set(zip(a["doc_a"], a["doc_b"]))
-    pb_ = set(zip(b["doc_a"], b["doc_b"]))
-    assert pa_ == pb_ and len(pa_) > 0
+    from schoolocr_ray.pipelines.text import (
+        JACCARD_HOT_CAP,
+        jaccard_pairs,
+        shingles,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    sh = {int(d): shingles(x) for d, x in zip(t.column("doc_id").to_pylist(),
+                                              t.column("text").to_pylist())}
+    df_count = Counter(s for ss in sh.values() for s in ss)
+    hot = {s for s, c in df_count.items() if c > JACCARD_HOT_CAP}
+    ids = sorted(sh)
+    expect = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len((sh[a] & sh[b]) - hot)
+            denom = len(sh[a]) + len(sh[b]) - inter
+            if denom > 0 and inter / denom >= 0.5:
+                expect.add((a, b))
+
+    got = jaccard_pairs(SF_DIR).to_pandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["doc_a"], got["doc_b"])}
+    assert len(expect) > 0
+    assert got_pairs == expect
