@@ -17,6 +17,7 @@ from ..state.checkpoint import (
     job_fingerprint,
     purge_stale_partitions,
     staging_dir,
+    wait_for_cleanups,
 )
 from .extract import (
     DEFAULT_NUM_PARTITIONS,
@@ -81,6 +82,10 @@ def run_job(
         # fall through to the normal scan-and-filter path)
         return _manifest_rows(out_dir, done)
     staging = staging_dir(out_dir)
+    # a previous finalize's fire-and-forget staging deletion may still be
+    # in flight — drain it before staging new fragments to the same root,
+    # else the old rmtree could race with (and delete) this run's fragments
+    wait_for_cleanups()
     shutil.rmtree(staging, ignore_errors=True)
 
     ds = read_transcripts(files)

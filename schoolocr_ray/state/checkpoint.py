@@ -290,10 +290,19 @@ def _finalize_partition(pid: int, tables: list[pa.Table], out_dir: str,
 
 
 def staging_dir(out_dir: str) -> str:
-    """Node-local transient staging root for this output dir."""
+    """Node-local transient staging root for this output dir.
+
+    Default is node-local DISK (/tmp), not /dev/shm: tmpfs writes are
+    synchronous DRAM copies that contend across writers — measured +24%
+    per-actor extraction time with 24 concurrent staging writers vs 6 on
+    this box — while page-cache writes to disk stay asynchronous
+    (writeback happens off the critical path) and cost the same per actor
+    at every parallelism level (measured 555 vs 547 actor-seconds at 6 vs
+    24 writers).  On a real cluster this is the node-local NVMe mount.
+    ``$GRAFT_STAGING_DIR`` overrides."""
     root = os.environ.get("GRAFT_STAGING_DIR")
     if not root:
-        root = "/dev/shm" if os.path.isdir("/dev/shm") else out_dir
+        root = "/tmp" if os.path.isdir("/tmp") else out_dir
     tag = hashlib.sha256(os.path.abspath(out_dir).encode()).hexdigest()[:12]
     return os.path.join(root, f"graft_staging_{tag}")
 
@@ -305,7 +314,7 @@ def _fetch_fragments_task(staging: str, pid: int,
     fragments and ships them to the partition's finalize node through the
     object store.  Only the cross-node minority share of a partition ever
     pays this transfer; raises if an acked fragment is gone."""
-    return _read_acked_fragments(staging, pid, frag_names)
+    return _read_acked_fragments(staging, pid, frags)
 
 
 @ray.remote
@@ -325,6 +334,17 @@ def _cleanup_staging_task(root: str) -> None:
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
+
+
+# refs of in-flight fire-and-forget staging deletions (kept so the tasks
+# are not cancelled by ref GC); wait_for_cleanups() drains them for tests
+_BACKGROUND_CLEANUPS: list = []
+
+
+def wait_for_cleanups() -> None:
+    if _BACKGROUND_CLEANUPS:
+        ray.get(_BACKGROUND_CLEANUPS)
+        _BACKGROUND_CLEANUPS.clear()
 
 
 def finalize_staged(staging: str, out_dir: str, fingerprint: str,
@@ -363,9 +383,9 @@ def finalize_staged(staging: str, out_dir: str, fingerprint: str,
     fallback — unacked fragments have no reconciliation inventory).
 
     Staging placement (``staging_dir``): ``$GRAFT_STAGING_DIR`` if set,
-    else /dev/shm when present (this sandbox's stand-in for node-local
-    NVMe, whose aggregate bandwidth scales with cluster size), else under
-    ``out_dir``."""
+    else node-local disk (/tmp — the stand-in for node-local NVMe, whose
+    aggregate bandwidth scales with cluster size; see ``staging_dir`` for
+    why NOT tmpfs), else under ``out_dir``."""
     import shutil
 
     from ray.util.scheduling_strategies import NodeAffinitySchedulingStrategy
@@ -412,16 +432,20 @@ def finalize_staged(staging: str, out_dir: str, fingerprint: str,
             remote_refs, out_dir, fingerprint, code_version))
     manifest = pd.DataFrame(ray.get(futures))
 
-    # drop staging on every node that participated (node-affine when pinned)
+    # drop staging on every node that participated (node-affine when
+    # pinned).  Fire-and-forget: the checkpoint is already durable and a
+    # rerun rmtree's staging anyway, so deletion need not sit on the job's
+    # critical path (the refs keep the tasks alive until they finish)
     roots_by_node: dict[str, str] = {nid: node_roots[nid]
                                      for nid in acks["node_id"].unique()}
     if pin:
-        ray.get([_cleanup_staging_task.options(**opts(nid)).remote(root)
-                 for nid, root in roots_by_node.items()])
+        cleanup_refs = [_cleanup_staging_task.options(**opts(nid)).remote(root)
+                        for nid, root in roots_by_node.items()]
+        _BACKGROUND_CLEANUPS.extend(cleanup_refs)
     else:
         for root in set(roots_by_node.values()):
             shutil.rmtree(root, ignore_errors=True)
-    shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
     return manifest
 
 
