@@ -397,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         relational,
         similarity,
         text,
+        training,
     )
 
     return {
@@ -446,6 +447,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-side prediction table — same pattern as the extraction
         # rollups over the checkpointed output)
         "glyph_eval_report": evaluation.glyph_eval,
+        # --- model training analog (rows-only: iterative float algorithm;
+        # the distributed-vs-single-process gradient equality is pinned in
+        # tests/test_training.py instead)
+        "glyph_train_report": training.glyph_train_report,
         # --- transcript domain
         "transcripts_wired_cells": _transcripts_wired_cells,
         "transcripts_extract": _transcripts_extract,
@@ -476,6 +481,7 @@ def oracle_sql() -> dict[str, str]:
 
     from schoolocr_ray.layouts import LOW_CONF
 
+    from schoolocr_ray.pipelines import dedup as _dedup
     from schoolocr_ray.pipelines.evaluation import (
         EVAL_PREDS_PATH,
         ensure_eval_predictions,
@@ -576,6 +582,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_simhash": f"""
             SELECT doc_id, simhash FROM read_parquet('{simhash_golden}')
+        """,
+        "docs_simhash_pairs": f"""
+            WITH sig AS (
+                SELECT doc_id, simhash FROM read_parquet('{simhash_golden}')),
+            chunks AS (
+                SELECT doc_id, simhash, c.ci AS chunk_id,
+                       (simhash >> (16 * c.ci)) & 65535 AS chunk_sig
+                FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS c(ci)),
+            capped AS (
+                SELECT doc_id, simhash, chunk_id, chunk_sig
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY chunk_id, chunk_sig
+                          ORDER BY doc_id) AS rn
+                      FROM chunks)
+                WHERE rn <= {_dedup.HOT_CAP}),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.simhash AS ha, b.simhash AS hb
+                FROM capped a
+                JOIN capped b
+                  ON a.chunk_id = b.chunk_id AND a.chunk_sig = b.chunk_sig
+                 AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(ha, hb)) <= 8
         """,
         "docs_fingerprint": f"""
             SELECT doc_id, fp FROM read_parquet('{fp_golden}')

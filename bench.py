@@ -68,6 +68,14 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     run_job(corpus, out_dir, num_partitions=num_partitions)
     headline = time.monotonic() - t0
     queries["extract_job"] = round(headline, 3)
+    # drain the fire-and-forget staging deletion OUTSIDE the timed window:
+    # without this, ray.shutdown() kills the in-flight cleanup task and a
+    # short-lived bench process leaks its multi-GB staging dir (measured:
+    # four ~3.5 GB orphans after one --scaling sweep, and the next run's
+    # timed window pays their writeback)
+    from schoolocr_ray.state.checkpoint import wait_for_cleanups
+
+    wait_for_cleanups()
     if os.environ.get("GRAFT_HEADLINE_ONLY") == "1":
         # scaling mode: drop the multi-GB output + flush dirty pages OUTSIDE
         # the timed window so the NEXT fresh-process run doesn't pay this

@@ -1,0 +1,211 @@
+"""Model training-loop analog (SURVEY §5.1.5) — the engine counterpart of
+the reference's CNN training scripts:
+
+- ``cnn_train/mnist_train.py:64-80`` builds a Keras classifier and runs
+  epoch-based minibatch training with a final save;
+- ``cnn_train/mnist_train_ext.py:30-107`` retrains an existing model on a
+  fresh labeled folder and reports accuracy.
+
+The engine's model family is deterministic (the glyph registry), so the
+trainable analog is a softmax (multinomial logistic regression) classifier
+over hashed character-trigram features of glyph tokens, trained by
+synchronous data-parallel full-batch gradient descent — the distributed
+shape a 100 TB corpus forces:
+
+- each epoch is ONE streaming ``map_batches`` pass: every block emits a
+  fixed-size gradient partial (d*C + 3 doubles, independent of block row
+  count);
+- a shuffle-free combine stage (``map_batches`` over the partial rows with
+  a large ``batch_size``) tree-reduces the partials before the driver sums
+  the final handful and takes the GD step — nothing corpus-sized ever
+  reaches the driver or the object store;
+- the updated weight matrix (d x C doubles, ~6 KB) is re-broadcast via
+  ``ray.put`` once per epoch and read zero-copy by every task.
+
+Nothing here imports the reference; the math is plain numpy float64, so
+the distributed gradient equals a single-process computation up to float
+summation order (equality-tested at 1e-6 in tests/test_training.py).
+"""
+from __future__ import annotations
+
+import os
+import random
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..layouts import GLYPH_TABLE
+
+N_FEATURES = 256
+N_CLASSES = 12
+TRAIN_SEED = 777001
+MODEL_PATH = "/tmp/schoolocr_ray_out/glyph_model.parquet"
+
+
+def featurize(tokens: list[str]) -> np.ndarray:
+    """Hashed character-trigram bag (with ^/$ boundary markers), L2
+    normalized, float64 — deterministic, stateless, vocabulary-free (the
+    property that matters at corpus scale: no fit pass, no vocab
+    broadcast)."""
+    X = np.zeros((len(tokens), N_FEATURES), dtype=np.float64)
+    for i, t in enumerate(tokens):
+        s = f"^{t}$"
+        for j in range(len(s) - 2):
+            X[i, zlib.crc32(s[j:j + 3].encode()) % N_FEATURES] += 1.0
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return X / norms
+
+
+def glyph_train_corpus(n_mut_per_glyph: int = 48,
+                       seed: int = TRAIN_SEED) -> list[dict]:
+    """Deterministic labeled training set: every registered glyph verbatim
+    plus seeded mutations (the 'labeled training folder' stand-in, disjoint
+    seed from the eval corpus so train/eval are distinct samples)."""
+    rng = random.Random(seed)
+    rows: list[dict] = []
+    for glyph, (cls, _conf) in sorted(GLYPH_TABLE.items()):
+        rows.append({"token": glyph, "true_class": cls})
+        for _ in range(n_mut_per_glyph):
+            mode = rng.randrange(4)
+            if mode == 0:
+                tok = f" {glyph} "
+            elif mode == 1:
+                tok = glyph * 2
+            elif mode == 2:
+                tok = glyph.swapcase()
+            else:
+                tok = glyph + rng.choice(".·~'")
+            rows.append({"token": tok, "true_class": cls})
+    return rows
+
+
+def _grad_partial(batch: pa.Table, *, wref) -> pa.Table:
+    """Per-block gradient partial for softmax cross-entropy: returns ONE
+    row of fixed size regardless of block row count — (flattened gradient
+    sum, loss sum, correct count, row count)."""
+    W = ray.get(wref)
+    toks = batch.column("token").to_pylist()
+    y = batch.column("true_class").to_numpy()
+    X = featurize(toks)
+    logits = X @ W
+    logits -= logits.max(axis=1, keepdims=True)
+    p = np.exp(logits)
+    p /= p.sum(axis=1, keepdims=True)
+    onehot = np.zeros_like(p)
+    onehot[np.arange(len(y)), y] = 1.0
+    grad = X.T @ (p - onehot)
+    loss = float(-np.log(np.maximum(p[np.arange(len(y)), y], 1e-300)).sum())
+    correct = int((p.argmax(axis=1) == y).sum())
+    return pa.Table.from_pydict({
+        "grad": pa.array([grad.ravel()], pa.list_(pa.float64())),
+        "loss": pa.array([loss], pa.float64()),
+        "correct": pa.array([correct], pa.int64()),
+        "n": pa.array([len(y)], pa.int64()),
+    })
+
+
+def _combine_partials(batch: pa.Table) -> pa.Table:
+    """Shuffle-free tree-reduce step: sum a batch of partial rows into one.
+    With batch_size=4096 this turns 1M block partials into ~250 rows in a
+    single narrow map stage — no sort, no exchange."""
+    g = np.array(batch.column("grad").to_pylist(), dtype=np.float64).sum(axis=0)
+    return pa.Table.from_pydict({
+        "grad": pa.array([g], pa.list_(pa.float64())),
+        "loss": pa.array([float(batch.column("loss").to_numpy().sum())],
+                         pa.float64()),
+        "correct": pa.array([int(batch.column("correct").to_numpy().sum())],
+                            pa.int64()),
+        "n": pa.array([int(batch.column("n").to_numpy().sum())], pa.int64()),
+    })
+
+
+def glyph_train(epochs: int = 30, lr: float = 300.0,
+                n_mut_per_glyph: int = 48, seed: int = TRAIN_SEED,
+                model_path: str | None = MODEL_PATH):
+    """Synchronous data-parallel full-batch GD over the glyph training
+    corpus.  Returns (per-epoch metrics DataFrame, final weights).
+
+    The epoch loop is driver-side control flow over fully distributed
+    passes — the ``model.fit(epochs=...)`` analog (ref
+    mnist_train.py:78-80) re-expressed as: broadcast W -> streaming
+    gradient pass -> tree-combine -> tiny driver step.  Weights are saved
+    to parquet at the end (the ``model.save`` analog)."""
+    import pandas as pd
+
+    ds = ray.data.from_items(glyph_train_corpus(n_mut_per_glyph, seed))
+    W = np.zeros((N_FEATURES, N_CLASSES), dtype=np.float64)
+    metrics = []
+    for epoch in range(epochs):
+        wref = ray.put(W)
+        partials = ds.map_batches(_grad_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True, fn_kwargs={"wref": wref}) \
+                     .map_batches(_combine_partials, batch_format="pyarrow",
+                                  batch_size=4096)
+        top = partials.to_pandas()          # a handful of combined rows
+        grad = np.array(top["grad"].tolist(), dtype=np.float64).sum(axis=0) \
+                 .reshape(N_FEATURES, N_CLASSES)
+        n = int(top["n"].sum())
+        loss = float(top["loss"].sum()) / n
+        acc = float(top["correct"].sum()) / n
+        W = W - lr * grad / n
+        metrics.append({"epoch": epoch, "loss": loss, "train_acc": acc})
+    if model_path:
+        os.makedirs(os.path.dirname(model_path), exist_ok=True)
+        t = pa.Table.from_pydict({
+            "idx": pa.array(np.arange(W.size, dtype=np.int64)),
+            "w": pa.array(W.ravel(), pa.float64()),
+        })
+        import pyarrow.parquet as pq
+
+        tmp = model_path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, model_path)
+    return pd.DataFrame(metrics), W
+
+
+def glyph_train_reference(epochs: int = 30, lr: float = 300.0,
+                          n_mut_per_glyph: int = 48,
+                          seed: int = TRAIN_SEED):
+    """Single-process twin of ``glyph_train`` (no Ray): the independent
+    recomputation tests compare the distributed gradients against."""
+    rows = glyph_train_corpus(n_mut_per_glyph, seed)
+    X = featurize([r["token"] for r in rows])
+    y = np.array([r["true_class"] for r in rows])
+    W = np.zeros((N_FEATURES, N_CLASSES), dtype=np.float64)
+    metrics = []
+    onehot = np.zeros((len(y), N_CLASSES))
+    onehot[np.arange(len(y)), y] = 1.0
+    for epoch in range(epochs):
+        logits = X @ W
+        logits -= logits.max(axis=1, keepdims=True)
+        p = np.exp(logits)
+        p /= p.sum(axis=1, keepdims=True)
+        loss = float(-np.log(np.maximum(p[np.arange(len(y)), y], 1e-300)).mean())
+        acc = float((p.argmax(axis=1) == y).mean())
+        W = W - lr * (X.T @ (p - onehot)) / len(y)
+        metrics.append({"epoch": epoch, "loss": loss, "train_acc": acc})
+    return metrics, W
+
+
+def trained_eval_accuracy(W: np.ndarray, seed: int = 424242) -> float:
+    """Held-out accuracy of trained weights on the eval corpus (the
+    mnist_train_ext.py:100-107 'report accuracy after retrain' analog)."""
+    from .evaluation import glyph_eval_corpus
+
+    rows = glyph_eval_corpus(seed=seed)
+    X = featurize([r["token"] for r in rows])
+    y = np.array([r["true_class"] for r in rows])
+    return float(((X @ W).argmax(axis=1) == y).mean())
+
+
+def glyph_train_report(sf_dir: str | None = None):
+    """queries() entry: per-epoch (epoch, loss, train_acc) metrics of the
+    distributed training run.  ``sf_dir`` accepted per the queries()
+    contract but unused (the corpus derives from the model registry, not
+    the scale tier)."""
+    metrics, _w = glyph_train()
+    return metrics

@@ -343,8 +343,18 @@ _BACKGROUND_CLEANUPS: list = []
 
 def wait_for_cleanups() -> None:
     if _BACKGROUND_CLEANUPS:
-        ray.get(_BACKGROUND_CLEANUPS)
-        _BACKGROUND_CLEANUPS.clear()
+        try:
+            if ray.is_initialized():
+                ray.get(_BACKGROUND_CLEANUPS)
+        finally:
+            _BACKGROUND_CLEANUPS.clear()
+
+
+# short-lived processes (bench subprocesses, scripts) would otherwise leak
+# their staging dirs: ray.shutdown() kills in-flight cleanup tasks
+import atexit  # noqa: E402
+
+atexit.register(wait_for_cleanups)
 
 
 def finalize_staged(staging: str, out_dir: str, fingerprint: str,
