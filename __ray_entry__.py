@@ -71,6 +71,26 @@ def ensure_doc_golden(sf_dir: str, name: str) -> str:
         vals = [simhash64(x) for x in texts]
         out = pa.Table.from_pydict({"doc_id": pa.array(ids, pa.int64()),
                                     "simhash": pa.array(vals, pa.int64())})
+    elif name == "minhash":
+        # long-form signature components (doc_id, idx, comp): the DuckDB
+        # minhash oracle reconstructs banding + hot-cap + estimated-Jaccard
+        # verification from these with exact integer equality
+        import numpy as _np
+
+        from schoolocr_ray.pipelines.dedup import (
+            N_PERM,
+            _perm_params,
+            minhash_signature,
+        )
+
+        a, b = _perm_params()
+        sigs = _np.stack([minhash_signature(x, a, b) for x in texts])
+        n = len(ids)
+        out = pa.Table.from_pydict({
+            "doc_id": pa.array(_np.repeat(_np.asarray(ids, dtype=_np.int64), N_PERM)),
+            "idx": pa.array(_np.tile(_np.arange(N_PERM, dtype=_np.int32), n)),
+            "comp": pa.array(sigs.reshape(-1)),
+        })
     elif name == "fingerprint":
         import zlib as _zlib
 
@@ -499,6 +519,7 @@ def oracle_sql() -> dict[str, str]:
     # aggregates/reads these independent recomputations
     simhash_golden = ensure_doc_golden(_TESTDATA_SF01, "simhash")
     fp_golden = ensure_doc_golden(_TESTDATA_SF01, "fingerprint")
+    minhash_golden = ensure_doc_golden(_TESTDATA_SF01, "minhash")
     eval_preds = ensure_eval_predictions()
     assert eval_preds == EVAL_PREDS_PATH
     transcripts = f"read_parquet('{_SF01_CORPUS}/*.parquet')"
@@ -611,6 +632,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_fingerprint": f"""
             SELECT doc_id, fp FROM read_parquet('{fp_golden}')
+        """,
+        # minhash LSH pairs over the signature golden: banding (8 bands x 8
+        # rows, exact band-vector equality stands in for the engine's
+        # crc32(band-bytes) bucket key — identical absent a crc32 collision,
+        # which the fixed sf0.01 corpus does not contain), the hot-cap
+        # (lowest-doc_id 64 per band group) and the signature-estimated
+        # Jaccard verify (fraction of agreeing components, a multiple of
+        # 1/64 so round(.,6) is exact in both engines)
+        "docs_minhash_pairs": f"""
+            WITH sig AS (
+                SELECT doc_id, idx, comp FROM read_parquet('{minhash_golden}')),
+            band AS (
+                SELECT doc_id, idx // 8 AS band_id,
+                       list(comp ORDER BY idx) AS band_vec
+                FROM sig GROUP BY doc_id, idx // 8),
+            capped AS (
+                SELECT doc_id, band_id, band_vec
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY band_id, band_vec
+                          ORDER BY doc_id) AS rn
+                      FROM band)
+                WHERE rn <= {_dedup.HOT_CAP}),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM capped a
+                JOIN capped b
+                  ON a.band_id = b.band_id AND a.band_vec = b.band_vec
+                 AND a.doc_id < b.doc_id),
+            est AS (
+                SELECT c.doc_a, c.doc_b,
+                       AVG(CASE WHEN sa.comp = sb.comp THEN 1.0 ELSE 0.0 END) AS e
+                FROM cand c
+                JOIN sig sa ON sa.doc_id = c.doc_a
+                JOIN sig sb ON sb.doc_id = c.doc_b AND sb.idx = sa.idx
+                GROUP BY c.doc_a, c.doc_b)
+            SELECT doc_a, doc_b, round(e, 6) AS est_jaccard
+            FROM est WHERE e >= 0.5
         """,
         "multimodal_resize": """
             WITH dims AS (

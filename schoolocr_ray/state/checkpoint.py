@@ -20,11 +20,20 @@ import hashlib
 import json
 import os
 import time
+from typing import TYPE_CHECKING
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
-import ray.data
+import ray
+
+# pandas / ray.data are driver-side needs only (finalize_staged's ack table,
+# filter_completed/read_output's Dataset); the hot worker-side paths —
+# stage_fragments inside every extraction actor, _finalize_task on every
+# worker — must not pay their ~1 s import on first call (measured: this
+# import sat inside both the actor-pool spin-up and the finalize barrier)
+if TYPE_CHECKING:
+    import pandas as pd
+    import ray.data
 
 CODE_VERSION = "schoolocr-ray-v2"
 
@@ -398,6 +407,7 @@ def finalize_staged(staging: str, out_dir: str, fingerprint: str,
     why NOT tmpfs), else under ``out_dir``."""
     import shutil
 
+    import pandas as pd
     from ray.util.scheduling_strategies import NodeAffinitySchedulingStrategy
 
     os.makedirs(out_dir, exist_ok=True)
@@ -461,6 +471,8 @@ def finalize_staged(staging: str, out_dir: str, fingerprint: str,
 
 def read_output(out_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
     import glob
+
+    import ray.data
     files = sorted(glob.glob(os.path.join(out_dir, "part_id=*", "*.parquet")))
     return ray.data.read_parquet(files, columns=columns)
 

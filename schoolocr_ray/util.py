@@ -23,7 +23,12 @@ class _EmptyBlockSchemaFilter(logging.Filter):
 
     def filter(self, record: logging.LogRecord) -> bool:  # True = keep
         msg = record.getMessage()
-        return not ("different schema" in msg and "new schema: ." in msg)
+        if "different schema" not in msg:
+            return True
+        # the empty block's schema renders as "." (no schema at all) or as
+        # a zero-column pandas schema depending on the emitting block type
+        return not ("new schema: ." in msg
+                    or "new schema: PandasBlockSchema(names=[], types=[])" in msg)
 
 
 _installed = False

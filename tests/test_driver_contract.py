@@ -70,6 +70,9 @@ SQL_CHECKED = [
     # banding + hot-cap + hamming verify reproduced in DuckDB over the
     # signature golden
     "docs_simhash_pairs",
+    # banding + hot-cap + estimated-Jaccard verify over the minhash
+    # signature golden
+    "docs_minhash_pairs",
 ]
 
 
@@ -89,7 +92,7 @@ def test_sql_checked_query_matches_oracle(contract, con, name):
             assert a.astype(str).equals(b.astype(str)), col
 
 
-ROWS_ONLY = ["knn_lsh", "knn_ivf", "docs_minhash_pairs",
+ROWS_ONLY = ["knn_lsh", "knn_ivf",
              "docs_embedding_neardup_lsh", "docs_embedding_neardup_ivf",
              "transcripts_wired_cells",
              "transcripts_extract", "glyph_train_report"]
