@@ -411,6 +411,7 @@ def _transcripts_wired_cells(sf_dir: str) -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from schoolocr_ray.pipelines import (
+        curation,
         dedup,
         evaluation,
         multimodal,
@@ -454,6 +455,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash": dedup.simhash,
         "docs_simhash_pairs": dedup.simhash_near_pairs,
         "docs_fingerprint": text.fingerprint,
+        # --- corpus-curation operators (SQL-checked)
+        "docs_sample_stratified": curation.stratified_sample,
+        "docs_token_shards": curation.token_shards,
+        "docs_top_terms": curation.top_terms,
         # --- multimodal plumbing (decode/resize/frames SQL-checked via the
         # fake container's byte arithmetic; the frames DIGEST column stays
         # pytest-pinned — DuckDB 1.0 has no blob substring/sha1 to twin it)
@@ -501,6 +506,7 @@ def oracle_sql() -> dict[str, str]:
 
     from schoolocr_ray.layouts import LOW_CONF
 
+    from schoolocr_ray.pipelines import curation as _curation
     from schoolocr_ray.pipelines import dedup as _dedup
     from schoolocr_ray.pipelines.evaluation import (
         EVAL_PREDS_PATH,
@@ -900,6 +906,66 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.doc = e.b)
             SELECT doc AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY doc
+        """,
+        # stratified sampling: Knuth multiplicative hash mod 2^32 vs the
+        # per-language integer threshold (HUGEINT keeps the product exact;
+        # the engine's numpy uint64 wraparound is the same value mod 2^32)
+        "docs_sample_stratified": r"""
+            WITH l AS (
+                SELECT doc_id,
+                       CASE WHEN len(list_filter(string_split_regex(lower(text), '[^a-zа-яё]+'),
+                                                 t -> t IN """ + _EN_STOP_SQL + r""")) >=
+                                 len(list_filter(string_split_regex(lower(text), '[^a-zа-яё]+'),
+                                                 t -> t IN """ + _RU_STOP_SQL + r"""))
+                            THEN 'en' ELSE 'ru' END AS lang_pred
+                FROM documents)
+            SELECT doc_id, lang_pred FROM l
+            WHERE (doc_id::HUGEINT * """ + str(_curation.HASH_MULT) + r""") % 4294967296
+                  < CASE lang_pred
+                        WHEN 'en' THEN """ + str(_curation.SAMPLE_RATES["en"]) + r"""
+                        ELSE """ + str(_curation.SAMPLE_RATES["ru"]) + r""" END
+        """,
+        # token-budget sharding: the distributed prefix scan's exclusive
+        # running sum is a window SUM in doc_id order
+        "docs_token_shards": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+                FROM documents),
+            s AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0)::BIGINT AS start_tok
+                FROM t)
+            SELECT doc_id, n_tokens, start_tok,
+                   start_tok // """ + str(_curation.SHARD_CAPACITY) + r""" AS shard_id
+            FROM s
+        """,
+        # per-doc top-k terms by (tf DESC, df ASC, term ASC) — integer-exact
+        # TF-IDF core: the idf log would only reweight the same order
+        "docs_top_terms": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '[^a-zа-яё]+'),
+                                          x -> x <> '')) AS term
+                FROM documents),
+            tf AS (
+                SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+                FROM tok GROUP BY doc_id, term),
+            dfx AS (
+                SELECT term, COUNT(*)::BIGINT AS df
+                FROM tf GROUP BY term),
+            r AS (
+                SELECT t.doc_id, t.term, t.tf, d.df,
+                       row_number() OVER (
+                           PARTITION BY t.doc_id
+                           ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rn
+                FROM tf t JOIN dfx d USING (term))
+            SELECT doc_id, term, tf, df FROM r
+            WHERE rn <= """ + str(_curation.TOP_TERMS_K) + r"""
         """,
         "knn_bruteforce": """
             WITH q AS (

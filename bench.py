@@ -98,7 +98,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      "docs_exact_dedup", "docs_jaccard_pairs", "docs_minhash_pairs",
                      "knn_bruteforce", "transcripts_conv_rollup",
                      "events_asof_purchase", "events_sessions",
-                     "docs_embedding_neardup_lsh"):
+                     "docs_embedding_neardup_lsh", "docs_token_shards",
+                     "docs_top_terms"):
             t0 = time.monotonic()
             res = q[name](sf_dir)
             if hasattr(res, "to_pandas"):

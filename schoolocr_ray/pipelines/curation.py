@@ -1,0 +1,211 @@
+"""Corpus-curation operators over the ``documents`` table — the dataset
+assembly steps that sit between cleaning/dedup and training: deterministic
+stratified sampling, token-budget sharding (a distributed prefix sum — the
+scan primitive Ray Data lacks natively), and per-document top-terms (the
+inverted-index / TF-DF family).
+
+All three are SQL-checkable: arithmetic is integer-exact (hash thresholds
+as fractions of 2^32, rank ties broken lexicographically) so the DuckDB
+oracles in ``__ray_entry__`` match byte-for-byte.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+from ray.data.aggregate import Sum
+
+from .text import EN_STOP, RU_STOP, _NONWORD, _read_docs, _tokens
+
+# Knuth multiplicative hash, taken mod 2^32.  uint64 wraparound in numpy is
+# arithmetic mod 2^64, and 2^32 divides 2^64, so (a*b mod 2^64) mod 2^32 ==
+# a*b mod 2^32 — the numpy product is exact without big-int support, and
+# DuckDB reproduces it with one HUGEINT cast.  Public: the generated oracle
+# SQL in __ray_entry__ is built from these same constants.
+HASH_MULT = 2654435761
+_HASH_MOD = 1 << 32
+
+# default per-language keep rates as integer thresholds out of 2^32
+# (float rates would make the oracle comparison epsilon-sensitive)
+SAMPLE_RATES = {"en": int(0.30 * _HASH_MOD), "ru": int(0.70 * _HASH_MOD)}
+
+SHARD_CAPACITY = 2048  # tokens per training shard
+TOP_TERMS_K = 3
+
+
+def stratified_sample(sf_dir: str,
+                      rates: dict[str, int] | None = None) -> ray.data.Dataset:
+    """Deterministic stratified downsampling: language-ID each document
+    (same stopword vote as ``lang_id``), then keep it iff
+    ``hash(doc_id) < rate[lang]`` — membership is a pure function of
+    (doc_id, lang), so a resumed or re-sharded run samples identically,
+    and per-stratum rates rebalance the corpus mix (the DoReMi-style
+    mixture-weighting step) without any shuffle at all: one streaming
+    map_batches pass, rows never leave their block."""
+    rates = SAMPLE_RATES if rates is None else rates
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        preds = []
+        for t in texts:
+            toks = _NONWORD.split(t.lower())
+            en = sum(tok in EN_STOP for tok in toks)
+            ru = sum(tok in RU_STOP for tok in toks)
+            preds.append("en" if en >= ru else "ru")
+        doc_id = batch.column("doc_id").to_numpy().astype(np.uint64)
+        h = (doc_id * np.uint64(HASH_MULT)) % np.uint64(_HASH_MOD)
+        thr = np.array([rates[p] for p in preds], dtype=np.uint64)
+        keep = h < thr
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+            "lang_pred": pa.array([p for p, k in zip(preds, keep) if k],
+                                  pa.string()),
+        })
+
+    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+
+def token_shards(sf_dir: str, capacity: int = SHARD_CAPACITY,
+                 bucket_span: int = 10_000) -> ray.data.Dataset:
+    """Token-budget sharding: assign every document (in doc_id order) a
+    starting token offset and a shard id ``start_tok // capacity`` — the
+    sequence-packing layout step of a training-data pipeline.
+
+    The global running sum is a distributed prefix scan, built from the
+    ordered-operator playbook rather than a driver loop:
+
+    1. one streaming pass computes (doc_id, bucket, n_tokens) where
+       ``bucket = doc_id // bucket_span`` (range buckets preserve order
+       across buckets by construction); the narrow 3-int table is
+       materialized so the two consumers below don't re-tokenize,
+    2. per-bucket token totals pre-aggregate inside map_batches and only
+       the tiny (bucket, total) partials reach the driver, which computes
+       the exclusive prefix over buckets — one int per bucket, KB-scale
+       even at 10^10 docs,
+    3. the offsets broadcast back into a per-bucket vectorized cumsum
+       (groupby(bucket), ~bucket_span rows per group — one shuffle of the
+       narrow table, never of the text).
+    """
+    tok = _read_docs(sf_dir).map_batches(
+        lambda b: pa.Table.from_pydict({
+            "doc_id": b.column("doc_id"),
+            "bucket": pa.array(b.column("doc_id").to_numpy() // bucket_span,
+                               pa.int64()),
+            "n_tokens": pa.array(
+                [len(_tokens(t)) for t in b.column("text").to_pylist()],
+                pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def bucket_partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"bucket": batch.column("bucket").to_numpy(),
+                           "n": batch.column("n_tokens").to_numpy()})
+        g = df.groupby("bucket", sort=False)["n"].sum().reset_index()
+        return pa.Table.from_pydict({
+            "bucket": pa.array(g["bucket"].to_numpy(), pa.int64()),
+            "total": pa.array(g["n"].to_numpy(), pa.int64()),
+        })
+
+    partials = tok.map_batches(bucket_partials, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    totals = partials.groupby("bucket")["total"].sum().sort_index()
+    offsets = totals.cumsum().shift(1, fill_value=0)
+    offsets_d = {int(b): int(o) for b, o in offsets.items()}
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_tokens": pd.Series([], dtype="int64"),
+                                 "start_tok": pd.Series([], dtype="int64"),
+                                 "shard_id": pd.Series([], dtype="int64")})
+        df = df.sort_values("doc_id", kind="mergesort")
+        base = offsets_d[int(df["bucket"].iloc[0])]
+        start = base + df["n_tokens"].cumsum().shift(1, fill_value=0)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_tokens": df["n_tokens"].to_numpy(),
+            "start_tok": start.to_numpy().astype(np.int64),
+            "shard_id": (start.to_numpy().astype(np.int64)) // capacity,
+        })
+
+    return tok.groupby("bucket").map_groups(assign, batch_format="pandas")
+
+
+def top_terms(sf_dir: str, k: int = TOP_TERMS_K,
+              num_buckets: int | None = None) -> ray.data.Dataset:
+    """Top-k distinguishing terms per document, ranked by
+    (tf DESC, df ASC, term ASC) — term frequency first, corpus rarity as
+    the tiebreak: the integer-exact core of TF-IDF (a float idf log would
+    only monotonically reweight the same (tf, df) order per doc, but would
+    make the oracle epsilon-sensitive).
+
+    Shape: explode to (doc_id, term, tf) rows with per-batch vectorized
+    pandas (docs never span batches, so batch-local value_counts IS the
+    per-doc tf); document frequency pre-aggregates per batch and sums in
+    one small groupby over the vocab; df joins back via the native
+    hash-partitioned Dataset.join (vocab is corpus-scale — never
+    broadcast); the final per-doc top-k uses the bucketed pattern (hash
+    doc_id into buckets, ONE vectorized sort + groupby.head per bucket —
+    no per-doc Python calls)."""
+    if num_buckets is None:
+        n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+        num_buckets = max(16, -(-n // 25_000))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows_doc, rows_term, rows_tf = [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            toks = [t for t in _NONWORD.split(text.lower()) if t]
+            if not toks:
+                continue
+            vc = pd.Series(toks).value_counts()
+            rows_doc.extend([did] * len(vc))
+            rows_term.extend(vc.index.tolist())
+            rows_tf.extend(vc.to_numpy().tolist())
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(rows_doc, pa.int64()),
+            "term": pa.array(rows_term, pa.string()),
+            "tf": pa.array(rows_tf, pa.int64()),
+        })
+
+    tf_rows = _read_docs(sf_dir).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # df partial: within a batch each (doc, term) appears once, so a term's
+    # row count IS its batch-local document frequency
+    def df_partial(batch: pa.Table) -> pa.Table:
+        vc = pd.Series(batch.column("term").to_pylist()).value_counts()
+        return pa.Table.from_pydict({
+            "term": pa.array(vc.index.tolist(), pa.string()),
+            "df_part": pa.array(vc.to_numpy(), pa.int64()),
+        })
+
+    df_tbl = tf_rows.map_batches(df_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+                    .groupby("term").aggregate(Sum("df_part", alias_name="df"))
+
+    joined = tf_rows.join(df_tbl, join_type="inner", num_partitions=16,
+                          on=("term",))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bk = (batch.column("doc_id").to_numpy() * 1_000_003) % num_buckets
+        return batch.append_column("bk", pa.array(bk.astype(np.int32)))
+
+    def topk_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "term": pd.Series([], dtype="object"),
+                                 "tf": pd.Series([], dtype="int64"),
+                                 "df": pd.Series([], dtype="int64")})
+        df = df.sort_values(["doc_id", "tf", "df", "term"],
+                            ascending=[True, False, True, True],
+                            kind="mergesort")
+        out = df.groupby("doc_id", sort=False).head(k)
+        return out[["doc_id", "term", "tf", "df"]].reset_index(drop=True)
+
+    return joined.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+                 .groupby("bk").map_groups(topk_bucket, batch_format="pandas")

@@ -1,0 +1,92 @@
+"""Unit tests for the corpus-curation operators (stratified sampling,
+token-budget sharding / distributed prefix scan, per-doc top terms).
+
+The exact value check against DuckDB lives in test_driver_contract; these
+pin the structural invariants the oracle can't see: the prefix scan is
+contiguous and gap-free across bucket boundaries, sampling is a pure
+function of (doc_id, lang), top-k never exceeds k and honors the tie
+order.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_token_shards_prefix_scan_contiguous(ray_session):
+    from schoolocr_ray.pipelines.curation import token_shards
+    from schoolocr_ray.pipelines.text import _tokens
+
+    # tiny bucket span forces MANY bucket-boundary crossings — the case
+    # where a wrong exclusive-prefix offset would show as a gap or overlap
+    got = token_shards(SF_DIR, capacity=100, bucket_span=7).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+
+    src = pq.read_table(f"{SF_DIR}/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas()
+    src = src.sort_values("doc_id").reset_index(drop=True)
+    n_tok = src["text"].map(lambda t: len(_tokens(t))).to_numpy(np.int64)
+
+    assert len(got) == len(src)
+    assert (got["doc_id"].to_numpy() == src["doc_id"].to_numpy()).all()
+    # the running sum is exactly the serial cumsum: no gaps, no overlaps
+    expect_start = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+    assert (got["start_tok"].to_numpy() == expect_start).all()
+    assert (got["n_tokens"].to_numpy() == n_tok).all()
+    assert (got["shard_id"].to_numpy() == expect_start // 100).all()
+
+
+def test_stratified_sample_deterministic_membership(ray_session):
+    from schoolocr_ray.pipelines.curation import (
+        HASH_MULT,
+        SAMPLE_RATES,
+        stratified_sample,
+    )
+
+    got = stratified_sample(SF_DIR).to_pandas()
+    # membership recomputed row-by-row from the pure function
+    h = (got["doc_id"].to_numpy(np.uint64) * np.uint64(HASH_MULT)) \
+        % np.uint64(1 << 32)
+    thr = got["lang_pred"].map(SAMPLE_RATES).to_numpy(np.uint64)
+    assert (h < thr).all()
+    # and a second run selects the identical set (resume/reshard safety)
+    again = stratified_sample(SF_DIR).to_pandas()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # nonempty strict subset (the sf0.01 documents corpus is all
+    # English-predicted, so only the 'en' stratum appears here; the
+    # per-stratum thresholds are exercised by the DuckDB oracle equality
+    # in test_driver_contract, which runs the same CASE over lang_pred)
+    n_docs = len(pq.read_table(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id"]))
+    assert 0 < len(got) < n_docs
+
+
+def test_top_terms_k_and_tie_order(ray_session):
+    from schoolocr_ray.pipelines.curation import top_terms
+
+    got = top_terms(SF_DIR, k=3).to_pandas()
+    per_doc = got.groupby("doc_id").size()
+    assert (per_doc <= 3).all()
+    # within a doc the selected rows obey the (tf DESC, df ASC, term ASC)
+    # total order — i.e. sorting them by the rank key leaves them in place
+    for _, g in list(got.groupby("doc_id"))[:50]:
+        s = g.sort_values(["tf", "df", "term"],
+                          ascending=[False, True, True], kind="mergesort")
+        assert (s.index.to_numpy() == g.index.to_numpy()).all() or \
+            s[["tf", "df", "term"]].reset_index(drop=True).equals(
+                g[["tf", "df", "term"]].reset_index(drop=True))
+    # df is a GLOBAL document frequency: recompute one term's df serially
+    src = pq.read_table(f"{SF_DIR}/documents.parquet",
+                        columns=["text"]).to_pandas()
+    import re
+    nonword = re.compile(r"[^a-zа-яё]+")
+    term = got["term"].iloc[0]
+    df_serial = int(sum(term in set(nonword.split(t.lower()))
+                        for t in src["text"]))
+    df_engine = int(got.loc[got["term"] == term, "df"].iloc[0])
+    assert df_engine == df_serial

@@ -73,6 +73,11 @@ SQL_CHECKED = [
     # banding + hot-cap + estimated-Jaccard verify over the minhash
     # signature golden
     "docs_minhash_pairs",
+    # corpus-curation operators: integer-exact hash sampling, the
+    # distributed prefix scan, per-doc top terms
+    "docs_sample_stratified",
+    "docs_token_shards",
+    "docs_top_terms",
 ]
 
 
