@@ -15,9 +15,16 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
-from ray.data.aggregate import Sum
 
 from .text import EN_STOP, RU_STOP, _NONWORD, _read_docs, _tokens
+
+# typed empty frames: map_groups stages must emit schema-carrying empties
+# (a schema-less empty block trips the executor's RefBundle schema check)
+_EMPTY_TOPK = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                            "term": pd.Series([], dtype="object"),
+                            "tf": pd.Series([], dtype="int64"),
+                            "df": pd.Series([], dtype="int64")})
+_EMPTY_TOPK_BK = _EMPTY_TOPK.assign(bk=pd.Series([], dtype="int32"))
 
 # Knuth multiplicative hash, taken mod 2^32.  uint64 wraparound in numpy is
 # arithmetic mod 2^64, and 2^32 divides 2^64, so (a*b mod 2^64) mod 2^32 ==
@@ -79,8 +86,11 @@ def token_shards(sf_dir: str, capacity: int = SHARD_CAPACITY,
 
     1. one streaming pass computes (doc_id, bucket, n_tokens) where
        ``bucket = doc_id // bucket_span`` (range buckets preserve order
-       across buckets by construction); the narrow 3-int table is
-       materialized so the two consumers below don't re-tokenize,
+       across buckets by construction); the narrow 3-int table (24 B/row —
+       ~1/1000th of the text it summarizes) is materialized so the two
+       consumers below don't re-tokenize; this is the deliberate exception
+       to the repo's re-read-don't-materialize rule, taken because the
+       pinned table is negligible next to the corpus,
     2. per-bucket token totals pre-aggregate inside map_batches and only
        the tiny (bucket, total) partials reach the driver, which computes
        the exclusive prefix over buckets — one int per bucket, KB-scale
@@ -144,12 +154,15 @@ def top_terms(sf_dir: str, k: int = TOP_TERMS_K,
 
     Shape: explode to (doc_id, term, tf) rows with per-batch vectorized
     pandas (docs never span batches, so batch-local value_counts IS the
-    per-doc tf); document frequency pre-aggregates per batch and sums in
-    one small groupby over the vocab; df joins back via the native
-    hash-partitioned Dataset.join (vocab is corpus-scale — never
-    broadcast); the final per-doc top-k uses the bucketed pattern (hash
-    doc_id into buckets, ONE vectorized sort + groupby.head per bucket —
-    no per-doc Python calls)."""
+    per-doc global tf, and (doc, term) rows are globally unique).  That
+    uniqueness means document frequency is just each term's global row
+    count, so df is computed INSIDE a term-bucketed shuffle — hash terms
+    into buckets, one vectorized ``transform('size')`` per bucket — with
+    no vocab-wide aggregate and no join (the vocab is corpus-scale, so a
+    broadcast was never an option; the bucket shuffle moves each term row
+    exactly once).  The final per-doc top-k re-buckets by doc_id with ONE
+    vectorized sort + groupby.head per bucket — no per-doc or per-term
+    Python calls anywhere."""
     if num_buckets is None:
         n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
         num_buckets = max(16, -(-n // 25_000))
@@ -165,47 +178,39 @@ def top_terms(sf_dir: str, k: int = TOP_TERMS_K,
             rows_doc.extend([did] * len(vc))
             rows_term.extend(vc.index.tolist())
             rows_tf.extend(vc.to_numpy().tolist())
-        return pa.Table.from_pydict({
-            "doc_id": pa.array(rows_doc, pa.int64()),
-            "term": pa.array(rows_term, pa.string()),
-            "tf": pa.array(rows_tf, pa.int64()),
-        })
+        out = pd.DataFrame({"doc_id": np.asarray(rows_doc, dtype=np.int64),
+                            "term": rows_term,
+                            "tf": np.asarray(rows_tf, dtype=np.int64)})
+        # term-hash bucket for the df shuffle (within-run determinism is
+        # all bucketing needs — the bucket id never reaches the output)
+        out["tbk"] = (pd.util.hash_array(out["term"].to_numpy(object))
+                      % num_buckets).astype(np.int32)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     tf_rows = _read_docs(sf_dir).map_batches(
-        explode, batch_format="pyarrow", zero_copy_batch=True).materialize()
+        explode, batch_format="pyarrow", zero_copy_batch=True)
 
-    # df partial: within a batch each (doc, term) appears once, so a term's
-    # row count IS its batch-local document frequency
-    def df_partial(batch: pa.Table) -> pa.Table:
-        vc = pd.Series(batch.column("term").to_pylist()).value_counts()
-        return pa.Table.from_pydict({
-            "term": pa.array(vc.index.tolist(), pa.string()),
-            "df_part": pa.array(vc.to_numpy(), pa.int64()),
+    def df_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY_TOPK_BK
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "term": df["term"].to_numpy(),
+            "tf": df["tf"].to_numpy(),
+            "df": df.groupby("term", sort=False)["term"]
+                    .transform("size").to_numpy().astype(np.int64),
         })
-
-    df_tbl = tf_rows.map_batches(df_partial, batch_format="pyarrow",
-                                 zero_copy_batch=True) \
-                    .groupby("term").aggregate(Sum("df_part", alias_name="df"))
-
-    joined = tf_rows.join(df_tbl, join_type="inner", num_partitions=16,
-                          on=("term",))
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        bk = (batch.column("doc_id").to_numpy() * 1_000_003) % num_buckets
-        return batch.append_column("bk", pa.array(bk.astype(np.int32)))
+        out["bk"] = ((out["doc_id"] * 1_000_003) % num_buckets).astype(np.int32)
+        return out
 
     def topk_bucket(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                 "term": pd.Series([], dtype="object"),
-                                 "tf": pd.Series([], dtype="int64"),
-                                 "df": pd.Series([], dtype="int64")})
+            return _EMPTY_TOPK
         df = df.sort_values(["doc_id", "tf", "df", "term"],
                             ascending=[True, False, True, True],
                             kind="mergesort")
         out = df.groupby("doc_id", sort=False).head(k)
         return out[["doc_id", "term", "tf", "df"]].reset_index(drop=True)
 
-    return joined.map_batches(add_bucket, batch_format="pyarrow",
-                              zero_copy_batch=True) \
-                 .groupby("bk").map_groups(topk_bucket, batch_format="pandas")
+    return tf_rows.groupby("tbk").map_groups(df_bucket, batch_format="pandas") \
+                  .groupby("bk").map_groups(topk_bucket, batch_format="pandas")
