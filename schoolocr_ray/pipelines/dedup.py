@@ -24,6 +24,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .similarity import read_embeddings
 from .text import _read_docs, shingles
 
 N_PERM = 64
@@ -298,7 +299,7 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45,
     dim = len(pq.ParquetFile(path).read_row_group(0, columns=["embedding"])
               .column(0)[0])
 
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_embeddings(sf_dir)
     buckets = ds.map_batches(LshBucketStage, batch_format="pyarrow",
                              zero_copy_batch=True,
                              fn_constructor_kwargs={"dim": dim,
@@ -369,8 +370,7 @@ def embedding_neardup_ivf(sf_dir: str, threshold: float = 0.45,
                 "embedding": batch.column("embedding").combine_chunks().take(rep),
             })
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = read_embeddings(sf_dir)
     assigned = ds.map_batches(Assign, batch_format="pyarrow",
                               zero_copy_batch=True,
                               fn_constructor_args=(cent_ref, n_assign),
@@ -436,8 +436,7 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.45) -> ray.data.Dataset:
                 "vec_b": pa.array(b[keep], pa.int64()),
             })
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = read_embeddings(sf_dir)
     return ds.map_batches(PairScan, batch_format="pyarrow", zero_copy_batch=True,
                           fn_constructor_args=(ref, threshold),
                           concurrency=(1, 4))

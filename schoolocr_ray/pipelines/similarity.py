@@ -20,6 +20,28 @@ import ray.data
 DEFAULT_K = 10
 DEFAULT_QUERIES = (0, 1, 2, 3, 4)
 
+# target rows per block for small-table coalescing (see read_embeddings)
+EMB_COALESCE_ROWS = 4096
+
+
+def read_embeddings(sf_dir: str,
+                    columns=("vec_id", "embedding")) -> ray.data.Dataset:
+    """Pruned read of the embeddings table, with small-table coalescing:
+    Ray's read splitting shatters a KB-scale table into dozens of
+    micro-blocks whose per-task scheduling and per-batch setup dominate
+    every downstream stage (measured at sf0.1: 64 blocks of 31 rows made
+    the LSH bucket stage + bucket sort ~3x slower than the same work on
+    right-sized blocks).  Tables under 1M rows repartition to
+    ~EMB_COALESCE_ROWS-row blocks — a trivial exchange at that size; at
+    corpus scale the reader's natural blocks already exceed the target
+    and no extra exchange happens."""
+    path = f"{sf_dir}/embeddings.parquet"
+    n = pq.ParquetFile(path).metadata.num_rows
+    ds = ray.data.read_parquet(path, columns=list(columns))
+    if n < 1_000_000:
+        ds = ds.repartition(max(1, n // EMB_COALESCE_ROWS))
+    return ds
+
 
 def _load_queries(sf_dir: str, query_ids) -> tuple[np.ndarray, np.ndarray]:
     """Driver-side load of ONLY the query vectors: predicate pushdown at the
@@ -70,8 +92,7 @@ def knn_bruteforce(sf_dir: str, k: int = DEFAULT_K,
     """Exact cosine top-k; returns (qid, vec_id) pairs, ties broken by
     (sim desc, vec_id asc) to match the SQL oracle's row_number order."""
     qref = ray.put(_load_queries(sf_dir, set(query_ids)))
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = read_embeddings(sf_dir)
     partial = ds.map_batches(BruteForceScorer, batch_format="pyarrow",
                              zero_copy_batch=True,
                              fn_constructor_args=(qref, k),
@@ -127,8 +148,7 @@ def knn_lsh(sf_dir: str, k: int = DEFAULT_K, query_ids=DEFAULT_QUERIES,
     Recall < 1 by construction — the approximate scale path next to the
     brute-force baseline."""
     qids_arr, qm = _load_queries(sf_dir, set(query_ids))
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = read_embeddings(sf_dir)
     dim = qm.shape[1]
     buckets = ds.map_batches(LshBucketStage, batch_format="pyarrow",
                              zero_copy_batch=True,
@@ -215,8 +235,7 @@ def _sample_embeddings(sf_dir: str, sample_size: int, seed: int) -> np.ndarray:
             "embedding": batch.column("embedding").combine_chunks().take(keep_arr),
         })
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = read_embeddings(sf_dir)
     top = ds.map_batches(local_bottom, batch_format="pyarrow",
                          zero_copy_batch=True) \
             .sort("priority").limit(sample_size).to_pandas()
@@ -306,8 +325,7 @@ def knn_ivf(sf_dir: str, k: int = DEFAULT_K, query_ids=DEFAULT_QUERIES,
     cent_ref = ray.put(cent)
     qref = ray.put((qids_arr, qm))
     probe_ref = ray.put(probed)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = read_embeddings(sf_dir)
     partial = ds.map_batches(IvfAssignScore, batch_format="pyarrow",
                              zero_copy_batch=True,
                              fn_constructor_args=(cent_ref, qref, probe_ref, k),
