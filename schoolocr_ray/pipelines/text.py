@@ -43,7 +43,22 @@ def _tokens(text: str) -> list[str]:
 
 
 def _read_docs(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    """Pruned read of the documents table with small-table coalescing
+    (same finding as ``similarity.read_embeddings``): Ray's read splitting
+    shatters a small table into 64 micro-blocks (8 rows each at sf0.01)
+    and every downstream map pays per-task setup while every shuffle pays
+    per-block sort cost.  Block count clamps to [4, 32] at ~128 rows per
+    block — enough map parallelism for the CPU-heavy stages (minhash,
+    shingling) without micro-blocks; tables over ~1M rows keep the
+    reader's natural blocks."""
+    import pyarrow.parquet as _pq
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(path, columns=list(columns))
+    n = _pq.ParquetFile(path).metadata.num_rows
+    if n < 1_000_000:
+        ds = ds.repartition(min(32, max(4, n // 128)))
+    return ds
 
 
 def token_count(sf_dir: str) -> ray.data.Dataset:
