@@ -426,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stats": relational.events_stats,
         "events_histogram": relational.events_histogram,
         "events_distinct_users": relational.events_distinct_users,
+        "events_percentiles": relational.events_percentiles,
         "events_windowed": relational.events_windowed,
         "events_lag": relational.events_lag,
         "events_asof_purchase": relational.events_asof_purchase,
@@ -708,6 +709,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9) AS bin,
                    COUNT(*) AS n
             FROM events GROUP BY 1
+        """,
+        "events_percentiles": """
+            SELECT event_type,
+                   quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.50) AS p50_cents,
+                   quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.95) AS p95_cents,
+                   quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.99) AS p99_cents
+            FROM events GROUP BY event_type
         """,
         "customers_per_region": """
             SELECT r_name,

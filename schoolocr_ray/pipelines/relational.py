@@ -881,3 +881,54 @@ def events_distinct_users(sf_dir: str, num_buckets: int | None = None,
                            zero_copy_batch=True)
     return pairs.groupby("bk").map_groups(count_bucket, batch_format="pandas") \
                 .groupby("event_type").aggregate(Sum("n_users", alias_name="n_users"))
+
+
+def events_percentiles(sf_dir: str,
+                       qs: tuple[float, ...] = (0.5, 0.95, 0.99)) -> ray.data.Dataset:
+    """Exact grouped percentiles (p50/p95/p99 of value-cents per event_type)
+    — the latency-percentile rollup every training-data/serving pipeline
+    reports (G4 family; ref app.py's summary stats have no percentile, this
+    is scale-added).
+
+    Distributed-exact via value-histogram counting, not sorting: the value
+    domain is quantized to integer cents (the module-wide exactness trick),
+    so per-(event_type, cents) count partials inside ``map_batches`` shrink
+    the shuffle to at most |types| x |distinct cents| rows — bounded by the
+    value domain, NOT by row count, so the exchange stays KB-scale at
+    10^12 rows.  The final per-type rank selection is one tiny
+    ``map_groups`` call per event TYPE (group count = type cardinality,
+    low by construction — this is not the per-tiny-group pathology
+    ``_pair_dedup`` exists for).
+
+    Rank rule matches DuckDB ``quantile_disc`` exactly (verified
+    empirically): 0-based rank = max(0, ceil(q*n) - 1) into the sorted
+    values.
+    """
+    import math
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(),
+            "cents": _cents(batch.column("value").to_numpy()),
+        })
+        g = df.groupby(["event_type", "cents"], sort=False) \
+              .size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+             .groupby(["event_type", "cents"]).aggregate(Sum("n", alias_name="n"))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("cents")
+        cents = df["cents"].to_numpy()
+        cum = df["n"].to_numpy().cumsum()
+        n = int(cum[-1])
+        out = {"event_type": [df["event_type"].iloc[0]]}
+        for q in qs:
+            r = max(0, math.ceil(q * n) - 1)          # duckdb quantile_disc rank
+            out[f"p{int(q * 100)}_cents"] = [int(cents[int(np.searchsorted(cum, r + 1))])]
+        return pd.DataFrame(out)
+
+    return hist.groupby("event_type").map_groups(pick, batch_format="pandas")

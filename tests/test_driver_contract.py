@@ -49,7 +49,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 SQL_CHECKED = [
     "events_stats", "events_histogram", "events_distinct_users",
     "events_windowed", "events_lag", "events_asof_purchase",
-    "events_hopping", "events_sessions",
+    "events_hopping", "events_sessions", "events_percentiles",
     "customers_per_region", "lineitem_semi_join", "lineitem_order_join",
     "top_customers", "orders_rollup",
     "docs_token_count", "docs_quality", "docs_langid", "docs_exact_dedup",
