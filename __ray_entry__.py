@@ -444,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": text.exact_dedup,
         "docs_jaccard_pairs": text.jaccard_pairs,
         "docs_dedup_clusters": text.dedup_clusters,
+        "docs_decontaminate": text.decontaminate,
         "docs_embedding_neardup": dedup.embedding_neardup,
         "docs_embedding_neardup_lsh": dedup.embedding_neardup_lsh,
         "docs_embedding_neardup_ivf": dedup.embedding_neardup_ivf,
@@ -880,6 +881,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON ca.doc_id = doc_a
             JOIN cnt cb ON cb.doc_id = doc_b
             WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+        """,
+        "docs_decontaminate": r"""
+            WITH tok AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+                FROM documents WHERE trim(text) <> ''),
+            sh AS (
+                SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+                FROM (SELECT doc_id, ts,
+                             unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+                      FROM tok)),
+            eval_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+            hits AS (
+                SELECT doc_id, COUNT(*) AS n_hits
+                FROM sh
+                WHERE doc_id % 50 <> 0 AND s IN (SELECT s FROM eval_sh)
+                GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(h.n_hits, 0) AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            WHERE d.doc_id % 50 <> 0
         """,
         "docs_dedup_clusters": r"""
             WITH RECURSIVE pairs AS (

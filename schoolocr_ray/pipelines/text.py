@@ -374,3 +374,58 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, k: int = 3,
     if mode == "distributed":
         return _cc_distributed(pairs_ds)
     return _cc_driver(pairs_ds.to_pandas())
+
+
+def decontaminate(sf_dir: str, k: int = 3, eval_mod: int = 50) -> ray.data.Dataset:
+    """Benchmark decontamination — the corpus-hygiene step every LLM
+    training pipeline runs before training: drop (here: flag) training
+    documents that share any k-token shingle with the evaluation set, so
+    benchmark answers can't leak into the training corpus.
+
+    The eval set is the deterministic slice ``doc_id % eval_mod == 0`` (a
+    stand-in for an external benchmark suite).  Scale shape: benchmark
+    suites are MB-scale against a 100 TB corpus BY CONSTRUCTION, so this
+    is the canonical broadcast-small-side pattern — the eval shingle set
+    is built distributed (one explode pass over the eval slice), collected
+    once (it is the SMALL side), shipped via one ``ray.put``, and each
+    filter actor fetches it once in ``__init__``; the corpus itself
+    streams through ``map_batches`` with zero shuffle.  Output: one row
+    per TRAINING doc with the distinct-overlap count and the contaminated
+    flag (callers filter ``~contaminated``; keeping the flag makes the
+    audit trail queryable, which real decontamination reports require).
+    """
+    docs = _read_docs(sf_dir)
+
+    def eval_shingles(batch: pa.Table) -> pa.Table:
+        out: set[str] = set()
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            if did % eval_mod == 0:
+                out |= shingles(t, k)
+        return pa.Table.from_pydict({"s": pa.array(sorted(out), pa.string())})
+
+    eval_set = set(docs.map_batches(eval_shingles, batch_format="pyarrow",
+                                    zero_copy_batch=True).unique("s"))
+    ref = ray.put(eval_set)
+
+    class DecontaminateStage:
+        def __init__(self, eval_ref) -> None:
+            self.eval: set[str] = ray.get(eval_ref)   # fetched once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, hits = [], []
+            for did, t in zip(batch.column("doc_id").to_pylist(),
+                              batch.column("text").to_pylist()):
+                if did % eval_mod == 0:
+                    continue
+                ids.append(did)
+                hits.append(len(shingles(t, k) & self.eval))
+            return pa.Table.from_pydict({
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_hits": pa.array(hits, pa.int64()),
+                "contaminated": pa.array([h > 0 for h in hits], pa.bool_()),
+            })
+
+    return docs.map_batches(DecontaminateStage, fn_constructor_args=(ref,),
+                            batch_format="pyarrow", zero_copy_batch=True,
+                            concurrency=(1, 4))
