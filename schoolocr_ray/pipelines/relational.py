@@ -917,7 +917,11 @@ def events_percentiles(sf_dir: str,
               .size().reset_index(name="n")
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    # the partials shrink to <= |types| x |distinct cents| rows per block;
+    # coalesce them before the groupby — Ray's sort-shuffle pays a fixed
+    # per-block cost that dwarfs this KB-scale exchange (see events_lag)
     hist = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+             .repartition(8) \
              .groupby(["event_type", "cents"]).aggregate(Sum("n", alias_name="n"))
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
