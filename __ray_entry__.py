@@ -445,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jaccard_pairs": text.jaccard_pairs,
         "docs_dedup_clusters": text.dedup_clusters,
         "docs_decontaminate": text.decontaminate,
+        "docs_repetition": text.repetition_scores,
         "docs_embedding_neardup": dedup.embedding_neardup,
         "docs_embedding_neardup_lsh": dedup.embedding_neardup_lsh,
         "docs_embedding_neardup_ivf": dedup.embedding_neardup_ivf,
@@ -881,6 +882,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON ca.doc_id = doc_a
             JOIN cnt cb ON cb.doc_id = doc_b
             WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+        """,
+        "docs_repetition": r"""
+            WITH l AS (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                FROM documents),
+            lc AS (
+                SELECT doc_id, COUNT(*) AS n_lines,
+                       COUNT(DISTINCT line) AS n_distinct
+                FROM l GROUP BY doc_id),
+            tok AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+                FROM documents WHERE trim(text) <> ''),
+            bg AS (
+                SELECT doc_id, ts[i] || ' ' || ts[i+1] AS b
+                FROM (SELECT doc_id, ts,
+                             unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+                      FROM tok)),
+            bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+            bstats AS (
+                SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_n
+                FROM bc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(lc.n_lines AS BIGINT) AS n_lines,
+                   CAST(lc.n_lines - lc.n_distinct AS BIGINT) AS n_dup_lines,
+                   CAST(COALESCE(bstats.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(bstats.top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+            FROM documents d
+            JOIN lc ON d.doc_id = lc.doc_id
+            LEFT JOIN bstats ON d.doc_id = bstats.doc_id
         """,
         "docs_decontaminate": r"""
             WITH tok AS (

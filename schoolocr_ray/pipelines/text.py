@@ -429,3 +429,47 @@ def decontaminate(sf_dir: str, k: int = 3, eval_mod: int = 50) -> ray.data.Datas
     return docs.map_batches(DecontaminateStage, fn_constructor_args=(ref,),
                             batch_format="pyarrow", zero_copy_batch=True,
                             concurrency=(1, 4))
+
+
+def repetition_scores(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition counters per document — the quality-filter
+    family `quality_features` doesn't cover: boilerplate/spam pages repeat
+    LINES and n-grams, and corpus-curation rules threshold on exactly
+    these ratios (duplicate-line fraction, top-bigram fraction).
+
+    Counters stay integer (n_lines / n_dup_lines / n_bigrams /
+    top_bigram_n) so the DuckDB oracle is exact; consumers form the
+    fractions.  Embarrassingly parallel — one vectorizable pass per batch,
+    zero shuffle, so it runs at read speed at any corpus size.
+
+    Line semantics match SQL ``string_split(text, chr(10))`` (empty lines
+    count, no trimming); bigrams come from the module-wide whitespace
+    tokenizer (``_tokens``), counted WITH multiplicity — a doc shorter
+    than 2 tokens has 0 bigrams and top_bigram_n 0.
+    """
+    from collections import Counter
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n_lines, n_dup, n_bi, top_bi = [], [], [], []
+        for t in batch.column("text").to_pylist():
+            lines = t.split("\n")
+            n_lines.append(len(lines))
+            n_dup.append(len(lines) - len(set(lines)))
+            toks = _tokens(t)
+            if len(toks) >= 2:
+                counts = Counter(zip(toks, toks[1:]))
+                n_bi.append(len(toks) - 1)
+                top_bi.append(max(counts.values()))
+            else:
+                n_bi.append(0)
+                top_bi.append(0)
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_dup_lines": pa.array(n_dup, pa.int64()),
+            "n_bigrams": pa.array(n_bi, pa.int64()),
+            "top_bigram_n": pa.array(top_bi, pa.int64()),
+        })
+
+    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow",
+                                          zero_copy_batch=True)
