@@ -462,6 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_stratified": curation.stratified_sample,
         "docs_token_shards": curation.token_shards,
         "docs_top_terms": curation.top_terms,
+        "docs_shuffle_shards": curation.shuffle_shards,
         # --- multimodal plumbing (decode/resize/frames SQL-checked via the
         # fake container's byte arithmetic; the frames DIGEST column stays
         # pytest-pinned — DuckDB 1.0 has no blob substring/sha1 to twin it)
@@ -1006,6 +1007,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # per-doc top-k terms by (tf DESC, df ASC, term ASC) — integer-exact
         # TF-IDF core: the idf log would only reweight the same order
+        "docs_shuffle_shards": r"""
+            WITH k AS (
+                SELECT doc_id,
+                       md5('42:' || CAST(doc_id AS VARCHAR)) AS key
+                FROM documents),
+            s AS (
+                SELECT doc_id, key,
+                       CAST((strpos('0123456789abcdef', substr(key, 1, 1)) - 1) % 8
+                            AS BIGINT) AS shard
+                FROM k)
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard
+                                           ORDER BY key, doc_id) - 1
+                        AS BIGINT) AS pos
+            FROM s
+        """,
         "docs_top_terms": r"""
             WITH tok AS (
                 SELECT doc_id,

@@ -214,3 +214,80 @@ def top_terms(sf_dir: str, k: int = TOP_TERMS_K,
 
     return tf_rows.groupby("tbk").map_groups(df_bucket, batch_format="pandas") \
                   .groupby("bk").map_groups(topk_bucket, batch_format="pandas")
+
+
+def shuffle_shards(sf_dir: str, seed: int = 42,
+                   n_shards: int = 8) -> ray.data.Dataset:
+    """Seeded deterministic global shuffle into training shards — the
+    ingestion-layout primitive: every doc gets a shard and a DENSE 0-based
+    position within that shard, both pure functions of (seed, doc_id), so
+    any node can recompute any shard's read order without coordination and
+    a re-run with the same seed is byte-identical (what makes training
+    data loading resumable).
+
+    Shuffle key = md5(seed ':' doc_id) hex; shard = first-hex-digit mod
+    n_shards; within-shard order = (key, doc_id) lexicographic.  Dense
+    positions come from the same distributed prefix-scan shape as
+    ``token_shards``, bucketed by the key's first two hex chars: a bucket
+    is a contiguous range of the within-shard order by construction, so
+    per-bucket counts -> driver-side exclusive prefix (256 ints, KB-scale
+    at any corpus size) -> per-bucket vectorized sort+arange.  Only the
+    narrow (doc_id, key) table shuffles, never the text; the scan
+    never materializes the corpus anywhere.
+
+    DuckDB twin: ``row_number() OVER (PARTITION BY shard ORDER BY key,
+    doc_id)`` over the same md5 — exact, including md5 ties (broken by
+    doc_id).
+    """
+    import hashlib
+
+    docs = _read_docs(sf_dir, columns=("doc_id",))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keys = [hashlib.md5(f"{seed}:{d}".encode()).hexdigest() for d in ids]
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "key": pa.array(keys, pa.string()),
+            "shard": pa.array([int(k[0], 16) % n_shards for k in keys],
+                              pa.int64()),
+            "kb": pa.array([int(k[:2], 16) for k in keys], pa.int32()),
+        })
+
+    tab = docs.map_batches(keyed, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        kb, n = np.unique(batch.column("kb").to_numpy(), return_counts=True)
+        return pa.Table.from_pydict({"kb": pa.array(kb, pa.int32()),
+                                     "n": pa.array(n, pa.int64())})
+
+    counts = tab.map_batches(partials, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    counts = counts.groupby("kb")["n"].sum()
+    # exclusive prefix per shard over kb ascending: lowercase-hex
+    # lexicographic order == numeric order of int(key[:2], 16), so walking
+    # kb in numeric order walks each shard's key ranges in order
+    offsets: dict[int, int] = {}
+    seen = [0] * n_shards
+    for kb in sorted(counts.index):
+        shard = (kb >> 4) % n_shards
+        offsets[int(kb)] = seen[shard]
+        seen[shard] += int(counts[kb])
+
+    _EMPTY = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                           "shard": pd.Series([], dtype="int64"),
+                           "pos": pd.Series([], dtype="int64")})
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY
+        df = df.sort_values(["key", "doc_id"], kind="mergesort")
+        base = offsets[int(df["kb"].iloc[0])]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "shard": df["shard"].to_numpy(),
+            "pos": base + np.arange(len(df), dtype=np.int64),
+        })
+
+    return tab.groupby("kb").map_groups(assign, batch_format="pandas")

@@ -79,6 +79,7 @@ SQL_CHECKED = [
     "docs_sample_stratified",
     "docs_token_shards",
     "docs_top_terms",
+    "docs_shuffle_shards",
 ]
 
 
