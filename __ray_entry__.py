@@ -836,7 +836,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_count": r"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-zА-Яа-яЁё]+| ?[0-9]+| ?[^\sA-Za-zА-Яа-яЁё0-9]+|\s+'))
+                       AS n_bpe_tokens
             FROM documents
         """,
         "docs_quality": r"""

@@ -61,14 +61,28 @@ def _read_docs(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
     return ds
 
 
+# BPE-ish tokenizer regex (GPT-2-style contraction/word/number/other/space
+# alternation, alphabet widened to Cyrillic) — leftmost-first alternation
+# behaves identically in Python re and DuckDB's RE2 (verified 0 mismatches
+# corpus-wide), so the SQL twin counts with regexp_extract_all
+BPE_RE = ("'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-zА-Яа-яЁё]+| ?[0-9]+"
+          "| ?[^\\sA-Za-zА-Яа-яЁё0-9]+|\\s+")
+_BPE = re.compile(BPE_RE)
+
+
 def token_count(sf_dir: str) -> ray.data.Dataset:
-    """Whitespace token count per document."""
+    """Token counts per document: whitespace tokens AND a BPE-ish regex
+    count (the pre-tokenizer pass of byte-pair encoders — what a token
+    budget at training time is actually denominated in)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        counts = [len(_tokens(t)) for t in batch.column("text").to_pylist()]
+        texts = batch.column("text").to_pylist()
+        counts = [len(_tokens(t)) for t in texts]
+        bpe = [len(_BPE.findall(t)) for t in texts]
         return pa.Table.from_pydict({
             "doc_id": batch.column("doc_id"),
             "n_tokens": pa.array(counts, pa.int64()),
+            "n_bpe_tokens": pa.array(bpe, pa.int64()),
         })
 
     return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
