@@ -90,3 +90,36 @@ def test_top_terms_k_and_tie_order(ray_session):
                         for t in src["text"]))
     df_engine = int(got.loc[got["term"] == term, "df"].iloc[0])
     assert df_engine == df_serial
+
+
+def test_shuffle_shards_dense_deterministic(ray_session):
+    import hashlib
+
+    from schoolocr_ray.pipelines.curation import shuffle_shards
+
+    got = shuffle_shards(SF_DIR, seed=7, n_shards=4).to_pandas()
+    src = pq.read_table(f"{SF_DIR}/documents.parquet",
+                        columns=["doc_id"]).to_pandas()
+    assert len(got) == len(src)
+    assert set(got["doc_id"]) == set(src["doc_id"])
+
+    # shard and order are a pure function of (seed, doc_id)
+    keys = {int(d): hashlib.md5(f"7:{d}".encode()).hexdigest()
+            for d in got["doc_id"]}
+    assert (got["shard"].to_numpy()
+            == np.array([int(keys[int(d)][0], 16) % 4
+                         for d in got["doc_id"]])).all()
+
+    # positions are DENSE per shard (0..n-1, no gaps) and follow the
+    # (key, doc_id) lexicographic order — the resumable-ingestion contract
+    for shard, grp in got.groupby("shard"):
+        grp = grp.sort_values("pos")
+        assert (grp["pos"].to_numpy() == np.arange(len(grp))).all()
+        order = sorted(grp["doc_id"], key=lambda d: (keys[int(d)], int(d)))
+        assert list(grp["doc_id"]) == order
+
+    # rerun is byte-identical
+    again = shuffle_shards(SF_DIR, seed=7, n_shards=4).to_pandas()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
