@@ -427,6 +427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_histogram": relational.events_histogram,
         "events_distinct_users": relational.events_distinct_users,
         "events_percentiles": relational.events_percentiles,
+        "events_range_join": relational.events_range_join,
         "events_windowed": relational.events_windowed,
         "events_lag": relational.events_lag,
         "events_asof_purchase": relational.events_asof_purchase,
@@ -712,6 +713,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9) AS bin,
                    COUNT(*) AS n
             FROM events GROUP BY 1
+        """,
+        "events_range_join": """
+            WITH camp AS (
+                SELECT event_id AS campaign_id,
+                       ts AS start_ts,
+                       ts + INTERVAL 36 HOUR AS end_ts
+                FROM events WHERE event_type = 'purchase'
+                ORDER BY event_id LIMIT 20)
+            SELECT e.event_id, c.campaign_id
+            FROM events e
+            JOIN camp c ON e.ts >= c.start_ts AND e.ts < c.end_ts
+            WHERE e.event_type = 'click'
         """,
         "events_percentiles": """
             SELECT event_type,

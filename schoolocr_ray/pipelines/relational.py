@@ -936,3 +936,52 @@ def events_percentiles(sf_dir: str,
         return pd.DataFrame(out)
 
     return hist.groupby("event_type").map_groups(pick, batch_format="pandas")
+
+
+def events_range_join(sf_dir: str, n_campaigns: int = 20,
+                      window_hours: int = 36) -> ray.data.Dataset:
+    """Interval (range) join — the third of the ordered-join trio next to
+    the as-of join and the windowed aggregates: attribute every click to
+    EVERY campaign whose active window contains it (many-to-many, unlike
+    as-of's latest-prior-one).  Campaigns are the first ``n_campaigns``
+    purchase events by event_id, each opening a ``window_hours`` window.
+
+    Scale shape: an interval dimension is small by construction (campaign
+    catalogs, maintenance windows, release trains), so this is the
+    broadcast-small-side pattern — the interval table ships once via
+    ``ray.put`` and containment is one vectorized (batch x intervals)
+    comparison per batch; the event stream never shuffles.  A
+    large-large interval join would instead range-bucket BOTH sides by
+    time (the events_windowed bucketing) and join per bucket — documented
+    here, not needed for the dimension-sized case.
+    """
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+
+    camp = (ev.filter(lambda r: r["event_type"] == "purchase")
+              .sort("event_id").limit(n_campaigns).to_pandas())
+    camp_ids = camp["event_id"].to_numpy(np.int64)
+    starts = camp["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    ends = starts + np.int64(window_hours) * 3_600_000_000
+    ref = ray.put((camp_ids, starts, ends))
+
+    class RangeJoinStage:
+        def __init__(self, intervals_ref) -> None:
+            self.cids, self.starts, self.ends = ray.get(intervals_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pa.compute.equal(batch.column("event_type"), "click")
+            batch = batch.filter(mask)
+            ts = batch.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+            eid = batch.column("event_id").to_numpy()
+            # (rows x intervals) containment — n_campaigns is dimension-
+            # sized, so this stays a small vectorized broadcast compare
+            hit = (ts[:, None] >= self.starts[None, :]) & (ts[:, None] < self.ends[None, :])
+            ri, ci = np.nonzero(hit)
+            return pa.Table.from_pydict({
+                "event_id": pa.array(eid[ri], pa.int64()),
+                "campaign_id": pa.array(self.cids[ci], pa.int64()),
+            })
+
+    return ev.map_batches(RangeJoinStage, fn_constructor_args=(ref,),
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 4))
