@@ -957,7 +957,7 @@ def events_range_join(sf_dir: str, n_campaigns: int = 20,
     """
     ev = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
 
-    camp = (ev.filter(lambda r: r["event_type"] == "purchase")
+    camp = (ev.filter(expr="event_type == 'purchase'")
               .sort("event_id").limit(n_campaigns).to_pandas())
     camp_ids = camp["event_id"].to_numpy(np.int64)
     starts = camp["ts"].to_numpy("datetime64[us]").astype(np.int64)
