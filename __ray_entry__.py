@@ -428,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": relational.events_distinct_users,
         "events_percentiles": relational.events_percentiles,
         "events_range_join": relational.events_range_join,
+        "events_funnel": relational.events_funnel,
         "events_windowed": relational.events_windowed,
         "events_lag": relational.events_lag,
         "events_asof_purchase": relational.events_asof_purchase,
@@ -713,6 +714,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9) AS bin,
                    COUNT(*) AS n
             FROM events GROUP BY 1
+        """,
+        "events_funnel": """
+            WITH v AS (
+                SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+            c AS (
+                SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.t1
+                GROUP BY e.user_id),
+            p AS (
+                SELECT e.user_id, MIN(e.ts) AS t3
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                GROUP BY e.user_id)
+            SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+            UNION ALL
+            SELECT 'view_click', CAST(COUNT(*) AS BIGINT) FROM c
+            UNION ALL
+            SELECT 'view_click_purchase', CAST(COUNT(*) AS BIGINT) FROM p
         """,
         "events_range_join": """
             WITH camp AS (

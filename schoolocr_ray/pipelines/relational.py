@@ -985,3 +985,58 @@ def events_range_join(sf_dir: str, n_campaigns: int = 20,
     return ev.map_batches(RangeJoinStage, fn_constructor_args=(ref,),
                           batch_format="pyarrow", zero_copy_batch=True,
                           concurrency=(1, 4))
+
+
+def events_funnel(sf_dir: str, num_buckets: int | None = None,
+                  target_rows_per_bucket: int = 250_000) -> ray.data.Dataset:
+    """Conversion funnel (view -> click -> purchase) — the ordered-pattern
+    rollup product analytics runs over event streams: how many users
+    viewed, how many then clicked STRICTLY AFTER their first view, how
+    many then purchased strictly after that click.  The per-user state is
+    a min-timestamp cascade (t1 = first view; t2 = first click > t1;
+    t3 = first purchase > t2), not three independent mins — stage N's
+    window depends on stage N-1's result.
+
+    Same shape as the other ordered operators: hash-bucket users
+    (input-scaled bucket count, whole histories co-located — the
+    documented assumption, liftable with the events_lag chunk treatment),
+    one vectorized cascade per bucket via per-user min maps, then a tiny
+    stage-count aggregation.  Only (user_id, ts, 2-bit type) rows shuffle.
+    """
+    if num_buckets is None:
+        num_buckets = _scaled_buckets(sf_dir, target_rows_per_bucket)
+    ds = _read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.is_in(batch.column("event_type"),
+                                value_set=pa.array(["view", "click", "purchase"]))
+        batch = batch.filter(mask)
+        uid = batch.column("user_id").to_numpy()
+        return pa.Table.from_pydict({
+            "ts_us": batch.column("ts").cast(pa.int64()),
+            "user_id": batch.column("user_id"),
+            "event_type": batch.column("event_type"),
+            "bk": pa.array((uid % num_buckets).astype(np.int32)),
+        })
+
+    _EMPTY = pd.DataFrame({"stage": pd.Series([], dtype="object"),
+                           "n_users": pd.Series([], dtype="int64")})
+
+    def funnel_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY
+        v = df[df["event_type"] == "view"].groupby("user_id")["ts_us"].min()
+        c = df[df["event_type"] == "click"]
+        c = c.assign(t1=c["user_id"].map(v))
+        c = c[c["ts_us"] > c["t1"]].groupby("user_id")["ts_us"].min()
+        p = df[df["event_type"] == "purchase"]
+        p = p.assign(t2=p["user_id"].map(c))
+        p = p[p["ts_us"] > p["t2"]].groupby("user_id")["ts_us"].min()
+        return pd.DataFrame({
+            "stage": ["view", "view_click", "view_click_purchase"],
+            "n_users": np.array([len(v), len(c), len(p)], dtype=np.int64),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True) \
+             .groupby("bk").map_groups(funnel_bucket, batch_format="pandas") \
+             .groupby("stage").aggregate(Sum("n_users", alias_name="n_users"))
