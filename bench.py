@@ -101,7 +101,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      "docs_embedding_neardup_lsh", "docs_token_shards",
                      "docs_top_terms", "events_percentiles",
                      "docs_decontaminate", "docs_repetition",
-                     "docs_shuffle_shards"):
+                     "docs_shuffle_shards", "events_range_join",
+                     "events_funnel"):
             t0 = time.monotonic()
             res = q[name](sf_dir)
             if hasattr(res, "to_pandas"):

@@ -1039,4 +1039,5 @@ def events_funnel(sf_dir: str, num_buckets: int | None = None,
 
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True) \
              .groupby("bk").map_groups(funnel_bucket, batch_format="pandas") \
+             .repartition(4) \
              .groupby("stage").aggregate(Sum("n_users", alias_name="n_users"))
