@@ -723,11 +723,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.user_id, MIN(e.ts) AS t2
                 FROM events e JOIN v ON e.user_id = v.user_id
                 WHERE e.event_type = 'click' AND e.ts > v.t1
+                      AND e.ts <= v.t1 + INTERVAL 12 HOUR
                 GROUP BY e.user_id),
             p AS (
                 SELECT e.user_id, MIN(e.ts) AS t3
                 FROM events e JOIN c ON e.user_id = c.user_id
                 WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                      AND e.ts <= c.t2 + INTERVAL 12 HOUR
                 GROUP BY e.user_id)
             SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
             UNION ALL

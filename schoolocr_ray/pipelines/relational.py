@@ -988,14 +988,17 @@ def events_range_join(sf_dir: str, n_campaigns: int = 20,
 
 
 def events_funnel(sf_dir: str, num_buckets: int | None = None,
-                  target_rows_per_bucket: int = 250_000) -> ray.data.Dataset:
+                  target_rows_per_bucket: int = 250_000,
+                  window_hours: int = 12) -> ray.data.Dataset:
     """Conversion funnel (view -> click -> purchase) — the ordered-pattern
     rollup product analytics runs over event streams: how many users
-    viewed, how many then clicked STRICTLY AFTER their first view, how
-    many then purchased strictly after that click.  The per-user state is
-    a min-timestamp cascade (t1 = first view; t2 = first click > t1;
-    t3 = first purchase > t2), not three independent mins — stage N's
-    window depends on stage N-1's result.
+    viewed, how many then clicked within ``window_hours`` STRICTLY AFTER
+    their first view, how many then purchased within the window after
+    that click.  The per-user state is a min-timestamp cascade (t1 =
+    first view; t2 = first click in (t1, t1+W]; t3 = first purchase in
+    (t2, t2+W]), not three independent mins — stage N's window depends on
+    stage N-1's result, which is what makes this an ordered operator
+    rather than a groupby.
 
     Same shape as the other ordered operators: hash-bucket users
     (input-scaled bucket count, whole histories co-located — the
@@ -1022,16 +1025,20 @@ def events_funnel(sf_dir: str, num_buckets: int | None = None,
     _EMPTY = pd.DataFrame({"stage": pd.Series([], dtype="object"),
                            "n_users": pd.Series([], dtype="int64")})
 
+    win_us = np.int64(window_hours) * 3_600_000_000
+
     def funnel_bucket(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return _EMPTY
         v = df[df["event_type"] == "view"].groupby("user_id")["ts_us"].min()
         c = df[df["event_type"] == "click"]
         c = c.assign(t1=c["user_id"].map(v))
-        c = c[c["ts_us"] > c["t1"]].groupby("user_id")["ts_us"].min()
+        c = c[(c["ts_us"] > c["t1"]) & (c["ts_us"] <= c["t1"] + win_us)] \
+             .groupby("user_id")["ts_us"].min()
         p = df[df["event_type"] == "purchase"]
         p = p.assign(t2=p["user_id"].map(c))
-        p = p[p["ts_us"] > p["t2"]].groupby("user_id")["ts_us"].min()
+        p = p[(p["ts_us"] > p["t2"]) & (p["ts_us"] <= p["t2"] + win_us)] \
+             .groupby("user_id")["ts_us"].min()
         return pd.DataFrame({
             "stage": ["view", "view_click", "view_click_purchase"],
             "n_users": np.array([len(v), len(c), len(p)], dtype=np.int64),
