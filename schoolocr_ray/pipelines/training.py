@@ -206,6 +206,12 @@ def glyph_train_report(sf_dir: str | None = None):
     """queries() entry: per-epoch (epoch, loss, train_acc) metrics of the
     distributed training run.  ``sf_dir`` accepted per the queries()
     contract but unused (the corpus derives from the model registry, not
-    the scale tier)."""
-    metrics, _w = glyph_train()
+    the scale tier).
+
+    ``GRAFT_TRAIN_EPOCHS`` caps the epoch count for smoke contexts (the
+    pytest suite sets it to keep the rows-only contract test seconds-fast;
+    the driver leaves it unset and gets the full run).  Convergence itself
+    is pinned separately in tests/test_training.py with explicit epochs."""
+    epochs = int(os.environ.get("GRAFT_TRAIN_EPOCHS", "30"))
+    metrics, _w = glyph_train(epochs=epochs)
     return metrics

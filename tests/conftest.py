@@ -9,6 +9,10 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# keep the rows-only training smoke seconds-fast (~56 s at full epochs);
+# convergence is pinned separately with explicit epochs in test_training
+os.environ.setdefault("GRAFT_TRAIN_EPOCHS", "3")
+
 
 @pytest.fixture(scope="session")
 def ray_session():
