@@ -239,3 +239,32 @@ def test_run_job_empty_input(ray_session, tmp_path):
     m = run_job(str(d), out, num_partitions=8)
     assert len(m) == 0
     assert not os.path.exists(staging_dir(out))
+
+
+def test_stage_fragments_retry_idempotent(ray_session, small_corpus, tmp_path):
+    """The claim fragment naming rests on (checkpoint.stage_fragments
+    docstring): extraction is deterministic, so a RETRIED task re-staging
+    the same block overwrites the same content-hash files — the staging
+    dir must not grow and the ack rows must be identical."""
+    import glob as g
+
+    from schoolocr_ray.pipelines.extract import read_transcripts, with_partition_id
+    from schoolocr_ray.stages.extract import FusedExtractStage
+
+    path, _table, _ = small_corpus
+    src = sorted(g.glob(path + "/*.parquet"))
+    ds = with_partition_id(read_transcripts([src[0]]), 8)
+    batch = next(iter(ds.iter_batches(batch_format="pyarrow", batch_size=None)))
+
+    staging = str(tmp_path / "staging")
+    stage = FusedExtractStage(staging=staging)
+    ack1 = stage(batch).to_pandas().sort_values(["part_id", "frag"]).reset_index(drop=True)
+    files1 = {p: os.path.getsize(p)
+              for p in sorted(g.glob(staging + "/blocks/**/*", recursive=True))}
+    assert len(files1) > 0
+
+    ack2 = stage(batch).to_pandas().sort_values(["part_id", "frag"]).reset_index(drop=True)
+    files2 = {p: os.path.getsize(p)
+              for p in sorted(g.glob(staging + "/blocks/**/*", recursive=True))}
+    assert files1 == files2, "retry grew or changed the staged fragment set"
+    assert ack1.equals(ack2), "retry produced different ack rows"
