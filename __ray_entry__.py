@@ -429,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percentiles": relational.events_percentiles,
         "events_range_join": relational.events_range_join,
         "events_funnel": relational.events_funnel,
+        "events_hll_users": relational.events_hll_users,
         "events_windowed": relational.events_windowed,
         "events_lag": relational.events_lag,
         "events_asof_purchase": relational.events_asof_purchase,
@@ -714,6 +715,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9) AS bin,
                    COUNT(*) AS n
             FROM events GROUP BY 1
+        """,
+        "events_hll_users": """
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       md5('u:' || CAST(user_id AS VARCHAR)) AS h
+                FROM events),
+            parts AS (
+                SELECT event_type,
+                       CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 64
+                            AS BIGINT) AS j,
+                       substr(h, 3, 16) AS w
+                FROM h),
+            rho AS (
+                SELECT event_type, j,
+                       length(w) - length(ltrim(w, '0')) AS nz,
+                       substr(w, length(w) - length(ltrim(w, '0')) + 1, 1) AS d
+                FROM parts)
+            SELECT event_type, j,
+                   MAX(CAST(CASE WHEN nz = 16 THEN 65
+                                 ELSE nz * 4 +
+                                      CASE WHEN d IN ('8','9','a','b','c','d','e','f') THEN 1
+                                           WHEN d IN ('4','5','6','7') THEN 2
+                                           WHEN d IN ('2','3') THEN 3
+                                           ELSE 4 END
+                            END AS BIGINT)) AS register
+            FROM rho GROUP BY event_type, j
         """,
         "events_funnel": """
             WITH v AS (

@@ -1048,3 +1048,48 @@ def events_funnel(sf_dir: str, num_buckets: int | None = None,
              .groupby("bk").map_groups(funnel_bucket, batch_format="pandas") \
              .repartition(4) \
              .groupby("stage").aggregate(Sum("n_users", alias_name="n_users"))
+
+
+def events_hll_users(sf_dir: str, n_registers: int = 64) -> ray.data.Dataset:
+    """HyperLogLog distinct-user sketch per event_type — the mergeable-
+    sketch counterpart of the exact ``events_distinct_users``: at 10^12
+    rows the exact count shuffles every distinct (type, user) pair once,
+    while the sketch's state is ``n_registers`` small ints per group that
+    merge with MAX — partials combine inside ``map_batches`` and the
+    all-to-all exchange carries at most |types| x n_registers rows total,
+    independent of cardinality.
+
+    Registers are EXACT integers (bucket = md5 prefix mod m; rho =
+    leading-zero count of the next 64 hash bits + 1), so the output is
+    deterministically checkable — the DuckDB twin recomputes the same
+    registers from the same md5, no estimate-epsilon involved; the
+    standard ~1.04/sqrt(m) estimator is a driver-side formula over these
+    registers.  Duplicate rows can't perturb a MAX, which is exactly why
+    the sketch needs no dedup pass."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(),
+            "user_id": batch.column("user_id").to_pylist(),
+        }).drop_duplicates()
+        js, rhos = [], []
+        for u in df["user_id"]:
+            h = hashlib.md5(f"u:{u}".encode()).hexdigest()
+            js.append(int(h[:2], 16) % n_registers)
+            v = int(h[2:18], 16)
+            rhos.append(65 if v == 0 else 64 - v.bit_length() + 1)
+        df = df.assign(j=np.array(js, dtype=np.int64),
+                       rho=np.array(rhos, dtype=np.int64))
+        g = df.groupby(["event_type", "j"], sort=False)["rho"].max().reset_index()
+        return pa.Table.from_pandas(
+            g.rename(columns={"rho": "register"}), preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+             .repartition(4) \
+             .groupby(["event_type", "j"]) \
+             .aggregate(Max("register", alias_name="register"))

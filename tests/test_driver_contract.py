@@ -50,7 +50,7 @@ SQL_CHECKED = [
     "events_stats", "events_histogram", "events_distinct_users",
     "events_windowed", "events_lag", "events_asof_purchase",
     "events_hopping", "events_sessions", "events_percentiles",
-    "events_range_join", "events_funnel",
+    "events_range_join", "events_funnel", "events_hll_users",
     "customers_per_region", "lineitem_semi_join", "lineitem_order_join",
     "top_customers", "orders_rollup",
     "docs_token_count", "docs_quality", "docs_langid", "docs_exact_dedup",
