@@ -121,3 +121,29 @@ def test_entry_smoke(ray_session):
     df = _to_pandas(ds)
     assert len(df) > 0
     assert {"conv_id", "turn_idx", "extracted_text", "table_cells"} <= set(df.columns)
+
+
+def test_hll_estimate_tracks_exact_distinct(contract):
+    """Beyond register equality (the SQL check): the standard HLL
+    estimator over those registers must land within the sketch's
+    theoretical error of the EXACT per-type distinct count — validates
+    the sketch semantics, not just the arithmetic."""
+    import math
+
+    queries, _ = contract
+    regs = _to_pandas(queries["events_hll_users"](SF_DIR))
+    exact = _to_pandas(queries["events_distinct_users"](SF_DIR)) \
+        .set_index("event_type")["n_users"]
+
+    m = 64
+    alpha = 0.7213 / (1 + 1.079 / m)
+    for etype, grp in regs.groupby("event_type"):
+        M = dict(zip(grp["j"], grp["register"]))
+        full = [M.get(j, 0) for j in range(m)]
+        est = alpha * m * m / sum(2.0 ** -r for r in full)
+        zeros = sum(1 for r in full if r == 0)
+        if est <= 2.5 * m and zeros:
+            est = m * math.log(m / zeros)
+        rel = abs(est - exact[etype]) / exact[etype]
+        # 1.04/sqrt(64) ~ 13% standard error; allow 3 sigma
+        assert rel < 0.39, (etype, est, int(exact[etype]), rel)
