@@ -466,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_shards": curation.token_shards,
         "docs_top_terms": curation.top_terms,
         "docs_shuffle_shards": curation.shuffle_shards,
+        "docs_corpus_tf_score": curation.corpus_tf_score,
         # --- multimodal plumbing (decode/resize/frames SQL-checked via the
         # fake container's byte arithmetic; the frames DIGEST column stays
         # pytest-pinned — DuckDB 1.0 has no blob substring/sha1 to twin it)
@@ -1089,6 +1090,24 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY key, doc_id) - 1
                         AS BIGINT) AS pos
             FROM s
+        """,
+        "docs_corpus_tf_score": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '[^a-zа-яё]+'),
+                                          x -> x <> '')) AS term
+                FROM documents),
+            tf AS (
+                SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+                FROM tok GROUP BY doc_id, term),
+            ctf AS (
+                SELECT term, SUM(tf)::BIGINT AS corpus_tf
+                FROM tf GROUP BY term)
+            SELECT tf.doc_id,
+                   SUM(tf.tf)::BIGINT AS n_tok,
+                   SUM(tf.tf * ctf.corpus_tf)::BIGINT AS sum_w
+            FROM tf JOIN ctf ON tf.term = ctf.term
+            GROUP BY tf.doc_id
         """,
         "docs_top_terms": r"""
             WITH tok AS (

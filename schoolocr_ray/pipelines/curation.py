@@ -291,3 +291,74 @@ def shuffle_shards(sf_dir: str, seed: int = 42,
         })
 
     return tab.groupby("kb").map_groups(assign, batch_format="pandas")
+
+
+def corpus_tf_score(sf_dir: str, num_buckets: int | None = None) -> ray.data.Dataset:
+    """Corpus-frequency score per document — the unigram-LM quality
+    signal: ``sum_w / n_tok`` is the average corpus frequency of the
+    doc's tokens, so gibberish / OCR-noise documents (rare tokens) score
+    low and template/boilerplate docs score high.  Kept as the integer
+    pair (n_tok, sum_w = sum over tokens of tf_doc x tf_corpus) so the
+    DuckDB twin is exact; consumers form the ratio (a float log-prob
+    would only monotonically rescale the same ordering).
+
+    Same two-bucket-shuffle shape as ``top_terms`` (whose (doc, term, tf)
+    rows are globally unique): the term bucket computes each term's
+    corpus total with one vectorized ``transform('sum')`` — no vocab-wide
+    aggregate, no join, no broadcast (the vocab is corpus-scale) — and
+    the doc bucket sums the weighted rows.  Each row crosses the wire
+    exactly twice, independent of vocabulary or corpus size."""
+    if num_buckets is None:
+        n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+        num_buckets = max(16, -(-n // 25_000))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows_doc, rows_term, rows_tf = [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            toks = [t for t in _NONWORD.split(text.lower()) if t]
+            if not toks:
+                continue
+            vc = pd.Series(toks).value_counts()
+            rows_doc.extend([did] * len(vc))
+            rows_term.extend(vc.index.tolist())
+            rows_tf.extend(vc.to_numpy().tolist())
+        out = pd.DataFrame({"doc_id": np.asarray(rows_doc, dtype=np.int64),
+                            "term": rows_term,
+                            "tf": np.asarray(rows_tf, dtype=np.int64)})
+        out["tbk"] = (pd.util.hash_array(out["term"].to_numpy(object))
+                      % num_buckets).astype(np.int32)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    _EMPTY_W = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "tf": pd.Series([], dtype="int64"),
+                             "w": pd.Series([], dtype="int64"),
+                             "bk": pd.Series([], dtype="int32")})
+
+    def weight_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY_W
+        corpus_tf = df.groupby("term", sort=False)["tf"].transform("sum")
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "tf": df["tf"].to_numpy(),
+            "w": (df["tf"].to_numpy() * corpus_tf.to_numpy()).astype(np.int64),
+        })
+        out["bk"] = ((out["doc_id"] * 1_000_003) % num_buckets).astype(np.int32)
+        return out
+
+    _EMPTY_S = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_tok": pd.Series([], dtype="int64"),
+                             "sum_w": pd.Series([], dtype="int64")})
+
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY_S
+        g = df.groupby("doc_id", sort=False).agg(
+            n_tok=("tf", "sum"), sum_w=("w", "sum")).reset_index()
+        return g[["doc_id", "n_tok", "sum_w"]]
+
+    rows = _read_docs(sf_dir).map_batches(explode, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+    return rows.groupby("tbk").map_groups(weight_bucket, batch_format="pandas") \
+               .groupby("bk").map_groups(score_bucket, batch_format="pandas")

@@ -81,6 +81,7 @@ SQL_CHECKED = [
     "docs_token_shards",
     "docs_top_terms",
     "docs_shuffle_shards",
+    "docs_corpus_tf_score",
 ]
 
 
