@@ -989,7 +989,8 @@ def events_range_join(sf_dir: str, n_campaigns: int = 20,
 
 def events_funnel(sf_dir: str, num_buckets: int | None = None,
                   target_rows_per_bucket: int = 250_000,
-                  window_hours: int = 12) -> ray.data.Dataset:
+                  window_hours: int = 12,
+                  mode: str = "bucketed") -> ray.data.Dataset:
     """Conversion funnel (view -> click -> purchase) — the ordered-pattern
     rollup product analytics runs over event streams: how many users
     viewed, how many then clicked within ``window_hours`` STRICTLY AFTER
@@ -1001,11 +1002,18 @@ def events_funnel(sf_dir: str, num_buckets: int | None = None,
     rather than a groupby.
 
     Same shape as the other ordered operators: hash-bucket users
-    (input-scaled bucket count, whole histories co-located — the
-    documented assumption, liftable with the events_lag chunk treatment),
-    one vectorized cascade per bucket via per-user min maps, then a tiny
+    (input-scaled bucket count, whole histories co-located), one
+    vectorized cascade per bucket via per-user min maps, then a tiny
     stage-count aggregation.  Only (user_id, ts, 2-bit type) rows shuffle.
+
+    ``mode="join"`` switches to the co-location-free scale path
+    (``_events_funnel_joined``): cascaded native hash joins + partial-Min
+    aggregates, immune to mega-users at the cost of three stream passes —
+    equality-tested against this default.
     """
+    win_us = np.int64(window_hours) * 3_600_000_000
+    if mode == "join":
+        return _events_funnel_joined(sf_dir, int(win_us))
     if num_buckets is None:
         num_buckets = _scaled_buckets(sf_dir, target_rows_per_bucket)
     ds = _read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
@@ -1025,7 +1033,6 @@ def events_funnel(sf_dir: str, num_buckets: int | None = None,
     _EMPTY = pd.DataFrame({"stage": pd.Series([], dtype="object"),
                            "n_users": pd.Series([], dtype="int64")})
 
-    win_us = np.int64(window_hours) * 3_600_000_000
 
     def funnel_bucket(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -1093,3 +1100,69 @@ def events_hll_users(sf_dir: str, n_registers: int = 64) -> ray.data.Dataset:
              .repartition(4) \
              .groupby(["event_type", "j"]) \
              .aggregate(Max("register", alias_name="register"))
+
+
+def _events_funnel_joined(sf_dir: str, win_us: int,
+                          num_partitions: int = 16) -> "ray.data.Dataset":
+    """Join-mode funnel — the co-location-free scale path (the jaccard
+    ``count_mode="join"`` duality applied to the ordered-pattern family):
+    each stage is a filtered partial-Min aggregate joined onto the next
+    stage's event stream with the native hash-partitioned
+    ``Dataset.join``, so NO bucket ever holds a whole user history — a
+    10^8-event mega-user costs exactly what 10^8 ordinary rows cost.
+    Three passes over the (pruned, projected) stream instead of one; the
+    bucketed default wins when histories fit, this path wins when they
+    don't."""
+    ds = _read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+
+    def stage_rows(etype):
+        def fn(batch: pa.Table) -> pa.Table:
+            mask = pa.compute.equal(batch.column("event_type"), etype)
+            b = batch.filter(mask)
+            return pa.Table.from_pydict({
+                "user_id": b.column("user_id"),
+                "ts_us": b.column("ts").cast(pa.int64()),
+            })
+        return fn
+
+    from ray.data.aggregate import Min
+
+    views = ds.map_batches(stage_rows("view"), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    # the stage tables are one narrow row per qualifying USER (distinct-
+    # user-sized, not event-sized); materializing them keeps the lazy
+    # cascade from re-executing stage N-1's lineage for stage N and for
+    # the final counts — the same deliberate narrow-table exception
+    # token_shards documents
+    t1 = views.groupby("user_id").aggregate(Min("ts_us", alias_name="t1")) \
+              .materialize()
+
+    def next_stage(prev, prev_col, etype, out_col):
+        rows = ds.map_batches(stage_rows(etype), batch_format="pyarrow",
+                              zero_copy_batch=True)
+        j = rows.join(prev, join_type="inner", num_partitions=num_partitions,
+                      on=("user_id",))
+
+        def window_filter(batch: pa.Table) -> pa.Table:
+            ts = batch.column("ts_us").to_numpy()
+            t0 = batch.column(prev_col).to_numpy()
+            keep = (ts > t0) & (ts <= t0 + win_us)
+            b = batch.filter(pa.array(keep))
+            return pa.Table.from_pydict({"user_id": b.column("user_id"),
+                                         "ts_us": b.column("ts_us")})
+
+        return j.map_batches(window_filter, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+                .groupby("user_id").aggregate(Min("ts_us", alias_name=out_col)) \
+                .materialize()
+
+    t2 = next_stage(t1, "t1", "click", "t2")
+    t3 = next_stage(t2, "t2", "purchase", "t3")
+
+    counts = []
+    for stage, tbl in (("view", t1), ("view_click", t2),
+                       ("view_click_purchase", t3)):
+        n = tbl.count()
+        counts.append({"stage": stage, "n_users": n})
+    return ray.data.from_pandas(pd.DataFrame(counts).astype(
+        {"stage": "object", "n_users": "int64"}))

@@ -148,3 +148,15 @@ def test_hll_estimate_tracks_exact_distinct(contract):
         rel = abs(est - exact[etype]) / exact[etype]
         # 1.04/sqrt(64) ~ 13% standard error; allow 3 sigma
         assert rel < 0.39, (etype, est, int(exact[etype]), rel)
+
+
+def test_funnel_join_mode_equals_bucketed(contract, ray_session):
+    """The co-location-free join-mode funnel (cascaded native hash joins +
+    partial Mins, immune to mega-users) must equal the bucketed default."""
+    from schoolocr_ray.pipelines.relational import events_funnel
+
+    a = _to_pandas(events_funnel(SF_DIR)) \
+        .sort_values("stage").reset_index(drop=True)
+    b = _to_pandas(events_funnel(SF_DIR, mode="join")) \
+        .sort_values("stage").reset_index(drop=True)
+    assert a.equals(b)
