@@ -185,7 +185,7 @@ def top_terms(sf_dir: str, k: int = TOP_TERMS_K,
         # all bucketing needs — the bucket id never reaches the output)
         out["tbk"] = (pd.util.hash_array(out["term"].to_numpy(object))
                       % num_buckets).astype(np.int32)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     tf_rows = _read_docs(sf_dir).map_batches(
         explode, batch_format="pyarrow", zero_copy_batch=True)
@@ -328,7 +328,7 @@ def corpus_tf_score(sf_dir: str, num_buckets: int | None = None) -> ray.data.Dat
                             "tf": np.asarray(rows_tf, dtype=np.int64)})
         out["tbk"] = (pd.util.hash_array(out["term"].to_numpy(object))
                       % num_buckets).astype(np.int32)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     _EMPTY_W = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "tf": pd.Series([], dtype="int64"),

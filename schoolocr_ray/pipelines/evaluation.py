@@ -97,7 +97,7 @@ class EvalStage:
         })
         g = df.groupby("cls", sort=False).agg(
             n=("correct", "size"), correct=("correct", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
 
 def glyph_eval(sf_dir: str | None = None) -> ray.data.Dataset:

@@ -40,7 +40,7 @@ def events_stats(sf_dir: str) -> ray.data.Dataset:
                            "cents": _cents(batch.column("value").to_numpy())})
         g = df.groupby("event_type", sort=False).agg(
             n=("cents", "size"), sum_cents=("cents", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
              .groupby("event_type").aggregate(
@@ -87,7 +87,7 @@ def customers_per_region(sf_dir: str) -> ray.data.Dataset:
             g = df.groupby("r_name", sort=False).agg(
                 n_customers=("cents", "size"),
                 acctbal_cents=("cents", "sum")).reset_index()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
     return ds.map_batches(JoinStage, fn_constructor_args=(ref,),
@@ -140,7 +140,7 @@ def orders_rollup(sf_dir: str) -> ray.data.Dataset:
         })
         g = df.groupby("o_orderpriority", sort=False).agg(
             n=("cents", "size"), total_cents=("cents", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
              .groupby("o_orderpriority").aggregate(
@@ -176,7 +176,7 @@ def lineitem_order_join(sf_dir: str, num_partitions: int = 16) -> ray.data.Datas
         })
         g = df.groupby("o_orderpriority", sort=False).agg(
             n=("cents", "size"), revenue_cents=("cents", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     return joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
                  .groupby("o_orderpriority").aggregate(
@@ -201,7 +201,7 @@ def events_windowed(sf_dir: str, window_hours: int = 6) -> ray.data.Dataset:
         })
         g = df.groupby(["event_type", "win"], sort=False).agg(
             n=("cents", "size"), sum_cents=("cents", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
              .groupby(["event_type", "win"]).aggregate(
@@ -396,7 +396,7 @@ def events_hopping(sf_dir: str, window_hours: int = 6,
                            "cents": cs[keep]})
         g = df.groupby(["event_type", "win"], sort=False).agg(
             n=("cents", "size"), sum_cents=("cents", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
              .groupby(["event_type", "win"]).aggregate(
@@ -870,7 +870,7 @@ def events_distinct_users(sf_dir: str, num_buckets: int | None = None,
             "user_id": batch.column("user_id").to_numpy(zero_copy_only=False),
         }).drop_duplicates()
         df["bk"] = (df["user_id"].to_numpy() % num_buckets).astype(np.int32)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
         g = df.drop_duplicates(["event_type", "user_id"]) \
@@ -915,7 +915,13 @@ def events_percentiles(sf_dir: str,
         })
         g = df.groupby(["event_type", "cents"], sort=False) \
               .size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # from_pydict, not from_pandas: the pandas schema metadata makes
+        # Ray's shuffle-reduce schema dedup log a warning per reduce task
+        return pa.Table.from_pydict({
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(), pa.int64()),
+        })
 
     # the partials shrink to <= |types| x |distinct cents| rows per block;
     # coalesce them before the groupby — Ray's sort-shuffle pays a fixed
@@ -1094,7 +1100,8 @@ def events_hll_users(sf_dir: str, n_registers: int = 64) -> ray.data.Dataset:
                        rho=np.array(rhos, dtype=np.int64))
         g = df.groupby(["event_type", "j"], sort=False)["rho"].max().reset_index()
         return pa.Table.from_pandas(
-            g.rename(columns={"rho": "register"}), preserve_index=False)
+            g.rename(columns={"rho": "register"}),
+            preserve_index=False).replace_schema_metadata(None)
 
     return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
              .repartition(4) \

@@ -49,7 +49,7 @@ def conv_rollup(ds: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset
             max_turn_idx=("turn_idx", "max"),
         ).reset_index()
         g["bk"] = hash_partition_ids(g["conv_id"].to_numpy(), num_buckets)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("conv_id", as_index=False).agg(

@@ -34,6 +34,14 @@ class _EmptyBlockSchemaFilter(logging.Filter):
 _installed = False
 
 
+class _SchemaHashDedupFilter(logging.Filter):
+    """Drop the ``Failed to hash the schemas (for deduplication)`` warning
+    — see install_log_filters for why it is cosmetic here."""
+
+    def filter(self, record: logging.LogRecord) -> bool:  # True = keep
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
 def install_log_filters() -> None:
     """Install the empty-block schema-warning filter once per process."""
     global _installed
@@ -42,4 +50,12 @@ def install_log_filters() -> None:
     logging.getLogger(
         "ray.data._internal.execution.streaming_executor_state"
     ).addFilter(_EmptyBlockSchemaFilter())
+    # Ray's shuffle-reduce schema DEDUP (an internal memory optimization)
+    # logs a warning whenever a block schema isn't hashable — pandas-format
+    # blocks (PandasBlockSchema holds dict-typed dtypes) never are, so any
+    # map_groups(batch_format="pandas") stage triggers it.  Purely
+    # cosmetic: dedup is skipped and execution is identical.
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).addFilter(_SchemaHashDedupFilter())
     _installed = True
