@@ -467,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_terms": curation.top_terms,
         "docs_shuffle_shards": curation.shuffle_shards,
         "docs_corpus_tf_score": curation.corpus_tf_score,
+        "docs_curation_pipeline": curation.curation_pipeline,
         # --- multimodal plumbing (decode/resize/frames SQL-checked via the
         # fake container's byte arithmetic; the frames DIGEST column stays
         # pytest-pinned — DuckDB 1.0 has no blob substring/sha1 to twin it)
@@ -1090,6 +1091,37 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY key, doc_id) - 1
                         AS BIGINT) AS pos
             FROM s
+        """,
+        "docs_curation_pipeline": r"""
+            WITH kept AS (
+                SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+            tokd AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+                FROM documents WHERE trim(text) <> ''),
+            sh AS (
+                SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+                FROM (SELECT doc_id, ts,
+                             unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+                      FROM tokd)),
+            eval_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+            clean AS (
+                SELECT d.doc_id FROM documents d
+                WHERE d.doc_id % 50 <> 0
+                  AND NOT EXISTS (
+                      SELECT 1 FROM sh
+                      WHERE sh.doc_id = d.doc_id
+                        AND sh.s IN (SELECT s FROM eval_sh))),
+            quality AS (
+                SELECT doc_id FROM documents
+                WHERE CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+')) END >= 10)
+            SELECT k.doc_id,
+                   CAST((strpos('0123456789abcdef',
+                                substr(md5('42:' || CAST(k.doc_id AS VARCHAR)), 1, 1)) - 1) % 8
+                        AS BIGINT) AS shard
+            FROM kept k
+            JOIN clean c ON k.doc_id = c.doc_id
+            JOIN quality q ON k.doc_id = q.doc_id
         """,
         "docs_corpus_tf_score": r"""
             WITH tok AS (

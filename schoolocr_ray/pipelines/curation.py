@@ -362,3 +362,55 @@ def corpus_tf_score(sf_dir: str, num_buckets: int | None = None) -> ray.data.Dat
                                           zero_copy_batch=True)
     return rows.groupby("tbk").map_groups(weight_bucket, batch_format="pandas") \
                .groupby("bk").map_groups(score_bucket, batch_format="pandas")
+
+
+def curation_pipeline(sf_dir: str, min_tokens: int = 10,
+                      seed: int = 42, n_shards: int = 8) -> ray.data.Dataset:
+    """The composed end-to-end curation flow — what a training-data user
+    actually runs: exact dedup ∩ decontamination ∩ quality floor, then
+    shard assignment; one lazy Dataset pipeline, streaming end to end.
+
+    Composition: each upstream operator keeps its single-responsibility
+    shape and emits its (narrow, one-row-per-doc) verdict table; the
+    3-way doc_id semi-join is a UNION + membership count (a doc kept by
+    all three filters appears exactly three times — each verdict table is
+    distinct-per-doc by construction), which costs ONE sort-groupby over
+    id-only rows instead of two cascaded hash joins (two extra shuffle
+    fleets, and join aggregator pools can starve small clusters).  Never
+    shuffles text."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from .text import decontaminate, exact_dedup, token_count
+
+    kept = exact_dedup(sf_dir)                       # (doc_id) min-per-text
+    clean = decontaminate(sf_dir) \
+        .filter(expr="contaminated == False") \
+        .select_columns(["doc_id"])                  # uncontaminated train docs
+    quality = token_count(sf_dir) \
+        .filter(expr=f"n_tokens >= {min_tokens}") \
+        .select_columns(["doc_id"])
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+
+    votes = kept.union(clean, quality) \
+                .map_batches(ones, batch_format="pyarrow", zero_copy_batch=True) \
+                .groupby("doc_id").aggregate(Sum("n", alias_name="n"))
+    final = votes.filter(expr="n == 3")
+
+    def assign_shard(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        shards = [int(hashlib.md5(f"{seed}:{d}".encode()).hexdigest()[0], 16)
+                  % n_shards for d in ids]
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "shard": pa.array(shards, pa.int64()),
+        })
+
+    return final.map_batches(assign_shard, batch_format="pyarrow",
+                             zero_copy_batch=True)

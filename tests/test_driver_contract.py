@@ -82,6 +82,7 @@ SQL_CHECKED = [
     "docs_top_terms",
     "docs_shuffle_shards",
     "docs_corpus_tf_score",
+    "docs_curation_pipeline",
 ]
 
 
