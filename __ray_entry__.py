@@ -468,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_shuffle_shards": curation.shuffle_shards,
         "docs_corpus_tf_score": curation.corpus_tf_score,
         "docs_curation_pipeline": curation.curation_pipeline,
+        "docs_split": curation.train_val_test_split,
         # --- multimodal plumbing (decode/resize/frames SQL-checked via the
         # fake container's byte arithmetic; the frames DIGEST column stays
         # pytest-pinned — DuckDB 1.0 has no blob substring/sha1 to twin it)
@@ -1091,6 +1092,24 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY key, doc_id) - 1
                         AS BIGINT) AS pos
             FROM s
+        """,
+        "docs_split": r"""
+            WITH h AS (
+                SELECT doc_id,
+                       substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 4) AS k
+                FROM documents),
+            v AS (
+                SELECT doc_id,
+                       (((strpos('0123456789abcdef', substr(k,1,1)) - 1) * 16
+                         + (strpos('0123456789abcdef', substr(k,2,1)) - 1)) * 16
+                         + (strpos('0123456789abcdef', substr(k,3,1)) - 1)) * 16
+                         + (strpos('0123456789abcdef', substr(k,4,1)) - 1) AS val
+                FROM h)
+            SELECT doc_id,
+                   CASE WHEN (val * 100) // 65536 < 5 THEN 'test'
+                        WHEN (val * 100) // 65536 < 10 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM v
         """,
         "docs_curation_pipeline": r"""
             WITH kept AS (

@@ -414,3 +414,36 @@ def curation_pipeline(sf_dir: str, min_tokens: int = 10,
 
     return final.map_batches(assign_shard, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def train_val_test_split(sf_dir: str, seed: int = 7,
+                         val_pct: int = 5, test_pct: int = 5) -> ray.data.Dataset:
+    """Deterministic train/val/test split — the last step before training:
+    split membership is a pure function of (seed, doc_id) (md5 percentile
+    bucket), so every worker, rerun and downstream consumer agrees on the
+    assignment with zero coordination, and changing the seed re-splits
+    without touching data.  Embarrassingly parallel, zero shuffle.
+
+    Percentile comes from the first 4 hex digits (0..65535 scaled to
+    0..99), giving ~±0.4% split-size jitter at 10k docs — the standard
+    hash-split trade (exactness would need a global sort)."""
+    import hashlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        splits = []
+        for d in ids:
+            pct = int(hashlib.md5(f"{seed}:{d}".encode()).hexdigest()[:4], 16) * 100 // 65536
+            if pct < test_pct:
+                splits.append("test")
+            elif pct < test_pct + val_pct:
+                splits.append("val")
+            else:
+                splits.append("train")
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "split": pa.array(splits, pa.string()),
+        })
+
+    return _read_docs(sf_dir, columns=("doc_id",)).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)

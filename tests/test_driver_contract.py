@@ -83,6 +83,7 @@ SQL_CHECKED = [
     "docs_shuffle_shards",
     "docs_corpus_tf_score",
     "docs_curation_pipeline",
+    "docs_split",
 ]
 
 
