@@ -1,12 +1,15 @@
 """Corpus-curation operators over the ``documents`` table — the dataset
 assembly steps that sit between cleaning/dedup and training: deterministic
 stratified sampling, token-budget sharding (a distributed prefix sum — the
-scan primitive Ray Data lacks natively), and per-document top-terms (the
-inverted-index / TF-DF family).
+scan primitive Ray Data lacks natively), per-document top-terms (the
+inverted-index / TF-DF family), seeded shuffle-sharding, corpus-frequency
+scoring, the train/val/test split, and the composed end-to-end curation
+pipeline.
 
-All three are SQL-checkable: arithmetic is integer-exact (hash thresholds
-as fractions of 2^32, rank ties broken lexicographically) so the DuckDB
-oracles in ``__ray_entry__`` match byte-for-byte.
+All are SQL-checkable: arithmetic is integer-exact (hash thresholds as
+fractions of 2^32, md5 hex digits decoded with strpos, rank ties broken
+lexicographically) so the DuckDB oracles in ``__ray_entry__`` match
+byte-for-byte.
 """
 from __future__ import annotations
 
