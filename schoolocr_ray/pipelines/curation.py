@@ -259,6 +259,13 @@ def shuffle_shards(sf_dir: str, seed: int = 42,
 
     tab = docs.map_batches(keyed, batch_format="pyarrow",
                            zero_copy_batch=True).materialize()
+    if tab.count() == 0:
+        # zero-row shard: groupby on an empty (possibly schema-less) block
+        # KeyErrors inside Ray's group sorter — return the typed empty
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "shard": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64())}))
 
     def partials(batch: pa.Table) -> pa.Table:
         kb, n = np.unique(batch.column("kb").to_numpy(), return_counts=True)

@@ -418,8 +418,10 @@ def decontaminate(sf_dir: str, k: int = 3, eval_mod: int = 50) -> ray.data.Datas
                 out |= shingles(t, k)
         return pa.Table.from_pydict({"s": pa.array(sorted(out), pa.string())})
 
+    # `or []`: Dataset.unique on an empty dataset can yield None instead
+    # of an empty list (observed when the empty blocks are schema-less)
     eval_set = set(docs.map_batches(eval_shingles, batch_format="pyarrow",
-                                    zero_copy_batch=True).unique("s"))
+                                    zero_copy_batch=True).unique("s") or [])
     ref = ray.put(eval_set)
 
     class DecontaminateStage:

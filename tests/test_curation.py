@@ -123,3 +123,24 @@ def test_shuffle_shards_dense_deterministic(ray_session):
     a = got.sort_values("doc_id").reset_index(drop=True)
     b = again.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_new_docs_ops_survive_empty_table(ray_session, tmp_path):
+    """An empty documents shard (real at 100 TB: a partition with no
+    surviving docs) must flow through every curation operator as an empty
+    result, never a crash — pins the Dataset.unique()-returns-None edge."""
+    import pyarrow as pa
+
+    d = tmp_path / "empty_sf"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array([], "int64"),
+                             "text": pa.array([], "string"),
+                             "lang": pa.array([], "string")}),
+                   str(d / "documents.parquet"))
+
+    from schoolocr_ray.pipelines import curation, text
+
+    for fn in (text.decontaminate, text.repetition_scores,
+               curation.shuffle_shards, curation.corpus_tf_score,
+               curation.train_val_test_split, curation.curation_pipeline):
+        assert len(fn(str(d)).to_pandas()) == 0, fn.__name__
