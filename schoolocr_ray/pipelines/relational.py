@@ -965,6 +965,12 @@ def events_range_join(sf_dir: str, n_campaigns: int = 20,
 
     camp = (ev.filter(expr="event_type == 'purchase'")
               .sort("event_id").limit(n_campaigns).to_pandas())
+    if camp.empty:
+        # no campaigns (empty shard): an empty to_pandas loses columns,
+        # so return the typed empty rather than indexing into it
+        return ray.data.from_arrow(pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "campaign_id": pa.array([], pa.int64())}))
     camp_ids = camp["event_id"].to_numpy(np.int64)
     starts = camp["ts"].to_numpy("datetime64[us]").astype(np.int64)
     ends = starts + np.int64(window_hours) * 3_600_000_000

@@ -162,3 +162,27 @@ def test_funnel_join_mode_equals_bucketed(contract, ray_session):
     b = _to_pandas(events_funnel(SF_DIR, mode="join")) \
         .sort_values("stage").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_new_events_ops_survive_empty_table(ray_session, tmp_path):
+    """An empty events shard must flow through the round-3 event operators
+    as an empty/zero result, never a crash."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "empty_events"
+    d.mkdir()
+    pq.write_table(pa.table({"event_id": pa.array([], "int64"),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "user_id": pa.array([], "int64"),
+                             "event_type": pa.array([], "string"),
+                             "value": pa.array([], "float64"),
+                             "props": pa.array([], "string")}),
+                   str(d / "events.parquet"))
+
+    from schoolocr_ray.pipelines import relational as r
+
+    for fn in (r.events_percentiles, r.events_range_join,
+               r.events_funnel, r.events_hll_users):
+        df = _to_pandas(fn(str(d)))
+        assert len(df) == 0 or set(df.get("n_users", [])) == {0}, fn.__name__
