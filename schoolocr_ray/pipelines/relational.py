@@ -1149,6 +1149,12 @@ def _events_funnel_joined(sf_dir: str, win_us: int,
     # token_shards documents
     t1 = views.groupby("user_id").aggregate(Min("ts_us", alias_name="t1")) \
               .materialize()
+    if t1.count() == 0:
+        # empty shard / no views: the native join can't key into a
+        # schema-less empty side, so emit the zero-stage result directly
+        return ray.data.from_pandas(pd.DataFrame(
+            {"stage": ["view", "view_click", "view_click_purchase"],
+             "n_users": np.zeros(3, dtype=np.int64)}))
 
     def next_stage(prev, prev_col, etype, out_col):
         rows = ds.map_batches(stage_rows(etype), batch_format="pyarrow",

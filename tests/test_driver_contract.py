@@ -182,7 +182,10 @@ def test_new_events_ops_survive_empty_table(ray_session, tmp_path):
 
     from schoolocr_ray.pipelines import relational as r
 
+    import functools
+
     for fn in (r.events_percentiles, r.events_range_join,
-               r.events_funnel, r.events_hll_users):
+               r.events_funnel, r.events_hll_users,
+               functools.partial(r.events_funnel, mode="join")):
         df = _to_pandas(fn(str(d)))
-        assert len(df) == 0 or set(df.get("n_users", [])) == {0}, fn.__name__
+        assert len(df) == 0 or set(df.get("n_users", [])) == {0}, fn
