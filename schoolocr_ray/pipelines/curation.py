@@ -21,6 +21,8 @@ import ray.data
 
 from .text import EN_STOP, RU_STOP, _NONWORD, _read_docs, _tokens
 
+from ..util import arrow_groups
+
 # typed empty frames: map_groups stages must emit schema-carrying empties
 # (a schema-less empty block trips the executor's RefBundle schema check)
 _EMPTY_TOPK = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
@@ -144,7 +146,7 @@ def token_shards(sf_dir: str, capacity: int = SHARD_CAPACITY,
             "shard_id": (start.to_numpy().astype(np.int64)) // capacity,
         })
 
-    return tok.groupby("bucket").map_groups(assign, batch_format="pandas")
+    return tok.groupby("bucket").map_groups(arrow_groups(assign), batch_format="pandas")
 
 
 def top_terms(sf_dir: str, k: int = TOP_TERMS_K,
@@ -215,8 +217,8 @@ def top_terms(sf_dir: str, k: int = TOP_TERMS_K,
         out = df.groupby("doc_id", sort=False).head(k)
         return out[["doc_id", "term", "tf", "df"]].reset_index(drop=True)
 
-    return tf_rows.groupby("tbk").map_groups(df_bucket, batch_format="pandas") \
-                  .groupby("bk").map_groups(topk_bucket, batch_format="pandas")
+    return tf_rows.groupby("tbk").map_groups(arrow_groups(df_bucket), batch_format="pandas") \
+                  .groupby("bk").map_groups(arrow_groups(topk_bucket), batch_format="pandas")
 
 
 def shuffle_shards(sf_dir: str, seed: int = 42,
@@ -300,7 +302,7 @@ def shuffle_shards(sf_dir: str, seed: int = 42,
             "pos": base + np.arange(len(df), dtype=np.int64),
         })
 
-    return tab.groupby("kb").map_groups(assign, batch_format="pandas")
+    return tab.groupby("kb").map_groups(arrow_groups(assign), batch_format="pandas")
 
 
 def corpus_tf_score(sf_dir: str, num_buckets: int | None = None) -> ray.data.Dataset:
@@ -370,8 +372,8 @@ def corpus_tf_score(sf_dir: str, num_buckets: int | None = None) -> ray.data.Dat
 
     rows = _read_docs(sf_dir).map_batches(explode, batch_format="pyarrow",
                                           zero_copy_batch=True)
-    return rows.groupby("tbk").map_groups(weight_bucket, batch_format="pandas") \
-               .groupby("bk").map_groups(score_bucket, batch_format="pandas")
+    return rows.groupby("tbk").map_groups(arrow_groups(weight_bucket), batch_format="pandas") \
+               .groupby("bk").map_groups(arrow_groups(score_bucket), batch_format="pandas")
 
 
 def curation_pipeline(sf_dir: str, min_tokens: int = 10,

@@ -27,6 +27,8 @@ import ray.data
 from .similarity import read_embeddings
 from .text import _read_docs, shingles
 
+from ..util import arrow_groups
+
 N_PERM = 64
 N_BANDS = 8
 ROWS_PER_BAND = N_PERM // N_BANDS
@@ -101,7 +103,7 @@ def _pair_dedup(ds: ray.data.Dataset, cols: list[str],
         return df.drop_duplicates(cols[:2]).drop(columns=["pb"])
 
     return ds.map_batches(add_pb, batch_format="pyarrow", zero_copy_batch=True) \
-             .groupby("pb").map_groups(uniq, batch_format="pandas")
+             .groupby("pb").map_groups(arrow_groups(uniq), batch_format="pandas")
 
 
 def _minhash_bucket_pairs(df: pd.DataFrame, threshold: float,
@@ -156,7 +158,8 @@ def minhash_candidate_pairs(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     """shingle -> minhash -> band -> bucket groupby -> candidate pairs
     (unverified: every same-band-signature pair, hot-capped)."""
     cand = _minhash_band_buckets(sf_dir, k).groupby("bk").map_groups(
-        lambda df: _minhash_bucket_pairs(df, 0.0, HOT_CAP)[["doc_a", "doc_b"]],
+        arrow_groups(
+            lambda df: _minhash_bucket_pairs(df, 0.0, HOT_CAP)[["doc_a", "doc_b"]]),
         batch_format="pandas")
     return _pair_dedup(cand, ["doc_a", "doc_b"])
 
@@ -173,7 +176,7 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.5, k: int = 3,
     near the threshold can flip vs the exact-Jaccard oracle, which the
     recall test (tests/test_trainops.py) bounds."""
     pairs = _minhash_band_buckets(sf_dir, k).groupby("bk").map_groups(
-        lambda df: _minhash_bucket_pairs(df, threshold, hot_cap),
+        arrow_groups(lambda df: _minhash_bucket_pairs(df, threshold, hot_cap)),
         batch_format="pandas")
     # a pair collides in several bands with the SAME estimate: keep one
     return _pair_dedup(pairs, ["doc_a", "doc_b"])
@@ -272,7 +275,7 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 8,
                              "hamming": d[keep].astype("int64")})
 
     cand = ds.map_batches(add_bk, batch_format="pyarrow", zero_copy_batch=True) \
-             .groupby("bk").map_groups(bucket_pairs, batch_format="pandas")
+             .groupby("bk").map_groups(arrow_groups(bucket_pairs), batch_format="pandas")
     return _pair_dedup(cand, ["doc_a", "doc_b"])
 
 
@@ -325,7 +328,7 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45,
         return pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bi]})
 
     cand = buckets.groupby(["table_id", "bucket"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+        arrow_groups(bucket_pairs), batch_format="pandas")
     # a pair can collide in several tables: keep one — bucketed vectorized
     # dedup (a multi-key groupby here is one Python call per distinct pair)
     return _pair_dedup(cand, ["vec_a", "vec_b"])
@@ -392,7 +395,7 @@ def embedding_neardup_ivf(sf_dir: str, threshold: float = 0.45,
             return empty
         return pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bi]})
 
-    pairs = assigned.groupby("list_id").map_groups(list_pairs,
+    pairs = assigned.groupby("list_id").map_groups(arrow_groups(list_pairs),
                                                    batch_format="pandas")
     # with multi-assignment a pair can meet in up to n_assign shared lists:
     # bucketed vectorized dedup, same pattern as the LSH variant

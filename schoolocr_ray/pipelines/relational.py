@@ -21,9 +21,13 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
+from ..util import arrow_groups
+
 
 def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    from ..util import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
 def _cents(values) -> np.ndarray:
@@ -268,7 +272,7 @@ def _events_lag_salted(sf_dir: str, num_buckets: int,
         return pd.concat([rows, summ], ignore_index=True)
 
     staged = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True) \
-               .groupby("bk").map_groups(lag_chunk, batch_format="pandas") \
+               .groupby("bk").map_groups(arrow_groups(lag_chunk), batch_format="pandas") \
                .materialize()
 
     def pick(kind: int, cols: dict[str, str]):
@@ -306,7 +310,7 @@ def _events_lag_salted(sf_dir: str, num_buckets: int,
 
     carries = summaries.map_batches(add_ubk, batch_format="pyarrow",
                                     zero_copy_batch=True) \
-                       .groupby("ubk").map_groups(carry_bucket,
+                       .groupby("ubk").map_groups(arrow_groups(carry_bucket),
                                                   batch_format="pandas")
 
     joined = pending.join(carries, join_type="left_outer", num_partitions=8,
@@ -366,7 +370,7 @@ def events_lag(sf_dir: str, num_buckets: int | None = None,
         return out
 
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True) \
-             .groupby("bk").map_groups(lag_bucket, batch_format="pandas")
+             .groupby("bk").map_groups(arrow_groups(lag_bucket), batch_format="pandas")
 
 
 def events_hopping(sf_dir: str, window_hours: int = 6,
@@ -468,7 +472,7 @@ def _events_sessions_salted(sf_dir: str, gap_minutes: int, num_buckets: int,
         return pd.concat([rows, f, l], ignore_index=True)
 
     staged = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True) \
-               .groupby("bk").map_groups(sessions_chunk, batch_format="pandas") \
+               .groupby("bk").map_groups(arrow_groups(sessions_chunk), batch_format="pandas") \
                .materialize()
 
     def pick_kinds(kinds: list[int]):
@@ -546,7 +550,7 @@ def _events_sessions_salted(sf_dir: str, gap_minutes: int, num_buckets: int,
 
     merged_out = summaries.map_batches(add_ubk, batch_format="pyarrow",
                                        zero_copy_batch=True) \
-                          .groupby("ubk").map_groups(merge_bucket,
+                          .groupby("ubk").map_groups(arrow_groups(merge_bucket),
                                                      batch_format="pandas") \
                           .materialize()
 
@@ -638,7 +642,7 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30,
         return g[["user_id", "session_idx", "n_events", "start_us", "end_us"]]
 
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True) \
-             .groupby("bk").map_groups(sessions_bucket, batch_format="pandas")
+             .groupby("bk").map_groups(arrow_groups(sessions_bucket), batch_format="pandas")
 
 
 def _events_asof_salted(sf_dir: str, num_buckets: int,
@@ -718,7 +722,7 @@ def _events_asof_salted(sf_dir: str, num_buckets: int,
         return pd.concat(parts, ignore_index=True)
 
     staged = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True) \
-               .groupby("bk").map_groups(asof_chunk, batch_format="pandas") \
+               .groupby("bk").map_groups(arrow_groups(asof_chunk), batch_format="pandas") \
                .materialize()
 
     def pick(kind: int, cols: dict[str, str]):
@@ -776,7 +780,7 @@ def _events_asof_salted(sf_dir: str, num_buckets: int,
 
     carries = summ.map_batches(add_ubk, batch_format="pyarrow",
                                zero_copy_batch=True) \
-                  .groupby("ubk").map_groups(carry_bucket, batch_format="pandas")
+                  .groupby("ubk").map_groups(arrow_groups(carry_bucket), batch_format="pandas")
 
     joined = pending.join(carries, join_type="left_outer", num_partitions=8,
                           on=("user_id", "ck"))
@@ -846,7 +850,7 @@ def events_asof_purchase(sf_dir: str, num_buckets: int | None = None,
         })
 
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True) \
-             .groupby("bk").map_groups(asof_bucket, batch_format="pandas")
+             .groupby("bk").map_groups(arrow_groups(asof_bucket), batch_format="pandas")
 
 
 def events_distinct_users(sf_dir: str, num_buckets: int | None = None,
@@ -879,7 +883,7 @@ def events_distinct_users(sf_dir: str, num_buckets: int | None = None,
 
     pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow",
                            zero_copy_batch=True)
-    return pairs.groupby("bk").map_groups(count_bucket, batch_format="pandas") \
+    return pairs.groupby("bk").map_groups(arrow_groups(count_bucket), batch_format="pandas") \
                 .groupby("event_type").aggregate(Sum("n_users", alias_name="n_users"))
 
 
@@ -941,7 +945,7 @@ def events_percentiles(sf_dir: str,
             out[f"p{int(q * 100)}_cents"] = [int(cents[int(np.searchsorted(cum, r + 1))])]
         return pd.DataFrame(out)
 
-    return hist.groupby("event_type").map_groups(pick, batch_format="pandas")
+    return hist.groupby("event_type").map_groups(arrow_groups(pick), batch_format="pandas")
 
 
 def events_range_join(sf_dir: str, n_campaigns: int = 20,
@@ -1064,7 +1068,7 @@ def events_funnel(sf_dir: str, num_buckets: int | None = None,
         })
 
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True) \
-             .groupby("bk").map_groups(funnel_bucket, batch_format="pandas") \
+             .groupby("bk").map_groups(arrow_groups(funnel_bucket), batch_format="pandas") \
              .repartition(4) \
              .groupby("stage").aggregate(Sum("n_users", alias_name="n_users"))
 

@@ -22,6 +22,8 @@ from ray.data.aggregate import Count, Max, Sum
 
 from ..layouts import LOW_CONF
 
+from ..util import arrow_groups
+
 
 def conv_rollup(ds: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
     """Per-conversation roll-up: n_turns, sum of total_score, error/warning
@@ -67,7 +69,7 @@ def conv_rollup(ds: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset
     # handful of map tasks instead of one per input block (the sort
     # shuffle's per-task overhead dominated this small exchange).
     partials = partials.repartition(max(4, num_buckets // 8))
-    return partials.groupby("bk").map_groups(merge_bucket, batch_format="pandas")
+    return partials.groupby("bk").map_groups(arrow_groups(merge_bucket), batch_format="pandas")
 
 
 def confidence_histogram(ds: ray.data.Dataset, n_bins: int = 10) -> ray.data.Dataset:

@@ -17,6 +17,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from ..util import arrow_groups
+
 DEFAULT_K = 10
 DEFAULT_QUERIES = (0, 1, 2, 3, 4)
 
@@ -37,7 +39,9 @@ def read_embeddings(sf_dir: str,
     and no extra exchange happens."""
     path = f"{sf_dir}/embeddings.parquet"
     n = pq.ParquetFile(path).metadata.num_rows
-    ds = ray.data.read_parquet(path, columns=list(columns))
+    from ..util import read_parquet_clean
+
+    ds = read_parquet_clean(path, columns=list(columns))
     if n < 1_000_000:
         ds = ds.repartition(max(1, n // EMB_COALESCE_ROWS))
     return ds
@@ -102,7 +106,7 @@ def knn_bruteforce(sf_dir: str, k: int = DEFAULT_K,
         df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
         return df[["qid", "vec_id"]]
 
-    return partial.groupby("qid").map_groups(final_topk, batch_format="pandas")
+    return partial.groupby("qid").map_groups(arrow_groups(final_topk), batch_format="pandas")
 
 
 class LshBucketStage:
@@ -193,14 +197,14 @@ def knn_lsh(sf_dir: str, k: int = DEFAULT_K, query_ids=DEFAULT_QUERIES,
         return pd.DataFrame({"qid": out_q, "vec_id": out_v, "sim": out_s})
 
     cand = buckets.groupby(["table_id", "bucket"]).map_groups(
-        rerank_group, batch_format="pandas")
+        arrow_groups(rerank_group), batch_format="pandas")
 
     def final_topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(["qid", "vec_id"])
         df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
         return df[["qid", "vec_id", "sim"]]
 
-    return cand.groupby("qid").map_groups(final_topk, batch_format="pandas")
+    return cand.groupby("qid").map_groups(arrow_groups(final_topk), batch_format="pandas")
 
 
 _CENTROID_CACHE: dict[tuple, np.ndarray] = {}
@@ -335,4 +339,4 @@ def knn_ivf(sf_dir: str, k: int = DEFAULT_K, query_ids=DEFAULT_QUERIES,
         df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
         return df[["qid", "vec_id", "sim"]]
 
-    return partial.groupby("qid").map_groups(final_topk, batch_format="pandas")
+    return partial.groupby("qid").map_groups(arrow_groups(final_topk), batch_format="pandas")

@@ -19,6 +19,8 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Min, Sum
 
+from ..util import arrow_groups
+
 _WS = re.compile(r"\s+")
 _NONWORD = re.compile(r"[^a-zа-яё]+")
 _PUNCT = re.compile(r"[.,;:!?]")
@@ -54,7 +56,9 @@ def _read_docs(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
     import pyarrow.parquet as _pq
 
     path = f"{sf_dir}/documents.parquet"
-    ds = ray.data.read_parquet(path, columns=list(columns))
+    from ..util import read_parquet_clean
+
+    ds = read_parquet_clean(path, columns=list(columns))
     n = _pq.ParquetFile(path).metadata.num_rows
     if n < 1_000_000:
         ds = ds.repartition(min(32, max(4, n // 128)))
@@ -255,8 +259,8 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     # the cross-bucket intersection sum is bucketed the same way: Ray's
     # multi-key aggregate over ~1M pair rows ran 150 s where 64 bucketed
     # vectorized pandas sums run in ~3 s — one python call per bucket
-    pair_counts = exploded.groupby("b").map_groups(pairs_in_bucket, batch_format="pandas") \
-                          .groupby("pb").map_groups(sum_pairs, batch_format="pandas")
+    pair_counts = exploded.groupby("b").map_groups(arrow_groups(pairs_in_bucket), batch_format="pandas") \
+                          .groupby("pb").map_groups(arrow_groups(sum_pairs), batch_format="pandas")
 
     def verify(batch: pa.Table) -> pa.Table:
         da = batch.column("doc_a").to_numpy()

@@ -59,3 +59,46 @@ def install_log_filters() -> None:
         "ray.data._internal.arrow_ops.transform_pyarrow"
     ).addFilter(_SchemaHashDedupFilter())
     _installed = True
+
+
+def read_parquet_clean(paths, columns=None, **kwargs):
+    """``ray.data.read_parquet`` with the file's schema METADATA stripped.
+
+    The driver-written parquet carries pandas metadata that makes
+    ``hash(schema)`` raise TypeError, so every Ray-internal schema dedup
+    (read splitting, shuffle reduce, hash aggregators) logs a worker-side
+    'Failed to hash the schemas' warning per task.  Passing the stripped
+    schema at the read removes the metadata at the source — same data,
+    hashable schemas, silent logs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    first = paths[0] if isinstance(paths, (list, tuple)) else paths
+    schema = pq.read_schema(first).remove_metadata()
+    if columns is not None:
+        # the provided schema must match the PRUNED reader output
+        schema = pa.schema([schema.field(c) for c in columns])
+    return ray.data.read_parquet(paths, columns=columns, schema=schema,
+                                 **kwargs)
+
+
+def arrow_groups(fn):
+    """Wrap a pandas-in/pandas-out ``map_groups`` fn to emit Arrow blocks.
+
+    Pandas-format blocks carry an unhashable PandasBlockSchema, so every
+    shuffle-reduce over them logs the schema-dedup warning per task (see
+    install_log_filters) and pays pandas block overhead; converting at the
+    group-fn boundary keeps the UDF in pandas (where the vectorized group
+    logic lives) while the engine sees clean, hashable Arrow schemas."""
+    import functools
+
+    import pyarrow as pa
+
+    @functools.wraps(fn)
+    def wrapped(df):
+        out = fn(df)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    return wrapped
