@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_clusters": text.dedup_clusters,
         "docs_decontaminate": text.decontaminate,
         "docs_repetition": text.repetition_scores,
+        "docs_chunks": text.chunk_documents,
         "docs_embedding_neardup": dedup.embedding_neardup,
         "docs_embedding_neardup_lsh": dedup.embedding_neardup_lsh,
         "docs_embedding_neardup_ivf": dedup.embedding_neardup_ivf,
@@ -953,6 +954,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON ca.doc_id = doc_a
             JOIN cnt cb ON cb.doc_id = doc_b
             WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+        """,
+        "docs_chunks": r"""
+            WITH tok AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts,
+                       len(string_split_regex(trim(text), '\s+')) AS n
+                FROM documents WHERE trim(text) <> ''),
+            starts AS (
+                SELECT doc_id, ts, n,
+                       unnest(generate_series(0, n - 1, 48)) AS s
+                FROM tok)
+            SELECT doc_id,
+                   CAST(s / 48 AS BIGINT) AS chunk_idx,
+                   array_to_string(ts[s + 1 : least(s + 64, n)], ' ') AS chunk_text,
+                   CAST(least(s + 64, n) - s AS BIGINT) AS n_chunk_tokens
+            FROM starts
         """,
         "docs_repetition": r"""
             WITH l AS (

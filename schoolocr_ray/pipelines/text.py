@@ -493,3 +493,38 @@ def repetition_scores(sf_dir: str) -> ray.data.Dataset:
 
     return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow",
                                           zero_copy_batch=True)
+
+
+def chunk_documents(sf_dir: str, size: int = 64,
+                    stride: int = 48) -> ray.data.Dataset:
+    """Fixed-window document chunking — the pre-training splitter: long
+    documents become overlapping ``size``-token windows every ``stride``
+    tokens (trailing windows run short), short documents become one
+    window, empty documents vanish.  Rows out > rows in — the flat-map
+    shape on the docs family (the transcripts splitter S6's analog).
+
+    Embarrassingly parallel: one pass, zero shuffle, chunk identity
+    (doc_id, chunk_idx) is derivable locally.  Chunk text re-joins tokens
+    with single spaces (deterministic; the SQL twin uses the same
+    tokens), so counts and text are integer/string-exact."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, idxs, texts_out, ntoks = [], [], [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            toks = _tokens(t)
+            for ci, s in enumerate(range(0, len(toks), stride)):
+                chunk = toks[s:s + size]
+                ids.append(did)
+                idxs.append(ci)
+                texts_out.append(" ".join(chunk))
+                ntoks.append(len(chunk))
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "chunk_idx": pa.array(idxs, pa.int64()),
+            "chunk_text": pa.array(texts_out, pa.string()),
+            "n_chunk_tokens": pa.array(ntoks, pa.int64()),
+        })
+
+    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow",
+                                          zero_copy_batch=True)

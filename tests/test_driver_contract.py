@@ -54,7 +54,7 @@ SQL_CHECKED = [
     "customers_per_region", "lineitem_semi_join", "lineitem_order_join",
     "top_customers", "orders_rollup",
     "docs_token_count", "docs_quality", "docs_langid", "docs_exact_dedup",
-    "docs_repetition",
+    "docs_repetition", "docs_chunks",
     "docs_jaccard_pairs", "docs_dedup_clusters", "docs_decontaminate",
     "docs_embedding_neardup", "knn_bruteforce",
     "transcripts_conv_shape", "transcripts_tool_filter", "transcripts_dedup",
