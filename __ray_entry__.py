@@ -430,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": relational.events_range_join,
         "events_funnel": relational.events_funnel,
         "events_hll_users": relational.events_hll_users,
+        "events_cohorts": relational.events_cohorts,
         "events_windowed": relational.events_windowed,
         "events_lag": relational.events_lag,
         "events_asof_purchase": relational.events_asof_purchase,
@@ -719,6 +720,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9) AS bin,
                    COUNT(*) AS n
             FROM events GROUP BY 1
+        """,
+        "events_cohorts": """
+            WITH uw AS (
+                SELECT DISTINCT user_id,
+                       CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+                FROM events),
+            cohort AS (
+                SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id)
+            SELECT c.cohort_week, u.week, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM uw u JOIN cohort c ON u.user_id = c.user_id
+            GROUP BY c.cohort_week, u.week
         """,
         "events_hll_users": """
             WITH h AS (

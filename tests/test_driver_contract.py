@@ -51,6 +51,7 @@ SQL_CHECKED = [
     "events_windowed", "events_lag", "events_asof_purchase",
     "events_hopping", "events_sessions", "events_percentiles",
     "events_range_join", "events_funnel", "events_hll_users",
+    "events_cohorts",
     "customers_per_region", "lineitem_semi_join", "lineitem_order_join",
     "top_customers", "orders_rollup",
     "docs_token_count", "docs_quality", "docs_langid", "docs_exact_dedup",
