@@ -309,22 +309,20 @@ def _transcripts_fragments(sf_dir: str) -> Any:
                                columns=["conv_id", "turn_idx", "text"])
 
     def split(batch: pa.Table) -> pa.Table:
-        convs, turns, frags = [], [], []
-        for c, t, x in zip(batch.column("conv_id").to_pylist(),
-                           batch.column("turn_idx").to_pylist(),
-                           batch.column("text").to_pylist()):
-            if x is None:
-                # DuckDB's unnest(string_split(NULL, ...)) emits zero rows;
-                # agree by construction (advice r1)
-                continue
-            for frag in x.split("\n\n"):
-                convs.append(c)
-                turns.append(t)
-                frags.append(frag)
+        import numpy as np
+        import pyarrow.compute as pc
+
+        # vectorized flat_map: split_pattern gives a ListArray; flatten()
+        # drops null entries, so a NULL text emits zero rows — agreeing
+        # with DuckDB's unnest(string_split(NULL, ...)) by construction
+        parts = pc.split_pattern(batch.column("text").combine_chunks(), "\n\n")
+        counts = pc.list_value_length(parts).fill_null(0) \
+                   .to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = pa.array(np.repeat(np.arange(len(counts)), counts))
         return pa.Table.from_pydict({
-            "conv_id": pa.array(convs, pa.string()),
-            "turn_idx": pa.array(turns, pa.int32()),
-            "frag": pa.array(frags, pa.string()),
+            "conv_id": batch.column("conv_id").take(parent),
+            "turn_idx": batch.column("turn_idx").take(parent),
+            "frag": pc.list_flatten(parts),
         })
 
     return ds.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
@@ -422,6 +420,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     return {
+        # Dict order = the order the driver's correctness sweep executes.
+        # SQL-checked queries come FIRST (they produce the strongest
+        # CORRECTNESS rows); the expensive rows-only entries (full
+        # re-extraction, wired-cell re-extraction, the training loop) run
+        # LAST so a driver-side time budget truncates weak checks, not
+        # strong ones (r3: the sweep stopped mid-list and 12 SQL-checked
+        # transcript rollups lost their rows).
+        # --- transcript-domain rollups over the checkpointed extraction
+        # (SQL-checked; the first call builds the shared sf0.01 checkpoint)
+        "transcripts_conv_rollup": _transcripts_conv_rollup,
+        "transcripts_error_corpus": _transcripts_error_corpus,
+        "transcripts_quality_bands": _transcripts_quality_bands,
+        "transcripts_conf_histogram": _transcripts_conf_histogram,
+        "transcripts_low_confidence": _transcripts_low_confidence,
+        "transcripts_spans_by_kind": _transcripts_spans_by_kind,
+        "transcripts_recognized_split": _transcripts_recognized_split,
+        "transcripts_conv_shape": _transcripts_conv_shape,
+        "transcripts_tool_filter": _transcripts_tool_filter,
+        "transcripts_fragments": _transcripts_fragments,
+        "transcripts_dedup": _transcripts_dedup,
         # --- relational operator analogs (SQL-checked)
         "events_stats": relational.events_stats,
         "events_histogram": relational.events_histogram,
@@ -484,24 +502,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-side prediction table — same pattern as the extraction
         # rollups over the checkpointed output)
         "glyph_eval_report": evaluation.glyph_eval,
-        # --- model training analog (rows-only: iterative float algorithm;
-        # the distributed-vs-single-process gradient equality is pinned in
-        # tests/test_training.py instead)
-        "glyph_train_report": training.glyph_train_report,
-        # --- transcript domain
-        "transcripts_wired_cells": _transcripts_wired_cells,
+        # --- expensive rows-only entries LAST (see ordering note above):
+        # full re-extraction, the wired-table re-extraction, the training
+        # loop (each pinned by pytest golden/equality tests instead)
         "transcripts_extract": _transcripts_extract,
-        "transcripts_dedup": _transcripts_dedup,
-        "transcripts_fragments": _transcripts_fragments,
-        "transcripts_conv_shape": _transcripts_conv_shape,
-        "transcripts_conv_rollup": _transcripts_conv_rollup,
-        "transcripts_error_corpus": _transcripts_error_corpus,
-        "transcripts_quality_bands": _transcripts_quality_bands,
-        "transcripts_conf_histogram": _transcripts_conf_histogram,
-        "transcripts_low_confidence": _transcripts_low_confidence,
-        "transcripts_tool_filter": _transcripts_tool_filter,
-        "transcripts_spans_by_kind": _transcripts_spans_by_kind,
-        "transcripts_recognized_split": _transcripts_recognized_split,
+        "transcripts_wired_cells": _transcripts_wired_cells,
+        "glyph_train_report": training.glyph_train_report,
     }
 
 

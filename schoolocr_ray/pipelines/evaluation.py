@@ -26,7 +26,31 @@ from ..functions.classify import GlyphClassifier
 from ..layouts import GLYPH_TABLE
 
 EVAL_SEED = 424242
-EVAL_PREDS_PATH = "/tmp/schoolocr_ray_out/glyph_eval_preds.parquet"
+
+
+def _eval_code_fingerprint() -> str:
+    """Content fingerprint of everything the prediction table depends on:
+    the classifier + eval-corpus source bytes and the seed.  Baked into the
+    cached table's filename (advice r3: a fixed /tmp path silently served
+    stale predictions to the DuckDB oracle after a classifier change)."""
+    import hashlib
+    import os.path
+
+    h = hashlib.sha256(str(EVAL_SEED).encode())
+    here = os.path.dirname(os.path.abspath(__file__))
+    for src in (os.path.join(here, "..", "functions", "classify.py"),
+                os.path.join(here, "..", "layouts.py"),
+                os.path.abspath(__file__)):
+        try:
+            with open(src, "rb") as f:
+                h.update(f.read())
+        except OSError:
+            h.update(src.encode())
+    return h.hexdigest()[:12]
+
+
+EVAL_PREDS_PATH = ("/tmp/schoolocr_ray_out/"
+                   f"glyph_eval_preds_{_eval_code_fingerprint()}.parquet")
 
 
 def glyph_eval_corpus(n_noise_per_glyph: int = 8,

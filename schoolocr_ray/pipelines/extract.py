@@ -188,12 +188,17 @@ def dedup_turns(ds: ray.data.Dataset) -> ray.data.Dataset:
                                             ("turn_idx", "ascending"),
                                             ("ts", "ascending")])
         t = t.take(idx)
-        key = pc.binary_join_element_wise(
-            t.column("conv_id").cast(pa.string()),
-            t.column("turn_idx").cast(pa.string()), "\x00")
-        first = np.ones(t.num_rows, dtype=bool)
-        k = key.to_pylist()
-        first[1:] = [k[i] != k[i - 1] for i in range(1, len(k))]
+        n = t.num_rows
+        if n <= 1:
+            return t
+        # first-row mask: a row is a duplicate iff both key columns equal
+        # the previous row's — pure Arrow self-slice compare, no pylist
+        conv = t.column("conv_id").combine_chunks()
+        turn = t.column("turn_idx").combine_chunks()
+        dup = pc.and_(pc.equal(conv.slice(1), conv.slice(0, n - 1)),
+                      pc.equal(turn.slice(1), turn.slice(0, n - 1)))
+        first = np.ones(n, dtype=bool)
+        first[1:] = np.logical_not(dup.to_numpy(zero_copy_only=False))
         return t.filter(pa.array(first))
 
     return ds.groupby("part_id").map_groups(dedup_group, batch_format="pyarrow")

@@ -25,8 +25,12 @@ MAGIC = b"IMG1"
 def make_payloads(sf_dir: str) -> ray.data.Dataset:
     """Derive a deterministic binary-payload table from ``documents``:
     (doc_id, payload binary, media_type, declared_w, declared_h)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    # shared coalescing read helper (micro-block shattering fix): a small
+    # documents table otherwise splits into 64 8-row blocks and every
+    # downstream actor-pool stage pays per-task setup 64 times
+    from .text import _read_docs
+
+    ds = _read_docs(sf_dir)
 
     def build(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()

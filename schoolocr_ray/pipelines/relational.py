@@ -1100,14 +1100,20 @@ def events_hll_users(sf_dir: str, n_registers: int = 64) -> ray.data.Dataset:
             "event_type": batch.column("event_type").to_pylist(),
             "user_id": batch.column("user_id").to_pylist(),
         }).drop_duplicates()
-        js, rhos = [], []
-        for u in df["user_id"]:
-            h = hashlib.md5(f"u:{u}".encode()).hexdigest()
-            js.append(int(h[:2], 16) % n_registers)
-            v = int(h[2:18], 16)
-            rhos.append(65 if v == 0 else 64 - v.bit_length() + 1)
-        df = df.assign(j=np.array(js, dtype=np.int64),
-                       rho=np.array(rhos, dtype=np.int64))
+        # md5 depends on user_id only: hash each DISTINCT user once per
+        # batch (users repeat across event types) and map back — the md5
+        # itself must stay so the DuckDB twin recomputes identical
+        # registers.  digest() bytes beat hexdigest+int parsing: bucket =
+        # first byte mod m, rho = leading zeros of bytes 1..8 + 1.
+        uniq = df["user_id"].unique()
+        js, rhos = {}, {}
+        for u in uniq:
+            d = hashlib.md5(f"u:{u}".encode()).digest()
+            js[u] = d[0] % n_registers
+            v = int.from_bytes(d[1:9], "big")
+            rhos[u] = 65 if v == 0 else 64 - v.bit_length() + 1
+        df = df.assign(j=df["user_id"].map(js).astype(np.int64),
+                       rho=df["user_id"].map(rhos).astype(np.int64))
         g = df.groupby(["event_type", "j"], sort=False)["rho"].max().reset_index()
         return pa.Table.from_pandas(
             g.rename(columns={"rho": "register"}),

@@ -233,9 +233,12 @@ def _sample_embeddings(sf_dir: str, sample_size: int, seed: int) -> np.ndarray:
         else:
             keep = np.arange(len(p))
         keep_arr = pa.array(keep.astype(np.int64))
+        # the emitted priority is the SAME unmasked uint64 the local
+        # argpartition used (advice r3: masking to int64 here flipped the
+        # order for priorities >= 2^63, making the global bottom-set
+        # block-layout-dependent); Arrow sorts uint64 natively
         return pa.Table.from_pydict({
-            "priority": pa.array(p[keep].astype(np.int64) & 0x7FFFFFFFFFFFFFFF,
-                                 pa.int64()),
+            "priority": pa.array(p[keep], pa.uint64()),
             "embedding": batch.column("embedding").combine_chunks().take(keep_arr),
         })
 

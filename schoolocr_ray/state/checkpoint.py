@@ -348,6 +348,7 @@ def _cleanup_staging_task(root: str) -> None:
 # refs of in-flight fire-and-forget staging deletions (kept so the tasks
 # are not cancelled by ref GC); wait_for_cleanups() drains them for tests
 _BACKGROUND_CLEANUPS: list = []
+_ATEXIT_REGISTERED = False
 
 
 def wait_for_cleanups() -> None:
@@ -359,11 +360,23 @@ def wait_for_cleanups() -> None:
             _BACKGROUND_CLEANUPS.clear()
 
 
-# short-lived processes (bench subprocesses, scripts) would otherwise leak
-# their staging dirs: ray.shutdown() kills in-flight cleanup tasks
-import atexit  # noqa: E402
+def _track_cleanups(refs: list) -> None:
+    """Track fire-and-forget staging deletions; short-lived processes
+    (bench subprocesses, scripts) would otherwise leak their staging dirs
+    because ray.shutdown() kills in-flight cleanup tasks.  The atexit hook
+    registers LAZILY on first use (advice r3: atexit runs LIFO, so a hook
+    registered at module import — often before ray.init — would run AFTER
+    Ray's own shutdown hook and find Ray already down).  Registering here,
+    when Ray is necessarily initialised, puts the drain before Ray's
+    shutdown in LIFO order.  Best-effort: callers on a critical path should
+    still call wait_for_cleanups() themselves (run_job does)."""
+    global _ATEXIT_REGISTERED
+    _BACKGROUND_CLEANUPS.extend(refs)
+    if not _ATEXIT_REGISTERED:
+        import atexit
 
-atexit.register(wait_for_cleanups)
+        atexit.register(wait_for_cleanups)
+        _ATEXIT_REGISTERED = True
 
 
 def finalize_staged(staging: str, out_dir: str, fingerprint: str,
@@ -461,7 +474,7 @@ def finalize_staged(staging: str, out_dir: str, fingerprint: str,
     if pin:
         cleanup_refs = [_cleanup_staging_task.options(**opts(nid)).remote(root)
                         for nid, root in roots_by_node.items()]
-        _BACKGROUND_CLEANUPS.extend(cleanup_refs)
+        _track_cleanups(cleanup_refs)
     else:
         for root in set(roots_by_node.values()):
             shutil.rmtree(root, ignore_errors=True)
