@@ -22,6 +22,16 @@ import sys
 import time
 
 
+def _cpu_counters() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — for disclosing hypervisor
+    steal during timed windows."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     import ray
 
@@ -63,10 +73,19 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     # sf0.5 going 32 -> 128), too many -> per-fragment overhead dominates
     # small tiers.  At 100 TB this is thousands of partitions, as it must be
     # for resume granularity anyway.
-    num_partitions = max(32, min(4096, n_turns // 15_625))
+    # rounded UP to a multiple of 8 so the wave-overlap finalize
+    # (pipelines.job.pick_waves) always gets 8 waves
+    num_partitions = max(32, min(4096, -(-n_turns // 15_625 // 8) * 8))
+    steal0, busy0 = _cpu_counters()
     t0 = time.monotonic()
     run_job(corpus, out_dir, num_partitions=num_partitions)
     headline = time.monotonic() - t0
+    steal1, busy1 = _cpu_counters()
+    # hypervisor steal share during the timed window — this box shows
+    # bursts of CPU steal that swing single-run timings by >30%, so every
+    # recorded number self-discloses its load conditions
+    steal_pct = round(100.0 * (steal1 - steal0)
+                      / max(1, (busy1 - busy0)), 2)
     queries["extract_job"] = round(headline, 3)
     # drain the fire-and-forget staging deletion OUTSIDE the timed window:
     # without this, ray.shutdown() kills the in-flight cleanup task and a
@@ -120,6 +139,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "num_cpus": num_cpus,
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / headline, 1),
+        "steal_pct_headline": steal_pct,
     }
     ray.shutdown()
     return result

@@ -60,11 +60,40 @@ def hash_partition_ids(conv_ids, num_partitions: int, turn_idx=None,
 
 
 def with_partition_id(ds: ray.data.Dataset, num_partitions: int = DEFAULT_NUM_PARTITIONS,
-                      salt_span: int = SALT_SPAN) -> ray.data.Dataset:
+                      salt_span: int = SALT_SPAN,
+                      file_waves: dict[str, int] | None = None) -> ray.data.Dataset:
+    """Append ``part_id``.  Default mapping: ``hash(conv_id[, chunk]) % P``.
+
+    With ``file_waves`` (input-file path -> wave index, requires the read to
+    carry a ``path`` column via ``include_paths=True``), the mapping becomes
+    ``part_id = wave * (P / n_waves) + hash % (P / n_waves)``: each wave of
+    input files owns a disjoint part_id range, so a wave's partitions are
+    COMPLETE as soon as its files' rows are all staged — which is what lets
+    the checkpointed job start finalizing early waves while later waves are
+    still extracting (run_job), instead of serializing the whole finalize
+    behind a global barrier.  The per-partition sort order and every
+    downstream reader are mapping-agnostic (readers glob part_id=* and
+    group/sort themselves; the salted mega-conversation path already splits
+    one conv across partitions by design)."""
+    n_waves = (max(file_waves.values()) + 1) if file_waves else 1
+    if num_partitions % n_waves:
+        raise ValueError(f"num_partitions={num_partitions} not divisible by "
+                         f"n_waves={n_waves}")
+    parts_per_wave = num_partitions // n_waves
+
     def add_part(batch: pa.Table) -> pa.Table:
-        pid = hash_partition_ids(batch.column("conv_id").to_pylist(), num_partitions,
+        pid = hash_partition_ids(batch.column("conv_id").to_pylist(), parts_per_wave,
                                  turn_idx=batch.column("turn_idx").to_numpy(),
                                  salt_span=salt_span)
+        if file_waves is not None:
+            paths = batch.column("path")
+            # blocks come from one file (or few): dictionary-encode instead
+            # of a per-row dict lookup
+            enc = paths.combine_chunks().dictionary_encode()
+            wave_of = np.array([file_waves[p] for p in enc.dictionary.to_pylist()],
+                               dtype=np.int32)
+            pid = pid + wave_of[enc.indices.to_numpy()] * parts_per_wave
+            batch = batch.drop_columns(["path"])
         return batch.append_column("part_id", pa.array(pid, pa.int32()))
 
     return ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
@@ -74,7 +103,8 @@ REQUIRED_COLUMNS = {"conv_id": "string", "turn_idx": "int32", "role": "string",
                     "text": "string", "tool": "string", "ts": "timestamp[us]"}
 
 
-def read_transcripts(path: str | list[str]) -> ray.data.Dataset:
+def read_transcripts(path: str | list[str],
+                     include_paths: bool = False) -> ray.data.Dataset:
     """S1/S7 analog: schema-validated parquet read of the transcripts table.
 
     Validation happens against the parquet FOOTER of the first fragment
@@ -103,7 +133,7 @@ def read_transcripts(path: str | list[str]) -> ray.data.Dataset:
                 raise ValueError(
                     f"transcripts column {col!r} has type {got}, expected "
                     f"{want} (input {probe})")
-    return ray.data.read_parquet(path)
+    return ray.data.read_parquet(path, include_paths=include_paths)
 
 
 def default_concurrency() -> int:

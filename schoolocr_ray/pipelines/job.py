@@ -13,7 +13,6 @@ from ..stages.extract import FusedExtractStage
 from ..state.checkpoint import (
     completed_partitions,
     filter_completed,
-    finalize_staged,
     job_fingerprint,
     purge_stale_partitions,
     staging_dir,
@@ -46,6 +45,16 @@ def _manifest_rows(out_dir: str, pids) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def pick_waves(n_files: int, num_partitions: int) -> int:
+    """Number of input-file waves for early finalize overlap: the largest
+    of 8/4/2 that divides num_partitions with at least one file per wave
+    (1 = no overlap, the degenerate single-barrier case)."""
+    for w in (8, 4, 2):
+        if num_partitions % w == 0 and n_files >= w:
+            return w
+    return 1
+
+
 def run_job(
     input_path: str | list[str],
     out_dir: str,
@@ -59,18 +68,38 @@ def run_job(
     same inputs + code skips completed partitions entirely (the resume
     filter sits right after the read, before any per-turn work); the
     lineage fingerprint covers the partition mapping (num_partitions,
-    salt_span, code version), so a rerun under a DIFFERENT mapping
-    reprocesses everything rather than silently dropping rows.
+    salt_span, wave count, code version), so a rerun under a DIFFERENT
+    mapping reprocesses everything rather than silently dropping rows.
 
     The extraction actors write their blocks directly to node-local staging
     fragments (stage_fragments) and emit only small ack rows, so the
-    extracted payload never crosses the object store; finalize_staged then
-    merges each partition's acked fragments node-affinely, sorts and
-    publishes one durable checkpoint file per partition (hard error if any
-    acked fragment is unreachable).  ``batch_size=None`` processes whole
-    blocks, minimizing fragment count."""
+    extracted payload never crosses the object store.
+
+    Finalize OVERLAPS extraction (round-3 verdict: the serial finalize
+    barrier was a fixed per-job cost taxing the faster cluster level
+    disproportionately): input files are grouped into waves, each wave owns
+    a disjoint part_id range (``with_partition_id`` ``file_waves``), and
+    the driver's ack stream knows each wave's exact expected row count from
+    the parquet footers (minus already-checkpointed rows).  The moment a
+    wave's acked rows reach that count, its partitions' finalize tasks are
+    submitted — sort + durable write of wave k runs on spare CPUs while
+    wave k+1 is still extracting; only the LAST wave's finalize remains
+    behind the barrier.  Completeness is never inferred from timing: a
+    finalize fires only when the staged row count equals the footer count,
+    and finalize still hard-errors on any acked-but-unreachable fragment.
+
+    ``batch_size=None`` processes whole blocks, minimizing fragment count."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    import ray as _ray
+
+    from ..state.checkpoint import cleanup_staging, submit_finalize_tasks
+
     files = resolve_input_files(input_path)
-    fingerprint = job_fingerprint(files, num_partitions, salt_span)
+    n_waves = pick_waves(len(files), num_partitions)
+    parts_per_wave = num_partitions // n_waves
+    fingerprint = job_fingerprint(files, num_partitions, salt_span,
+                                  n_waves=n_waves)
     done = completed_partitions(out_dir, fingerprint)
     # stale-lineage dirs (old partition mapping, crashed partials) must
     # never stay visible to part_id=* readers — duplicate rows otherwise
@@ -88,8 +117,20 @@ def run_job(
     wait_for_cleanups()
     shutil.rmtree(staging, ignore_errors=True)
 
-    ds = read_transcripts(files)
-    ds = with_partition_id(ds, num_partitions, salt_span=salt_span)
+    # wave bookkeeping: contiguous file groups; expected staged rows per
+    # wave = footer row counts minus rows already checkpointed (resume)
+    file_waves = {f: min(i * n_waves // len(files), n_waves - 1)
+                  for i, f in enumerate(files)}
+    expected = [0] * n_waves
+    for f in files:
+        expected[file_waves[f]] += _pq.read_metadata(f).num_rows
+    if done:
+        for _, r in _manifest_rows(out_dir, done).iterrows():
+            expected[int(r["part_id"]) // parts_per_wave] -= int(r["n_turns"])
+
+    ds = read_transcripts(files, include_paths=True)
+    ds = with_partition_id(ds, num_partitions, salt_span=salt_span,
+                           file_waves=file_waves)
     ds = filter_completed(ds, done)
     if concurrency is None:
         concurrency = default_concurrency()
@@ -97,11 +138,71 @@ def run_job(
                           zero_copy_batch=True, batch_size=batch_size,
                           concurrency=concurrency,
                           fn_constructor_kwargs={"staging": staging})
-    # the ack table is tiny (one row per block x partition-run); collecting
-    # it drives the streaming extraction to completion AND gives finalize
-    # the exact fragment inventory to reconcile against
-    ack_df = acks.to_pandas()
-    manifest_new = finalize_staged(staging, out_dir, fingerprint, acks=ack_df)
+
+    # stream the tiny ack rows as extraction progresses; fire each wave's
+    # finalize the moment its expected row count is fully staged
+    import time as _time
+
+    t_start = _time.monotonic()
+    t_first_ack = None
+    got = [0] * n_waves
+    wave_acks: list[list] = [[] for _ in range(n_waves)]
+    submitted = [False] * n_waves
+    overlapped = 0
+    futures: list = []
+    all_nodes: set[str] = set()
+
+    def _submit_wave(w: int) -> None:
+        nonlocal futures
+        if not wave_acks[w]:
+            submitted[w] = True
+            return
+        adf = _pa.concat_tables(wave_acks[w]).to_pandas()
+        all_nodes.update(adf["node_id"].unique())
+        node_roots = {nid: staging for nid in adf["node_id"].unique()}
+        futures += submit_finalize_tasks(out_dir, fingerprint, adf, node_roots)
+        wave_acks[w] = []
+        submitted[w] = True
+
+    for b in acks.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if t_first_ack is None:
+            t_first_ack = _time.monotonic()
+        if b.num_rows == 0:
+            continue
+        import numpy as _np
+
+        waves_in_b = (b.column("part_id").to_numpy() // parts_per_wave)
+        for w in set(waves_in_b.tolist()):
+            sub = b.filter(_pa.array(waves_in_b == w))
+            wave_acks[w].append(sub)
+            got[w] += int(_np.sum(sub.column("n_rows").to_numpy()))
+            if not submitted[w] and expected[w] > 0 and got[w] >= expected[w]:
+                _submit_wave(w)
+                overlapped += 1
+    t_extracted = _time.monotonic()
+    # end of stream: whatever wasn't row-count-complete mid-stream (always
+    # at least the last wave) finalizes now
+    for w in range(n_waves):
+        if not submitted[w]:
+            _submit_wave(w)
+    manifest_new = pd.DataFrame(_ray.get(futures)) if futures else pd.DataFrame()
+    if all_nodes:
+        cleanup_staging(staging, pd.DataFrame({"node_id": sorted(all_nodes)}),
+                        {nid: staging for nid in all_nodes})
+    else:
+        shutil.rmtree(staging, ignore_errors=True)
+    if os.environ.get("GRAFT_PHASE_TIMINGS"):
+        import json as _json
+        import sys as _sys
+
+        print(_json.dumps({
+            "phase_timings": {
+                "ramp_to_first_ack": round((t_first_ack or t_start) - t_start, 2),
+                "extract_window": round(t_extracted - t_start, 2),
+                "finalize_barrier": round(_time.monotonic() - t_extracted, 2),
+                "waves": n_waves,
+                "waves_overlapped": overlapped,
+            }}), file=_sys.stderr, flush=True)
 
     # full manifest = resumed (already done) + newly written
     all_done = completed_partitions(out_dir, fingerprint)

@@ -57,14 +57,16 @@ def input_fingerprint(paths: list[str]) -> str:
     return h.hexdigest()[:16]
 
 
-def job_fingerprint(paths: list[str], num_partitions: int, salt_span: int) -> str:
+def job_fingerprint(paths: list[str], num_partitions: int, salt_span: int,
+                    n_waves: int = 1) -> str:
     """Input fingerprint extended with every parameter of the row->partition
-    mapping.  Any change to the mapping (partition count, salt span — or the
-    hash function itself, via CODE_VERSION) must invalidate old manifests:
-    the resume filter drops rows whose part_id is marked done, and under a
-    different mapping the old checkpoint files do NOT contain those rows —
-    silent row loss otherwise (found by round-1 advice)."""
-    return f"{input_fingerprint(paths)}|p{num_partitions}|s{salt_span}"
+    mapping.  Any change to the mapping (partition count, salt span, wave
+    count — or the hash function itself, via CODE_VERSION) must invalidate
+    old manifests: the resume filter drops rows whose part_id is marked
+    done, and under a different mapping the old checkpoint files do NOT
+    contain those rows — silent row loss otherwise (found by round-1
+    advice)."""
+    return f"{input_fingerprint(paths)}|p{num_partitions}|s{salt_span}|w{n_waves}"
 
 
 def lineage_id(part_id: int, fingerprint: str, code_version: str = CODE_VERSION) -> str:
@@ -173,8 +175,14 @@ def stage_fragments(table: pa.Table, staging: str) -> pa.Table:
     # even when individual partition runs happen to be byte-identical
     # (partial collapse of at-least-once duplicate rows would otherwise
     # silently drop data — found by test)
+    # part_id is hashed too: it is deterministic from content + mapping, so
+    # retry idempotency is unchanged — but two byte-identical blocks whose
+    # rows map to DIFFERENT partitions (wave-disjoint part ranges give
+    # redelivered files different waves) must not share a filename, or the
+    # second write would replace the first file with a different partition
+    # layout than its acks recorded
     bh = hashlib.sha1()
-    for col in ("conv_id", "turn_idx", "ts", "text"):
+    for col in ("conv_id", "turn_idx", "ts", "text", "part_id"):
         for buf in table.column(col).combine_chunks().buffers():
             if buf is not None:
                 bh.update(buf)
@@ -441,12 +449,33 @@ def finalize_staged(staging: str, out_dir: str, fingerprint: str,
     if node_roots is None:
         node_roots = {nid: staging for nid in acks["node_id"].unique()}
 
-    def opts(node_id: str) -> dict:
-        if not pin:
-            return {}
-        return {"scheduling_strategy": NodeAffinitySchedulingStrategy(
-            node_id=node_id, soft=False)}
+    futures = submit_finalize_tasks(out_dir, fingerprint, acks, node_roots,
+                                    code_version=code_version, pin=pin)
+    manifest = pd.DataFrame(ray.get(futures))
+    cleanup_staging(staging, acks, node_roots, pin=pin)
+    return manifest
 
+
+def _affinity_opts(node_id: str, pin: bool) -> dict:
+    if not pin:
+        return {}
+    from ray.util.scheduling_strategies import NodeAffinitySchedulingStrategy
+
+    return {"scheduling_strategy": NodeAffinitySchedulingStrategy(
+        node_id=node_id, soft=False)}
+
+
+def submit_finalize_tasks(out_dir: str, fingerprint: str, acks,
+                          node_roots: dict[str, str],
+                          code_version: str = CODE_VERSION,
+                          pin: bool = True) -> list:
+    """Submit one finalize task per partition present in ``acks`` and
+    return the futures WITHOUT waiting — the overlap primitive: run_job
+    calls this per completed wave while later waves are still extracting,
+    and collects all futures once at the end.  ``acks`` must be the
+    complete ack set for every partition it mentions (the caller's wave
+    accounting guarantees it); a finalize scheduled from partial acks
+    would write a partial checkpoint."""
     futures = []
     for pid, g in acks.groupby("part_id"):
         rows_by_node = g.groupby("node_id")["n_rows"].sum()
@@ -456,30 +485,34 @@ def finalize_staged(staging: str, out_dir: str, fingerprint: str,
             for nid, sub in g.groupby("node_id")
         }
         remote_refs = [
-            _fetch_fragments_task.options(**opts(nid)).remote(
+            _fetch_fragments_task.options(**_affinity_opts(nid, pin)).remote(
                 node_roots[nid], int(pid), frags)
             for nid, frags in frags_by_node.items() if nid != owner
         ]
-        futures.append(_finalize_task.options(**opts(owner)).remote(
+        futures.append(_finalize_task.options(**_affinity_opts(owner, pin)).remote(
             node_roots[owner], int(pid), frags_by_node[owner],
             remote_refs, out_dir, fingerprint, code_version))
-    manifest = pd.DataFrame(ray.get(futures))
+    return futures
 
-    # drop staging on every node that participated (node-affine when
-    # pinned).  Fire-and-forget: the checkpoint is already durable and a
-    # rerun rmtree's staging anyway, so deletion need not sit on the job's
-    # critical path (the refs keep the tasks alive until they finish)
+
+def cleanup_staging(staging: str, acks, node_roots: dict[str, str],
+                    pin: bool = True) -> None:
+    """Drop staging on every node that participated (node-affine when
+    pinned).  Fire-and-forget: the checkpoint is already durable and a
+    rerun rmtree's staging anyway, so deletion need not sit on the job's
+    critical path (the refs keep the tasks alive until they finish)."""
+    import shutil
+
     roots_by_node: dict[str, str] = {nid: node_roots[nid]
                                      for nid in acks["node_id"].unique()}
     if pin:
-        cleanup_refs = [_cleanup_staging_task.options(**opts(nid)).remote(root)
+        cleanup_refs = [_cleanup_staging_task.options(**_affinity_opts(nid, pin)).remote(root)
                         for nid, root in roots_by_node.items()]
         _track_cleanups(cleanup_refs)
     else:
         for root in set(roots_by_node.values()):
             shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
-    return manifest
 
 
 def read_output(out_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:

@@ -56,15 +56,19 @@ def test_job_write_and_resume(ray_session, small_corpus, tmp_path):
 
 
 def test_duplicate_block_semantics(ray_session, small_corpus, tmp_path):
-    """Fragment naming is block-granular: at-least-once duplicate ROWS
-    embedded in different blocks all survive (for D2 dedup to handle),
-    while a byte-identical redelivered FILE collapses to one copy."""
+    """Fragment naming is block-granular over content INCLUDING part_id:
+    at-least-once duplicate ROWS embedded in different blocks all survive
+    (for D2 dedup to handle); a byte-identical redelivered FILE collapses
+    to one copy when both copies map to the same wave (same part_ids ->
+    same fragment name -> idempotent overwrite), while copies in different
+    waves land in disjoint part_id ranges and both survive — row-level D2
+    dedup is the general mechanism for those."""
     import glob
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from schoolocr_ray.pipelines.job import run_job
+    from schoolocr_ray.pipelines.job import pick_waves, run_job
 
     path, table, _ = small_corpus
     src = sorted(glob.glob(path + "/*.parquet"))
@@ -78,12 +82,26 @@ def test_duplicate_block_semantics(ray_session, small_corpus, tmp_path):
     m = run_job(str(d), str(tmp_path / "out1"), num_partitions=8)
     assert m["n_turns"].sum() == a.num_rows + b.num_rows
 
-    d2 = tmp_path / "redelivered"
+    # two copies across two waves (2 files -> 2 waves): both survive in
+    # disjoint part ranges
+    d2 = tmp_path / "redelivered_cross_wave"
     d2.mkdir()
     pq.write_table(a, str(d2 / "a.parquet"))
     pq.write_table(a, str(d2 / "a_again.parquet"))
+    assert pick_waves(2, 8) == 2
     m2 = run_job(str(d2), str(tmp_path / "out2"), num_partitions=8)
-    assert m2["n_turns"].sum() == a.num_rows
+    assert m2["n_turns"].sum() == 2 * a.num_rows
+
+    # three files -> 2 waves with the two identical copies sharing wave 0:
+    # byte-identical same-wave blocks collapse to one fragment file
+    d3 = tmp_path / "redelivered_same_wave"
+    d3.mkdir()
+    pq.write_table(a, str(d3 / "a.parquet"))
+    pq.write_table(a, str(d3 / "a_again.parquet"))
+    c = pq.read_table(src[1])
+    pq.write_table(c, str(d3 / "z_other.parquet"))
+    m3 = run_job(str(d3), str(tmp_path / "out3"), num_partitions=8)
+    assert m3["n_turns"].sum() == a.num_rows + c.num_rows
 
 
 def test_lineage_invalidates_on_partition_mapping_change(ray_session, small_corpus, tmp_path):
