@@ -128,6 +128,18 @@ def run_job(
         for _, r in _manifest_rows(out_dir, done).iterrows():
             expected[int(r["part_id"]) // parts_per_wave] -= int(r["n_turns"])
 
+    # block-size control for the extraction stage: per-turn extraction runs
+    # ~2.7k rows/s per actor, so Ray's default ~9 MB read blocks mean ~3 s
+    # wall per task — a 3 s ramp to the first staged block and up to a
+    # 3 s idle tail per actor at drain.  Smaller blocks cut both; the
+    # per-task overhead is microseconds against seconds of per-turn work.
+    # ($GRAFT_BLOCK_MB overrides for experiments.)
+    import ray.data as _rd
+
+    ctx = _rd.DataContext.get_current()
+    old_target = ctx.target_max_block_size
+    ctx.target_max_block_size = int(
+        float(os.environ.get("GRAFT_BLOCK_MB", "3")) * 1024 * 1024)
     ds = read_transcripts(files, include_paths=True)
     ds = with_partition_id(ds, num_partitions, salt_span=salt_span,
                            file_waves=file_waves)
@@ -164,21 +176,26 @@ def run_job(
         wave_acks[w] = []
         submitted[w] = True
 
-    for b in acks.iter_batches(batch_size=None, batch_format="pyarrow"):
-        if t_first_ack is None:
-            t_first_ack = _time.monotonic()
-        if b.num_rows == 0:
-            continue
-        import numpy as _np
+    try:
+        for b in acks.iter_batches(batch_size=None, batch_format="pyarrow"):
+            if t_first_ack is None:
+                t_first_ack = _time.monotonic()
+            if b.num_rows == 0:
+                continue
+            import numpy as _np
 
-        waves_in_b = (b.column("part_id").to_numpy() // parts_per_wave)
-        for w in set(waves_in_b.tolist()):
-            sub = b.filter(_pa.array(waves_in_b == w))
-            wave_acks[w].append(sub)
-            got[w] += int(_np.sum(sub.column("n_rows").to_numpy()))
-            if not submitted[w] and expected[w] > 0 and got[w] >= expected[w]:
-                _submit_wave(w)
-                overlapped += 1
+            waves_in_b = (b.column("part_id").to_numpy() // parts_per_wave)
+            for w in set(waves_in_b.tolist()):
+                sub = b.filter(_pa.array(waves_in_b == w))
+                wave_acks[w].append(sub)
+                got[w] += int(_np.sum(sub.column("n_rows").to_numpy()))
+                if not submitted[w] and expected[w] > 0 and got[w] >= expected[w]:
+                    _submit_wave(w)
+                    overlapped += 1
+    finally:
+        # the block-size override must not leak into unrelated datasets
+        # (bench runs queries in the same session after the job)
+        ctx.target_max_block_size = old_target
     t_extracted = _time.monotonic()
     # end of stream: whatever wasn't row-count-complete mid-stream (always
     # at least the last wave) finalizes now

