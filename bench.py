@@ -23,13 +23,16 @@ import time
 
 
 def _cpu_counters() -> tuple[int, int]:
-    """(steal, total) jiffies from /proc/stat — for disclosing hypervisor
-    steal during timed windows."""
+    """(steal, busy) jiffies from /proc/stat — for disclosing hypervisor
+    steal during timed windows.  busy excludes idle+iowait: steal burden
+    is per RUNNING cpu, and a job using 8 of 32 cpus would otherwise
+    under-report its effective steal 4x."""
     with open("/proc/stat") as f:
         parts = f.readline().split()
     vals = [int(x) for x in parts[1:]]
     steal = vals[7] if len(vals) > 7 else 0
-    return steal, sum(vals)
+    busy = sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+    return steal, busy
 
 
 def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
@@ -145,6 +148,49 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     return result
 
 
+def run_recall(sf_dir: str, num_cpus: int) -> dict:
+    """Bench-tier recall of the approximate similarity/near-dup paths vs
+    their exact twins (the pytest recall floors are sf0.01; this records
+    the same floors at the bench tier for BASELINE.md)."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from schoolocr_ray.util import install_log_filters
+
+    install_log_filters()
+    import __ray_entry__ as e
+
+    q = e.queries()
+    out: dict = {"metric": "approximate-path recall vs exact twin",
+                 "sf": os.path.basename(sf_dir.rstrip("/")), "num_cpus": num_cpus}
+
+    exact = q["knn_bruteforce"](sf_dir).to_pandas()
+    exact_sets = exact.groupby("qid")["vec_id"].agg(set)
+    for name in ("knn_lsh", "knn_ivf"):
+        approx = q[name](sf_dir).to_pandas().groupby("qid")["vec_id"].agg(set)
+        recalls = [len(exact_sets[qid] & approx.get(qid, set())) / len(exact_sets[qid])
+                   for qid in exact_sets.index]
+        out[f"{name}_recall_at_10"] = round(sum(recalls) / len(recalls), 4)
+
+    nd = q["docs_embedding_neardup"](sf_dir).to_pandas()
+    exact_pairs = set(zip(nd["vec_a"], nd["vec_b"]))
+    for name in ("docs_embedding_neardup_lsh", "docs_embedding_neardup_ivf"):
+        adf = q[name](sf_dir).to_pandas()
+        got = set(zip(adf["vec_a"], adf["vec_b"]))
+        out[f"{name}_pair_recall"] = (round(len(exact_pairs & got) / len(exact_pairs), 4)
+                                      if exact_pairs else None)
+        out[f"{name}_pairs"] = len(got)
+    out["exact_pairs"] = len(exact_pairs)
+    print(json.dumps(out))
+    ray.shutdown()
+    return out
+
+
 def run_subprocess(num_cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus), GRAFT_SF_DIR=sf_dir,
                GRAFT_HEADLINE_ONLY="1")
@@ -157,6 +203,10 @@ def run_subprocess(num_cpus: int, sf_dir: str) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--recall" in sys.argv:
+        run_recall(sf_dir, num_cpus)
+        return
 
     if "--scaling" in sys.argv:
         # scaling evidence defaults to the sf0.5 tier (~2M turns): the
@@ -200,6 +250,8 @@ def main() -> None:
             f"turns_per_sec_{hi}_all": tps_hi,
             f"sec_{lo}_all": [r["value"] for r in runs_lo],
             f"sec_{hi}_all": [r["value"] for r in runs_hi],
+            f"steal_pct_{lo}_all": [r.get("steal_pct_headline") for r in runs_lo],
+            f"steal_pct_{hi}_all": [r.get("steal_pct_headline") for r in runs_hi],
             "sf": runs_lo[0]["sf"],
         }))
         return

@@ -137,18 +137,22 @@ def read_transcripts(path: str | list[str],
 
 
 def default_concurrency() -> int:
-    """Fixed actor-pool size = 3/4 of the cluster CPU budget, leaving real
-    headroom for the read/partition/write operators that run alongside the
-    pool.  Measured at sf0.1/32 cpus: pool 24 -> 44.0k turns/s, pool 30 ->
-    27-35k t/s (oversubscription thrash); and a fixed pool beats an
-    autoscaling (min, max) range, whose ramp-up left >half the CPUs idle
-    for the first half of the job (2x wall time).  The 3/4 rule also keeps
-    pool size proportional to cluster size, which is what makes the N vs 4N
-    scaling comparison apples-to-apples."""
+    """Fixed actor-pool size = cluster CPUs minus a small FLAT spare
+    (min(6, max(1, round(ncpu/5)))): the non-pool work running alongside
+    the pool — read tasks plus the wave-overlapped finalize — averages a
+    few CPUs regardless of cluster size, so a 3/4 fraction wastes capacity
+    on big clusters.  Every point A/B-measured at sf0.5 (interleaved fresh
+    processes): 32 cpus pool 26 beats 24 by ~12% and beats 28 (thrash);
+    8 cpus pool 6 beats 7 (one spare cpu starves reads+finalize, pipeline
+    stalls); 16 cpus 12 vs 13 is a wash; 4 cpus pool 3 beats 2 by ~1.5x.
+    A fixed pool still beats an autoscaling (min, max) range, whose
+    ramp-up left >half the CPUs idle for the first half of the job (2x
+    wall time, round-1 measurement)."""
     import ray
 
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(2, (ncpu * 3) // 4)
+    spare = min(6, max(1, round(ncpu / 5)))
+    return max(2, ncpu - spare)
 
 
 def extract(

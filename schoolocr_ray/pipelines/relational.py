@@ -1197,56 +1197,45 @@ def _events_funnel_joined(sf_dir: str, win_us: int,
         {"stage": "object", "n_users": "int64"}))
 
 
-def events_cohorts(sf_dir: str, num_buckets: int = 64,
-                   num_partitions: int = 16) -> ray.data.Dataset:
+def events_cohorts(sf_dir: str, num_buckets: int = 64) -> ray.data.Dataset:
     """Cohort retention — the product-analytics rollup over event streams:
     users cohorted by their FIRST activity week, counted distinct per
     (cohort_week, active week).  Weeks are integer epoch-week indices
     (ts_us // 7 days), so the DuckDB twin is arithmetic-exact.
 
-    Shape: (1) per-user cohort week = partial-Min groupby over (user,
-    week) rows — a narrow distinct-user-sized table, materialized once;
-    (2) the per-batch-deduped (user, week) activity rows hash-join onto
-    it (ONE native join — safe even on tiny clusters) and the
-    (cohort, week, user) triples dedup in user-hash buckets with one
-    vectorized drop_duplicates each (the events_distinct_users shape),
-    pre-counting per bucket so the final exchange is cohort x week
-    partials only."""
+    ONE user-hash bucket shuffle total (was: cohort groupby + hash join +
+    bucket shuffle — the slowest query of round 3 at 6.3 s): a bucket
+    co-locates each user's per-batch-deduped (user, week) rows, so the
+    per-user MIN (the cohort week), the (user, week) distinct fold and
+    the (cohort_week, week) pre-count are all one vectorized pandas pass
+    per bucket; the final exchange carries cohort x week partials only.
+    Mega-user safe: a user's bucket rows are bounded by
+    n_upstream_blocks x n_distinct_weeks, not their event count."""
     WEEK_US = np.int64(7 * 24 * 3600) * 1_000_000
     ds = _read(sf_dir, "events", columns=["ts", "user_id"])
 
     def user_weeks(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
         df = pd.DataFrame({
-            "user_id": batch.column("user_id").to_numpy(zero_copy_only=False),
+            "user_id": uid,
             "week": batch.column("ts").cast(pa.int64()).to_numpy() // WEEK_US,
         }).drop_duplicates()
+        df["bk"] = (df["user_id"].to_numpy() % num_buckets).astype(np.int32)
         return pa.Table.from_pandas(df, preserve_index=False) \
                        .replace_schema_metadata(None)
 
-    uw = ds.map_batches(user_weeks, batch_format="pyarrow", zero_copy_batch=True)
-    from ray.data.aggregate import Min
-
-    cohort = uw.groupby("user_id") \
-               .aggregate(Min("week", alias_name="cohort_week")).materialize()
-
-    joined = uw.join(cohort, join_type="inner", num_partitions=num_partitions,
-                     on=("user_id",))
-
-    def bucket(batch: pa.Table) -> pa.Table:
-        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "bk", pa.array((uid % num_buckets).astype(np.int32)))
-
     def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.drop_duplicates(["user_id", "week"]) \
-              .groupby(["cohort_week", "week"], sort=False) \
-              .size().reset_index(name="n_users")
+        d = df.drop_duplicates(["user_id", "week"])
+        cohort = d.groupby("user_id", sort=False)["week"].transform("min")
+        g = d.assign(cohort_week=cohort) \
+             .groupby(["cohort_week", "week"], sort=False) \
+             .size().reset_index(name="n_users")
         return g[["cohort_week", "week", "n_users"]]
 
-    return joined.map_batches(bucket, batch_format="pyarrow",
-                              zero_copy_batch=True) \
-                 .groupby("bk").map_groups(arrow_groups(count_bucket),
-                                           batch_format="pandas") \
-                 .repartition(4) \
-                 .groupby(["cohort_week", "week"]) \
-                 .aggregate(Sum("n_users", alias_name="n_users"))
+    return ds.map_batches(user_weeks, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+             .groupby("bk").map_groups(arrow_groups(count_bucket),
+                                       batch_format="pandas") \
+             .repartition(4) \
+             .groupby(["cohort_week", "week"]) \
+             .aggregate(Sum("n_users", alias_name="n_users"))
