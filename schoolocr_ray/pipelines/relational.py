@@ -68,7 +68,15 @@ def events_histogram(sf_dir: str) -> ray.data.Dataset:
 
 def customers_per_region(sf_dir: str) -> ray.data.Dataset:
     """J1 analog: broadcast hash join customer ⋈ nation ⋈ region (dimension
-    side shipped once via ray.put, looked up per batch) + grouped rollup."""
+    side shipped once via ray.put, looked up per batch) + grouped rollup.
+
+    The lookup is a plain stateless task fn: ``ray.get`` of a KB-scale
+    broadcast object inside each task is shared-memory and effectively
+    free, while an actor pool would pay ~2 s of spin-up for a sub-second
+    workload (measured — this was the whole r3 cost of the query).  A
+    GB-scale dimension is the case for the actor shape (fetch + index
+    once per actor in ``__init__``), which the extraction pool and
+    ``oracle.py`` broadcast bundles demonstrate."""
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_regionkey"]).to_pandas()
     region = pq.read_table(f"{sf_dir}/region.parquet",
@@ -79,24 +87,19 @@ def customers_per_region(sf_dir: str) -> ray.data.Dataset:
     ))
     ref = ray.put(nat2reg)
 
-    class JoinStage:
-        def __init__(self, lookup_ref) -> None:
-            self.lookup = ray.get(lookup_ref)   # fetched once per actor
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            df = pd.DataFrame({
-                "r_name": pd.Series(batch.column("c_nationkey").to_numpy()).map(self.lookup),
-                "cents": _cents(batch.column("c_acctbal").to_numpy()),
-            })
-            g = df.groupby("r_name", sort=False).agg(
-                n_customers=("cents", "size"),
-                acctbal_cents=("cents", "sum")).reset_index()
-            return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+    def join_batch(batch: pa.Table, lookup_ref=ref) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        df = pd.DataFrame({
+            "r_name": pd.Series(batch.column("c_nationkey").to_numpy()).map(lookup),
+            "cents": _cents(batch.column("c_acctbal").to_numpy()),
+        })
+        g = df.groupby("r_name", sort=False).agg(
+            n_customers=("cents", "size"),
+            acctbal_cents=("cents", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
-    return ds.map_batches(JoinStage, fn_constructor_args=(ref,),
-                          batch_format="pyarrow", zero_copy_batch=True,
-                          concurrency=(1, 4)) \
+    return ds.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True) \
              .groupby("r_name").aggregate(
                  Sum("n_customers", alias_name="n_customers"),
                  Sum("acctbal_cents", alias_name="acctbal_cents"))
