@@ -128,7 +128,10 @@ def glyph_eval(sf_dir: str | None = None) -> ray.data.Dataset:
     """Per-class accuracy report over the eval corpus.  ``sf_dir`` is
     accepted (queries() contract) but unused: the corpus derives from the
     model registry, not the scale tier."""
-    ds = ray.data.from_items(glyph_eval_corpus())
+    # from_items shatters the 378-row corpus into hundreds of micro-blocks
+    # by default — repartition(2) first, or the actor pool pays hundreds of
+    # tiny task dispatches (was most of this query's wall time)
+    ds = ray.data.from_items(glyph_eval_corpus()).repartition(2)
     partials = ds.map_batches(EvalStage, batch_format="pyarrow",
                               zero_copy_batch=True, concurrency=(1, 2))
     agg = partials.groupby("cls").aggregate(
