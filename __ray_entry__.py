@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": relational.events_funnel,
         "events_hll_users": relational.events_hll_users,
         "events_cohorts": relational.events_cohorts,
+        "events_topk_per_group": relational.events_topk_per_group,
         "events_windowed": relational.events_windowed,
         "events_lag": relational.events_lag,
         "events_asof_purchase": relational.events_asof_purchase,
@@ -798,6 +799,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             JOIN camp c ON e.ts >= c.start_ts AND e.ts < c.end_ts
             WHERE e.event_type = 'click'
+        """,
+        "events_topk_per_group": """
+            SELECT event_type, CAST(rn AS BIGINT) AS rnk, event_id, cents
+            FROM (
+                SELECT event_type, event_id,
+                       CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY CAST(FLOOR(value * 100) AS BIGINT) DESC,
+                                    event_id) AS rn
+                FROM events)
+            WHERE rn <= 5
         """,
         "events_percentiles": """
             SELECT event_type,

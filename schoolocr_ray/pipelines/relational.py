@@ -130,6 +130,41 @@ def lineitem_semi_join(sf_dir: str, region_name: str = "ASIA") -> ray.data.Datas
              .groupby("l_suppkey").aggregate(Sum("n", alias_name="n"))
 
 
+def events_topk_per_group(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """Grouped top-k (the §2.6 family's per-GROUP shape, completing the
+    per-row O4/O5 and global-O6 variants): the k highest-value events per
+    event_type with rank.  Scale shape: each batch emits only its local
+    top-k per group, so the exchange carries at most k rows per
+    (group, block) — at 10^12 rows the shuffle is k x |groups| x blocks,
+    never data-sized.  Determinism: integer cents DESC, event_id ASC
+    tiebreak; ranks assigned after the per-group final sort."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(),
+            "event_id": batch.column("event_id").to_numpy(),
+            "cents": _cents(batch.column("value").to_numpy()),
+        })
+        df = df.sort_values(["cents", "event_id"], ascending=[False, True])
+        g = df.groupby("event_type", sort=False).head(k)
+        return pa.Table.from_pydict({
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "event_id": pa.array(g["event_id"].to_numpy(), pa.int64()),
+            "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
+        })
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cents", "event_id"],
+                            ascending=[False, True]).head(k).reset_index(drop=True)
+        df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["event_type", "rnk", "event_id", "cents"]]
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+             .groupby("event_type").map_groups(arrow_groups(final),
+                                               batch_format="pandas")
+
+
 def top_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     """O analog: global top-k by balance (distributed sort + limit)."""
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])

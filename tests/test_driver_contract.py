@@ -51,7 +51,7 @@ SQL_CHECKED = [
     "events_windowed", "events_lag", "events_asof_purchase",
     "events_hopping", "events_sessions", "events_percentiles",
     "events_range_join", "events_funnel", "events_hll_users",
-    "events_cohorts",
+    "events_cohorts", "events_topk_per_group",
     "customers_per_region", "lineitem_semi_join", "lineitem_order_join",
     "top_customers", "orders_rollup",
     "docs_token_count", "docs_quality", "docs_langid", "docs_exact_dedup",
@@ -187,6 +187,7 @@ def test_new_events_ops_survive_empty_table(ray_session, tmp_path):
 
     for fn in (r.events_percentiles, r.events_range_join,
                r.events_funnel, r.events_hll_users,
+               r.events_cohorts, r.events_topk_per_group,
                functools.partial(r.events_funnel, mode="join")):
         df = _to_pandas(fn(str(d)))
         assert len(df) == 0 or set(df.get("n_users", [])) == {0}, fn
