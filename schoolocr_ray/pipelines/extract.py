@@ -137,21 +137,29 @@ def read_transcripts(path: str | list[str],
 
 
 def default_concurrency() -> int:
-    """Fixed actor-pool size = cluster CPUs minus a small FLAT spare
-    (min(6, max(1, round(ncpu/5)))): the non-pool work running alongside
-    the pool — read tasks plus the wave-overlapped finalize — averages a
-    few CPUs regardless of cluster size, so a 3/4 fraction wastes capacity
-    on big clusters.  Every point A/B-measured at sf0.5 (interleaved fresh
-    processes): 32 cpus pool 26 beats 24 by ~12% and beats 28 (thrash);
-    8 cpus pool 6 beats 7 (one spare cpu starves reads+finalize, pipeline
-    stalls); 16 cpus 12 vs 13 is a wash; 4 cpus pool 3 beats 2 by ~1.5x.
-    A fixed pool still beats an autoscaling (min, max) range, whose
-    ramp-up left >half the CPUs idle for the first half of the job (2x
-    wall time, round-1 measurement)."""
+    """Fixed actor-pool size = cluster CPUs minus spare for the read tasks
+    and the wave-overlapped finalize: spare = max(1, round(ncpu/4)), i.e.
+    pools 3/6/12/24 at 4/8/16/32 cpus.  ``$GRAFT_POOL`` overrides.
+
+    Measured history (sf0.5, interleaved fresh-process A/Bs): under
+    hypervisor-steal load, pool 26 at 32 cpus beat 24 by ~12% (extra
+    threads compensate stolen cycles) — but across 11 low-steal (<2.2%)
+    runs the 32-cpu job averaged ~26.3 s with pool 24 vs ~29.5 s with
+    pool 26, while the unchanged 8-cpu level drifted the other way, so
+    the clean-host optimum is 24 and the loaded A/B was confounded.
+    Pool 28 thrashes under any load; pool 7 at 8 cpus starves the
+    pipeline (one spare cpu); pool 3 beats 2 by ~1.5x at 4 cpus; a fixed
+    pool beats an autoscaling (min, max) range, whose ramp-up left >half
+    the CPUs idle for the first half of the job (2x wall time)."""
+    import os
+
     import ray
 
+    override = os.environ.get("GRAFT_POOL")
+    if override:
+        return int(override)
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    spare = min(6, max(1, round(ncpu / 5)))
+    spare = max(1, round(ncpu / 4))
     return max(2, ncpu - spare)
 
 
