@@ -71,27 +71,45 @@ def with_partition_id(ds: ray.data.Dataset, num_partitions: int = DEFAULT_NUM_PA
     COMPLETE as soon as its files' rows are all staged — which is what lets
     the checkpointed job start finalizing early waves while later waves are
     still extracting (run_job), instead of serializing the whole finalize
-    behind a global barrier.  The per-partition sort order and every
-    downstream reader are mapping-agnostic (readers glob part_id=* and
-    group/sort themselves; the salted mega-conversation path already splits
-    one conv across partitions by design)."""
+    behind a global barrier.  The per-partition sort order and readers that
+    glob part_id=* and group/sort themselves are mapping-agnostic (the
+    salted mega-conversation path already splits one conv across partitions
+    by design) — but part_id-KEYED operators are not: ``dedup_turns`` relies
+    on duplicates co-locating by hash and must not be composed with a
+    wave-mapped dataset (see its docstring)."""
     n_waves = (max(file_waves.values()) + 1) if file_waves else 1
     if num_partitions % n_waves:
         raise ValueError(f"num_partitions={num_partitions} not divisible by "
                          f"n_waves={n_waves}")
     parts_per_wave = num_partitions // n_waves
+    # Ray/pyarrow resolve input paths (relative->absolute, symlinks) while
+    # the caller's file_waves keys keep their original spelling — normalize
+    # both sides so the per-block lookup can't KeyError on a relative or
+    # symlinked input_path (r4 advice).
+    import os as _os
+
+    norm_waves = ({_os.path.realpath(k): v for k, v in file_waves.items()}
+                  if file_waves else None)
 
     def add_part(batch: pa.Table) -> pa.Table:
         pid = hash_partition_ids(batch.column("conv_id").to_pylist(), parts_per_wave,
                                  turn_idx=batch.column("turn_idx").to_numpy(),
                                  salt_span=salt_span)
-        if file_waves is not None:
+        if norm_waves is not None:
             paths = batch.column("path")
             # blocks come from one file (or few): dictionary-encode instead
             # of a per-row dict lookup
             enc = paths.combine_chunks().dictionary_encode()
-            wave_of = np.array([file_waves[p] for p in enc.dictionary.to_pylist()],
-                               dtype=np.int32)
+            block_paths = enc.dictionary.to_pylist()
+            unmatched = [p for p in block_paths
+                         if _os.path.realpath(p) not in norm_waves]
+            if unmatched:
+                raise ValueError(
+                    f"block path(s) {unmatched} not found in file_waves "
+                    f"(known: {sorted(norm_waves)}) — input path spelling "
+                    f"diverged from the planned file list")
+            wave_of = np.array([norm_waves[_os.path.realpath(p)]
+                                for p in block_paths], dtype=np.int32)
             pid = pid + wave_of[enc.indices.to_numpy()] * parts_per_wave
             batch = batch.drop_columns(["path"])
         return batch.append_column("part_id", pa.array(pid, pa.int32()))
@@ -221,7 +239,15 @@ def restore_order(ds: ray.data.Dataset) -> ray.data.Dataset:
 def dedup_turns(ds: ray.data.Dataset) -> ray.data.Dataset:
     """D2: exact turn dedup — first row per (conv_id, turn_idx) by ts, using
     the same partitioning shuffle (zero extra data movement when fused with
-    restore_order)."""
+    restore_order).
+
+    REQUIRES the default (non-wave) partition mapping: part_id must be a
+    pure function of (conv_id, turn_idx) so duplicates of the same turn
+    co-locate in one group.  Under ``run_job``'s wave-offset mapping the
+    same turn redelivered in a different input wave lands in a different
+    part_id and this group-local dedup cannot see it (r4 advice) — dedup
+    over wave-mapped checkpoints must rekey on ``hash(conv_id)`` instead,
+    as ``_transcripts_dedup`` in ``__ray_entry__.py`` does."""
 
     import pyarrow.compute as pc
 

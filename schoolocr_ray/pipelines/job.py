@@ -63,6 +63,7 @@ def run_job(
     concurrency=None,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     salt_span: int = SALT_SPAN,
+    fail_after_wave: int | None = None,
 ) -> pd.DataFrame:
     """Extract -> sorted, checkpointed partitioned output.  A rerun with the
     same inputs + code skips completed partitions entirely (the resume
@@ -88,7 +89,12 @@ def run_job(
     finalize fires only when the staged row count equals the footer count,
     and finalize still hard-errors on any acked-but-unreachable fragment.
 
-    ``batch_size=None`` processes whole blocks, minimizing fragment count."""
+    ``batch_size=None`` processes whole blocks, minimizing fragment count.
+
+    ``fail_after_wave`` is a testing hook: raise (simulating a driver crash)
+    right after that wave's mid-stream finalize tasks have durably landed —
+    used to pin the wave-granular resume contract (early waves durable
+    before job end)."""
     import pyarrow as _pa
     import pyarrow.parquet as _pq
     import ray as _ray
@@ -138,18 +144,6 @@ def run_job(
 
     ctx = _rd.DataContext.get_current()
     old_target = ctx.target_max_block_size
-    ctx.target_max_block_size = int(
-        float(os.environ.get("GRAFT_BLOCK_MB", "3")) * 1024 * 1024)
-    ds = read_transcripts(files, include_paths=True)
-    ds = with_partition_id(ds, num_partitions, salt_span=salt_span,
-                           file_waves=file_waves)
-    ds = filter_completed(ds, done)
-    if concurrency is None:
-        concurrency = default_concurrency()
-    acks = ds.map_batches(FusedExtractStage, batch_format="pyarrow",
-                          zero_copy_batch=True, batch_size=batch_size,
-                          concurrency=concurrency,
-                          fn_constructor_kwargs={"staging": staging})
 
     # stream the tiny ack rows as extraction progresses; fire each wave's
     # finalize the moment its expected row count is fully staged
@@ -177,6 +171,21 @@ def run_job(
         submitted[w] = True
 
     try:
+        # the override lives entirely inside this try so an exception from
+        # read_transcripts schema validation (or anywhere else) can't leak
+        # the 3 MB block size into unrelated datasets in the same session
+        ctx.target_max_block_size = int(
+            float(os.environ.get("GRAFT_BLOCK_MB", "3")) * 1024 * 1024)
+        ds = read_transcripts(files, include_paths=True)
+        ds = with_partition_id(ds, num_partitions, salt_span=salt_span,
+                               file_waves=file_waves)
+        ds = filter_completed(ds, done)
+        if concurrency is None:
+            concurrency = default_concurrency()
+        acks = ds.map_batches(FusedExtractStage, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size,
+                              concurrency=concurrency,
+                              fn_constructor_kwargs={"staging": staging})
         for b in acks.iter_batches(batch_size=None, batch_format="pyarrow"):
             if t_first_ack is None:
                 t_first_ack = _time.monotonic()
@@ -192,6 +201,14 @@ def run_job(
                 if not submitted[w] and expected[w] > 0 and got[w] >= expected[w]:
                     _submit_wave(w)
                     overlapped += 1
+                    if fail_after_wave is not None and w == fail_after_wave:
+                        # testing hook (wave-durability contract): wait for
+                        # this wave's finalize tasks to land their manifests,
+                        # then die as a crashed driver would — the resume
+                        # path must treat those partitions as done
+                        _ray.get(futures)
+                        raise RuntimeError(
+                            f"injected failure after wave {w} finalize")
     finally:
         # the block-size override must not leak into unrelated datasets
         # (bench runs queries in the same session after the job)
@@ -202,6 +219,27 @@ def run_job(
     for w in range(n_waves):
         if not submitted[w]:
             _submit_wave(w)
+    # completeness audit (r4 advice): a wave submitted mid-stream must never
+    # see another ack — rows appended to wave_acks after submission would be
+    # silently dropped from the checkpoint — and every wave's acked row count
+    # must equal its footer-derived expectation exactly.  These mirror the
+    # acked-but-unreachable-fragment hard error inside finalize: completeness
+    # is counted, never inferred, and any violation fails loudly here rather
+    # than as silent row loss discovered downstream.
+    residual = [w for w in range(n_waves) if wave_acks[w]]
+    if residual:
+        raise RuntimeError(
+            f"extraction acks arrived after wave finalize was submitted for "
+            f"wave(s) {residual} — acked rows would be missing from the "
+            f"checkpoint (footer-count invariant violated; got={got}, "
+            f"expected={expected})")
+    mismatched = {w: (got[w], expected[w]) for w in range(n_waves)
+                  if got[w] != expected[w]}
+    if mismatched:
+        raise RuntimeError(
+            f"acked row count != parquet footer expectation for wave(s) "
+            f"{mismatched} (wave: (acked, expected)) — extraction is not 1:1 "
+            f"or acks were lost; refusing to write an incomplete checkpoint")
     manifest_new = pd.DataFrame(_ray.get(futures)) if futures else pd.DataFrame()
     if all_nodes:
         cleanup_staging(staging, pd.DataFrame({"node_id": sorted(all_nodes)}),

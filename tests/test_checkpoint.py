@@ -104,6 +104,77 @@ def test_duplicate_block_semantics(ray_session, small_corpus, tmp_path):
     assert m3["n_turns"].sum() == a.num_rows + c.num_rows
 
 
+def test_symlinked_input_path_resolves(ray_session, small_corpus, tmp_path):
+    """r4 advice: Ray resolves input paths (symlinks, relative->absolute)
+    while resolve_input_files preserves the caller's spelling — the wave
+    lookup must normalize both sides instead of KeyError-ing at runtime."""
+    from schoolocr_ray.pipelines.job import run_job
+    from schoolocr_ray.state.checkpoint import read_output
+
+    path, table, _ = small_corpus
+    link = tmp_path / "corpus_link"
+    os.symlink(path, str(link))
+    out = str(tmp_path / "out_link")
+    m = run_job(str(link), out, num_partitions=8)
+    assert m["n_turns"].sum() == table.num_rows
+    assert len(read_output(out).to_pandas()) == table.num_rows
+
+
+def test_wave_granular_resume(ray_session, small_corpus, tmp_path):
+    """The wave-overlapped finalize's promise: wave k's partitions are
+    DURABLE (manifest + data on disk) before the job ends.  Kill the driver
+    right after wave 0's finalize lands, resume, and assert wave-0
+    partitions are skipped (mtimes unchanged) while the final output equals
+    an uninterrupted run's."""
+    import glob
+
+    import pytest as _pytest
+
+    from schoolocr_ray.pipelines.job import pick_waves, run_job
+    from schoolocr_ray.state.checkpoint import read_output
+
+    path, table, _ = small_corpus
+    assert pick_waves(2, 8) == 2  # 2 files -> 2 waves, 4 partitions each
+
+    # the reference result: uninterrupted run
+    out_ref = str(tmp_path / "out_ref")
+    run_job(path, out_ref, num_partitions=8)
+    ref = read_output(out_ref).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    # crash after wave 0's mid-stream finalize has durably landed
+    out = str(tmp_path / "out_crash")
+    with _pytest.raises(RuntimeError, match="injected failure after wave 0"):
+        run_job(path, out, num_partitions=8, fail_after_wave=0)
+
+    # wave 0 partitions (part_id 0..3) that had rows are already durable
+    done_manifests = sorted(glob.glob(os.path.join(out, "manifest", "*.json")))
+    done_pids = []
+    for p in done_manifests:
+        with open(p) as f:
+            done_pids.append(json.load(f)["part_id"])
+    assert done_pids, "no wave-0 partition was durable after the crash"
+    assert all(pid < 4 for pid in done_pids), \
+        f"crash after wave 0 leaked later-wave manifests: {done_pids}"
+    before = {pid: os.path.getmtime(
+        os.path.join(out, f"part_id={pid}", "data.parquet"))
+        for pid in done_pids}
+
+    # resume: completed wave-0 partitions skipped, output complete + equal
+    m2 = run_job(path, out, num_partitions=8)
+    assert m2["n_turns"].sum() == table.num_rows
+    for pid, mt in before.items():
+        assert os.path.getmtime(
+            os.path.join(out, f"part_id={pid}", "data.parquet")) == mt, \
+            f"resume rewrote already-durable wave-0 partition {pid}"
+    got = read_output(out).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert got["conv_id"].equals(ref["conv_id"])
+    assert got["turn_idx"].equals(ref["turn_idx"])
+    assert got["extracted_text"].equals(ref["extracted_text"])
+    assert got["total_score"].equals(ref["total_score"])
+
+
 def test_lineage_invalidates_on_partition_mapping_change(ray_session, small_corpus, tmp_path):
     """A rerun with a different partition mapping (num_partitions / salt
     span) must NOT treat old manifests as done — the old files don't
