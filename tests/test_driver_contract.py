@@ -191,3 +191,25 @@ def test_new_events_ops_survive_empty_table(ray_session, tmp_path):
                functools.partial(r.events_funnel, mode="join")):
         df = _to_pandas(fn(str(d)))
         assert len(df) == 0 or set(df.get("n_users", [])) == {0}, fn
+
+
+def test_lineitem_order_join_survives_empty_lineitem(ray_session, tmp_path):
+    """Empty big side through the native hash join: Ray's shuffle
+    aggregator ArrowInvalid-s on an empty keyed side, so the operator must
+    short-circuit from the parquet footer with the typed empty result."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "empty_lineitem"
+    d.mkdir()
+    sch = pq.read_schema(os.path.join(SF_DIR, "lineitem.parquet"))
+    pq.write_table(sch.empty_table(), str(d / "lineitem.parquet"))
+    shutil.copy(os.path.join(SF_DIR, "orders.parquet"), str(d / "orders.parquet"))
+
+    from schoolocr_ray.pipelines import relational as r
+
+    ds = r.lineitem_order_join(str(d))
+    assert sorted(ds.schema().names) == ["n", "o_orderpriority", "revenue_cents"]
+    assert ds.count() == 0
