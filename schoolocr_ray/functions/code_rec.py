@@ -16,10 +16,19 @@ Mapping (each step cites its reference line):
 """
 from __future__ import annotations
 
+import re
+
 from ..layouts import CHAR_W, CODE_DROP_LEADING, LINE_H, MIN_CONTOUR_AREA, SPECK_CHARS
 from .classify import GlyphClassifier
 
 ORIENT_MARKER = "⟲"
+
+# C-speed equivalents of the per-char genexprs in the token filter:
+# fullmatch on a nonempty token == all(c in SPECK_CHARS for c in t);
+# search == any(c.isalnum() for c in tok) (str.isalnum is exactly the
+# \w-minus-underscore Unicode class for the alphanumeric part).
+_SPECK_RE = re.compile("[%s]+" % re.escape("".join(sorted(SPECK_CHARS))))
+_ALNUM_RE = re.compile(r"[^\W_]", re.U)
 
 
 def _correct_orientation(lines: list[str]) -> list[str]:
@@ -36,7 +45,7 @@ def _correct_orientation(lines: list[str]) -> list[str]:
 def _token_area(tok: str) -> int:
     """Contour-area analog: width x height in virtual px. Alnum-bearing
     tokens are full line height; bare punctuation specks are 3 px tall."""
-    height = LINE_H if any(c.isalnum() for c in tok) else 3
+    height = LINE_H if _ALNUM_RE.search(tok) else 3
     return len(tok) * CHAR_W * height
 
 
@@ -79,7 +88,7 @@ def recognize_code(region_lines: list[str], model: GlyphClassifier) -> str | Non
 
     # Min-area filter (code_rec.py:65-66).
     tokens = [(x, t) for x, t in tokens
-              if _token_area(t) > MIN_CONTOUR_AREA and not all(c in SPECK_CHARS for c in t)]
+              if _token_area(t) > MIN_CONTOUR_AREA and not _SPECK_RE.fullmatch(t)]
     # X-sort (already in scan order) + drop 3 leading noise tokens
     # (code_rec.py:68-72).
     tokens.sort(key=lambda xt: xt[0])

@@ -79,13 +79,11 @@ class ContentScorer:
         string, a kind tag and the block score; blocks in the body area are
         classified content/boilerplate, table rows and the header/code
         strips are tagged structurally."""
-        # line start offsets into the page string (single C-level pass)
-        lens = list(map(len, lines))
-        offsets = [0] * len(lines)
-        pos = 0
-        for i, n in enumerate(lens):
-            offsets[i] = pos
-            pos += n + 1
+        # line start offsets into the page string (single C-level pass;
+        # the trailing extra entry from `initial` is simply unused)
+        from itertools import accumulate
+
+        offsets = list(accumulate((n + 1 for n in map(len, lines)), initial=0))
 
         spans: list[dict] = []
         kept: list[str] = []

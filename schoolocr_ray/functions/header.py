@@ -38,18 +38,30 @@ _PATTERN_2 = re.compile(
 )
 
 
-def recognize_hat(region_lines: list[str]) -> str:
-    """Extract the header text from the hat region crop — recognize_hat
-    (app.py:109-118): whitelist filter, join lines, strip, then the noise
-    replacement table."""
-    raw = "\n".join(ln for ln in (l.strip() for l in region_lines) if ln)
-    text = "".join(ch for ch in raw if ch in _WHITELIST).strip()
+from functools import lru_cache
+
+# C-speed whitelist filter: byte-equivalent to the per-char
+# ``ch in _WHITELIST`` genexpr (the class is the escaped whitelist).
+_NON_WHITELIST_RE = re.compile("[^%s]" % re.escape("".join(sorted(_WHITELIST))))
+
+
+@lru_cache(maxsize=8192)
+def _clean_hat(raw: str) -> str:
+    """Whitelist filter + strip + noise replacement table.  Pure; memoized —
+    header strings are templated in a web corpus, so the filter/replace
+    passes collapse to a dict hit for repeated headers."""
+    text = _NON_WHITELIST_RE.sub("", raw).strip()
     for old, new in REPLACEMENTS.items():
         text = text.replace(old, new)
     return text
 
 
-from functools import lru_cache
+def recognize_hat(region_lines: list[str]) -> str:
+    """Extract the header text from the hat region crop — recognize_hat
+    (app.py:109-118): whitelist filter, join lines, strip, then the noise
+    replacement table."""
+    raw = "\n".join(ln for ln in (l.strip() for l in region_lines) if ln)
+    return _clean_hat(raw)
 
 
 @lru_cache(maxsize=8192)

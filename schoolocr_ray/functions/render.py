@@ -214,10 +214,9 @@ def render_page_lines(parts: DocParts) -> list[str]:
     elif parts.table_rows:
         tbl = [_format_html_table_row(r) for r in parts.table_rows]
     if tbl:
-        while len(lines) < TABLE_LINE:
-            lines.append("")
-        for t in tbl:
-            lines.append(" " * TABLE_COL + t)
+        if len(lines) < TABLE_LINE:
+            lines.extend([""] * (TABLE_LINE - len(lines)))
+        lines.extend(" " * TABLE_COL + t for t in tbl)
     return make_page_lines(lines)
 
 

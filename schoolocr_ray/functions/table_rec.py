@@ -19,6 +19,9 @@ verbatim — they are load-bearing for per-turn equality:
 """
 from __future__ import annotations
 
+import re
+from functools import lru_cache
+
 from ..layouts import (
     CHAR_W,
     CONF_THRESHOLD,
@@ -37,6 +40,45 @@ from ..layouts import (
 from .classify import GlyphClassifier
 
 Box = list[float]  # [x1, y1, x2, y2]
+
+# cell-content kinds for the per-line span cache (kind -> conf happens per
+# detector instance, so one cache serves primary and extra detectors)
+_K_EMPTY, _K_SPECK, _K_CONTENT = 0, 1, 2
+
+from operator import itemgetter
+
+_get_y1 = itemgetter(1)
+_SPECK_RE = re.compile("[%s]+" % re.escape("".join(sorted(SPECK_CHARS))))
+
+
+@lru_cache(maxsize=8192)
+def _line_cells(ln: str) -> tuple[tuple[float, float, int], ...]:
+    """(x1, x2, kind) for every pipe-delimited cell of one line.
+
+    Pure function of the line text (y comes from the line index, confs from
+    the detector instance), so it is memoized per worker: table lines repeat
+    heavily across a corpus — separator/header rows are shared by every
+    document of a layout — and the per-cell strip/speck scan is the single
+    hottest loop in the extraction profile.  The regex fullmatch is
+    byte-equivalent to ``all(c in SPECK_CHARS for c in stripped)``."""
+    parts = ln.split("|")
+    if len(parts) < 3:
+        return ()
+    out = []
+    pos = len(parts[0])               # offset of the first pipe
+    for j in range(1, len(parts) - 1):
+        content = parts[j]
+        nxt = pos + 1 + len(content)  # offset of the next pipe
+        stripped = content.strip()
+        if not stripped:
+            kind = _K_EMPTY
+        elif _SPECK_RE.fullmatch(stripped):
+            kind = _K_SPECK
+        else:
+            kind = _K_CONTENT
+        out.append((float((pos + 1) * CHAR_W), float(nxt * CHAR_W), kind))
+        pos = nxt
+    return tuple(out)
 
 
 class CellDetector:
@@ -61,27 +103,43 @@ class CellDetector:
         halves the per-page scan."""
         li_min = -(-MIN_Y // LINE_H)          # ceil: first line with y1 >= MIN_Y
         li_max = min(MAX_Y // LINE_H, len(lines) - 1)
+        conf_by_kind = (DET_CONF_EMPTY, self._speck_conf, DET_CONF_CONTENT)
         out: list[tuple[Box, float]] = []
-        for li in range(li_min, li_max + 1):
-            ln = lines[li]
-            pipes = []
-            i = ln.find("|")
-            while i != -1:
-                pipes.append(i)
-                i = ln.find("|", i + 1)
-            if len(pipes) < 2:
+        for li, ln in enumerate(lines[li_min:li_max + 1], li_min):
+            if not ln:                        # band lines are overwhelmingly
+                continue                      # empty — skip before the cache
+            cells = _line_cells(ln)
+            if not cells:
                 continue
             y1, y2 = float(li * LINE_H), float((li + 1) * LINE_H)
-            for a, b in zip(pipes, pipes[1:]):
-                content = ln[a + 1 : b]
-                stripped = content.strip()
-                if not stripped:
-                    conf = DET_CONF_EMPTY
-                elif all(c in SPECK_CHARS for c in stripped):
-                    conf = self._speck_conf
-                else:
-                    conf = DET_CONF_CONTENT
-                out.append(([float((a + 1) * CHAR_W), y1, float(b * CHAR_W), y2], conf))
+            for x1, x2, kind in cells:
+                out.append(([x1, y1, x2, y2], conf_by_kind[kind]))
+        return out
+
+    def detect_passing(self, lines: list[str]) -> list[Box]:
+        """Boxes that survive the callers' ``conf >= CONF_THRESHOLD`` and
+        ``MIN_Y <= y1 <= MAX_Y`` filter (Yolo_cell_rec.py:34), skipping box
+        construction for cells that cannot pass.  Pure equivalence with
+        ``[b for b, c in self.detect(lines) if c >= CONF_THRESHOLD and
+        MIN_Y <= b[1] <= MAX_Y]``: the band bound holds by construction
+        (every scanned line has MIN_Y <= li*LINE_H <= MAX_Y), and the conf
+        outcomes are fixed per kind — empty 0.30 always fails, content 0.95
+        always passes, speck passes only for the extra detector
+        (0.55 vs 0.45 against the 0.5 threshold)."""
+        li_min = -(-MIN_Y // LINE_H)
+        li_max = min(MAX_Y // LINE_H, len(lines) - 1)
+        speck_ok = self._speck_conf >= CONF_THRESHOLD
+        out: list[Box] = []
+        for li, ln in enumerate(lines[li_min:li_max + 1], li_min):
+            if not ln:
+                continue
+            cells = _line_cells(ln)
+            if not cells:
+                continue
+            y1, y2 = float(li * LINE_H), float((li + 1) * LINE_H)
+            for x1, x2, kind in cells:
+                if kind == _K_CONTENT or (speck_ok and kind == _K_SPECK):
+                    out.append([x1, y1, x2, y2])
         return out
 
 
@@ -98,13 +156,13 @@ def cell_text(lines: list[str], box: Box) -> str:
 def extract_table_rows(lines: list[str], detector: CellDetector) -> list[list[Box]]:
     """Detect, filter, y-group and x-sort cell boxes into rows —
     extract_table_rows (Yolo_cell_rec.py:6-79), ported loop-for-loop."""
-    detections = detector.detect(lines)
-    filtered = [box for box, conf in detections
-                if conf >= CONF_THRESHOLD and MIN_Y <= box[1] <= MAX_Y]
+    filtered = detector.detect_passing(lines)
     if not filtered:
         return []
 
-    filtered.sort(key=lambda b: (b[1] + b[3]) / 2)
+    # every box has y2 == y1 + LINE_H, so ordering by y-center
+    # (b[1]+b[3])/2 is exactly ordering by y1 (stable sort keeps ties)
+    filtered.sort(key=_get_y1)
 
     row_groups: list[list[Box]] = []
     current_row: list[Box] = []

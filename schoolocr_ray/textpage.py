@@ -19,7 +19,9 @@ def make_page_lines(lines: list[str]) -> list[str]:
     analog (app.py:88-90): truncate to PAGE_LINES/PAGE_COLS, pad with empty
     lines to exactly PAGE_LINES.  Returns the line list (the hot path works
     in line space; ``make_page`` joins for the string page column)."""
-    out = [ln[:PAGE_COLS].rstrip() for ln in lines[:PAGE_LINES]]
+    # `ln and ...` short-circuits the (very common) empty line: rendered
+    # pages are mostly "" padding, and ""[:n].rstrip() is two wasted calls
+    out = [ln and ln[:PAGE_COLS].rstrip() for ln in lines[:PAGE_LINES]]
     out.extend([""] * (PAGE_LINES - len(out)))
     return out
 
