@@ -335,8 +335,8 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45,
 
 
 def embedding_neardup_ivf(sf_dir: str, threshold: float = 0.45,
-                          n_centroids: int = 16, hot_cap: int = 2048,
-                          n_assign: int = 2) -> ray.data.Dataset:
+                          n_centroids: int = 32, hot_cap: int = 2048,
+                          n_assign: int = 3) -> ray.data.Dataset:
     """Embedding near-dup pairs via IVF coarse quantization — the second
     bucketed scale path next to ``embedding_neardup_lsh``: assign each
     vector to its ``n_assign`` nearest centroids (KB-scale broadcast),
@@ -347,7 +347,10 @@ def embedding_neardup_ivf(sf_dir: str, threshold: float = 0.45,
     vs the exact matmul path.  Data amplification is ``n_assign``x (vs the
     LSH variant's n_tables); ``n_centroids`` scales with corpus (target
     list size ~n_assign*n/centroids); ``hot_cap`` hard-bounds a degenerate
-    list."""
+    list.  Defaults from the r5 offline sweep: 32/3 lifts bench-tier pair
+    recall 0.583 -> 0.806 (0.71-0.86 at the small tiers) for 1.5x the old
+    2-assign data amplification, with finer lists than the equally-accurate
+    16/3."""
     from .similarity import _ivf_centroids
 
     cent = _ivf_centroids(sf_dir, n_centroids)

@@ -317,10 +317,15 @@ class IvfAssignScore:
 
 
 def knn_ivf(sf_dir: str, k: int = DEFAULT_K, query_ids=DEFAULT_QUERIES,
-            n_centroids: int = 16, n_probe: int = 6) -> ray.data.Dataset:
+            n_centroids: int = 32, n_probe: int = 12) -> ray.data.Dataset:
     """IVF approximate top-k (the scale path next to ``knn_bruteforce``):
     coarse k-means lists, queries probe their ``n_probe`` nearest lists,
-    exact rerank inside probed lists only.  Recall < 1 by construction."""
+    exact rerank inside probed lists only.  Recall < 1 by construction.
+
+    Defaults from the r5 offline sweep at the bench tier: 32/12 probes the
+    same ~37% corpus fraction as the old 16/6 (same scoring cost; the
+    n x C assignment matmul is negligible) but the finer quantization lifts
+    recall@10 0.66 -> 0.86 at sf0.1 (0.76-0.80 at the small tiers)."""
     cent = _ivf_centroids(sf_dir, n_centroids)
     qids_arr, qm = _load_queries(sf_dir, set(query_ids))
     probe = np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe]   # (Q, n_probe)
