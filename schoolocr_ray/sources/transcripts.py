@@ -19,6 +19,10 @@ SF_PARAMS = {
     "sf0.01": (150, 300, 4),
     "sf0.1": (23000, 5000, 32),   # ~500k turns: the bench tier
     "sf0.5": (92000, 5000, 64),   # ~2M turns: the scale/amortization tier
+    "sf1.0": (184000, 5000, 128), # ~4M turns: the 8->32 scaling tier — after
+                                  # the r5 oracle speedup the 32-cpu sf0.5 job
+                                  # is ~26 s, where fixed costs (~3 s ramp +
+                                  # finalize) alone cap efficiency at ~0.9
 }
 SEED = 20250817
 
