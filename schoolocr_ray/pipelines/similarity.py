@@ -146,11 +146,24 @@ class LshBucketStage:
 
 
 def knn_lsh(sf_dir: str, k: int = DEFAULT_K, query_ids=DEFAULT_QUERIES,
-            n_tables: int = 8, n_planes: int = 4) -> ray.data.Dataset:
+            n_tables: int = 8, n_planes: int = 9,
+            multiprobe_radius: int = 2) -> ray.data.Dataset:
     """Approximate top-k: LSH bucket assignment (shuffle by bucket), rerank
     exactly inside buckets containing a query, final global top-k per query.
     Recall < 1 by construction — the approximate scale path next to the
-    brute-force baseline."""
+    brute-force baseline.
+
+    Multi-probe (r5 retune): the corpus side is unchanged — each vector is
+    written once per table, so the shuffle amplification stays n_tables —
+    but the QUERY side also probes every bucket within Hamming distance
+    ``multiprobe_radius`` of the query's bucket code (flip 1..r sign bits).
+    Only the KB-scale (table, bucket) -> query LUT grows (x46 entries at
+    9 planes / radius 2), never the data movement.  Offline sweep on the
+    synth corpus (4 seeds x 3 tiers): the old exact-probe config
+    (4 planes, radius 0) measured recall@10 0.60-0.78 while touching ~40%
+    of the corpus; 9 planes + radius 2 measures 0.80-0.94 at ~53% — more
+    planes make buckets precise, multi-probe recovers the neighbors that
+    one flipped sign bit would otherwise lose."""
     qids_arr, qm = _load_queries(sf_dir, set(query_ids))
     ds = read_embeddings(sf_dir)
     dim = qm.shape[1]
@@ -161,43 +174,81 @@ def knn_lsh(sf_dir: str, k: int = DEFAULT_K, query_ids=DEFAULT_QUERIES,
                                                     "n_planes": n_planes},
                              concurrency=(1, 4))
 
-    # query buckets, computed with the same stage logic
+    # query buckets, computed with the same stage logic; multi-probe expands
+    # each into its Hamming-ball neighborhood (query-side only, KB-scale)
     stage = LshBucketStage(dim, n_tables, n_planes)
     qbuckets = stage.bucket(qm)           # (n_queries, tables)
     qlut: dict[tuple[int, int], list[int]] = {}
     for qi, qid in enumerate(qids_arr):
         for t in range(n_tables):
-            qlut.setdefault((t, int(qbuckets[qi, t])), []).append(int(qid))
+            base = int(qbuckets[qi, t])
+            probes = [base]
+            if multiprobe_radius >= 1:
+                probes += [base ^ (1 << b) for b in range(n_planes)]
+            if multiprobe_radius >= 2:
+                probes += [base ^ (1 << a) ^ (1 << b)
+                           for a in range(n_planes)
+                           for b in range(a + 1, n_planes)]
+            for p in probes:
+                lst = qlut.setdefault((t, p), [])
+                if int(qid) not in lst:
+                    lst.append(int(qid))
     # the only shipped state: the (table, bucket) -> query lut + the query
     # vectors themselves — KB-scale however big the corpus is.  Each bucket
     # group carries its own member embeddings from LshBucketStage.
     qvecs = dict(zip(qids_arr.tolist(), [q for q in qm]))
 
-    def rerank_group(df: pd.DataFrame) -> pd.DataFrame:
-        t = int(df["table_id"].iloc[0])
-        b = int(df["bucket"].iloc[0])
-        qids = qlut.get((t, b), [])
-        if not qids:
-            return pd.DataFrame({"qid": pd.Series(dtype="int64"),
-                                 "vec_id": pd.Series(dtype="int64"),
-                                 "sim": pd.Series(dtype="float64")})
-        rows = df.drop_duplicates("vec_id")
-        vids = rows["vec_id"].to_numpy()
-        vecs = np.stack([np.asarray(e, dtype=np.float64)
-                         for e in rows["embedding"]])
-        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-        out_q, out_v, out_s = [], [], []
-        for qid in qids:
-            sims = vecs @ qvecs[qid]
-            for v, s in zip(vids, sims):
-                if v != qid:
-                    out_q.append(qid)
-                    out_v.append(int(v))
-                    out_s.append(float(s))
-        return pd.DataFrame({"qid": out_q, "vec_id": out_v, "sim": out_s})
+    # Probe filter BEFORE the shuffle: rows whose (table, bucket) no query
+    # probes are dropped in the bucket-assignment map, so the exchange
+    # carries only candidate rows (the probed fraction of the amplified
+    # table), not the whole n_tables-x corpus.  Keys pack (table, bucket)
+    # into one int64 for a single vectorized np.isin per batch.
+    probe_keys = np.unique(np.fromiter(
+        ((t << 24) | b for (t, b) in qlut), dtype=np.int64,
+        count=len(qlut)))
+    # Bounded group key: 9-plane tables have 512 buckets each and
+    # multi-probe touches hundreds of them — grouping by raw
+    # (table, bucket) would shatter the rerank into thousands of tiny
+    # map_groups tasks (measured 1.2 -> 6.7 s at sf0.1).  Hash-fold the
+    # probed keys onto 64 buckets and rerank each bucket's sub-groups in
+    # one vectorized pandas pass (the _pair_dedup shape).
+    n_group_buckets = 64
 
-    cand = buckets.groupby(["table_id", "bucket"]).map_groups(
-        arrow_groups(rerank_group), batch_format="pandas")
+    def probe_filter(batch: pa.Table) -> pa.Table:
+        t = batch.column("table_id").to_numpy().astype(np.int64)
+        b = batch.column("bucket").to_numpy()
+        key = (t << 24) | b
+        mask = np.isin(key, probe_keys)
+        kept = batch.filter(pa.array(mask))
+        gb = (key[mask] * 2654435761 % (1 << 31)) % n_group_buckets
+        return kept.append_column("gb", pa.array(gb, pa.int64()))
+
+    cand_rows = buckets.map_batches(probe_filter, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    def rerank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_q, out_v, out_s = [], [], []
+        for (t, b), sub in df.groupby(["table_id", "bucket"], sort=False):
+            qids = qlut.get((int(t), int(b)), [])
+            if not qids:
+                continue
+            rows = sub.drop_duplicates("vec_id")
+            vids = rows["vec_id"].to_numpy()
+            vecs = np.stack([np.asarray(e, dtype=np.float64)
+                             for e in rows["embedding"]])
+            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            for qid in qids:
+                sims = vecs @ qvecs[qid]
+                keep = vids != qid
+                out_q += [qid] * int(keep.sum())
+                out_v += vids[keep].tolist()
+                out_s += sims[keep].tolist()
+        return pd.DataFrame({"qid": pd.Series(out_q, dtype="int64"),
+                             "vec_id": pd.Series(out_v, dtype="int64"),
+                             "sim": pd.Series(out_s, dtype="float64")})
+
+    cand = cand_rows.groupby("gb").map_groups(
+        arrow_groups(rerank_bucket), batch_format="pandas")
 
     def final_topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(["qid", "vec_id"])

@@ -50,8 +50,10 @@ def test_knn_lsh_recall_floor(ray_session, emb):
     for qid, g in got.groupby("qid"):
         exact = set(_exact_topk(ids, m, qid))
         recalls.append(len(exact & set(g["vec_id"])) / len(exact))
-    # measured ~0.7 on this corpus (8 tables x 4 planes)
-    assert np.mean(recalls) >= 0.5, recalls
+    # measured 0.80-0.94 across seeds/tiers with the r5 multi-probe config
+    # (8 tables x 9 planes, Hamming radius 2); the floor leaves room for
+    # seed-level jitter only
+    assert np.mean(recalls) >= 0.7, recalls
 
 
 def test_embedding_neardup_matches_numpy_reference(ray_session, emb):
