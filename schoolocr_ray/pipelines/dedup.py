@@ -24,7 +24,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .similarity import read_embeddings
+from .similarity import PAIR_SCHEMA, empty_result, read_embeddings
 from .text import _read_docs, shingles
 
 from ..util import arrow_groups
@@ -299,6 +299,8 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45,
     from .similarity import LshBucketStage
 
     path = f"{sf_dir}/embeddings.parquet"
+    if pq.ParquetFile(path).metadata.num_rows == 0:
+        return empty_result(PAIR_SCHEMA)
     dim = len(pq.ParquetFile(path).read_row_group(0, columns=["embedding"])
               .column(0)[0])
 
@@ -352,7 +354,10 @@ def embedding_neardup_ivf(sf_dir: str, threshold: float = 0.45,
     2-assign data amplification, with finer lists than the equally-accurate
     16/3."""
     from .similarity import _ivf_centroids
+    import pyarrow.parquet as pq
 
+    if pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows == 0:
+        return empty_result(PAIR_SCHEMA)
     cent = _ivf_centroids(sf_dir, n_centroids)
     cent_ref = ray.put(cent)
 
@@ -420,6 +425,8 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.45) -> ray.data.Dataset:
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
     all_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    if not len(all_ids):
+        return empty_result(PAIR_SCHEMA)
     all_m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
     all_m /= np.linalg.norm(all_m, axis=1, keepdims=True)
     ref = ray.put((all_ids, all_m))

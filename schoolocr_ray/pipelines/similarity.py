@@ -47,14 +47,31 @@ def read_embeddings(sf_dir: str,
     return ds
 
 
+KNN_SCHEMA = pa.schema([("qid", pa.int64()), ("vec_id", pa.int64()),
+                        ("sim", pa.float64())])
+PAIR_SCHEMA = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+
+
+def empty_result(schema: pa.Schema) -> ray.data.Dataset:
+    """Zero-row dataset with the operator's documented schema — the
+    degradation every similarity/near-dup path returns for an empty
+    embeddings shard (real at 100 TB: a partition whose docs were all
+    filtered upstream) instead of crashing mid-plan."""
+    return ray.data.from_arrow(schema.empty_table())
+
+
 def _load_queries(sf_dir: str, query_ids) -> tuple[np.ndarray, np.ndarray]:
     """Driver-side load of ONLY the query vectors: predicate pushdown at the
     parquet reader (row-group + dictionary pruning), never the whole
-    embeddings table — the query set is O(queries) however big the corpus."""
+    embeddings table — the query set is O(queries) however big the corpus.
+    Returns empty arrays when no query id exists in the shard (empty or
+    disjoint corpus); callers degrade to ``empty_result(KNN_SCHEMA)``."""
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"],
                       filters=[("vec_id", "in", sorted(query_ids))])
     df = t.to_pandas().sort_values("vec_id")
+    if not len(df):
+        return df["vec_id"].to_numpy(dtype=np.int64), np.zeros((0, 0))
     qm = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
     return df["vec_id"].to_numpy(), qm
@@ -95,7 +112,10 @@ def knn_bruteforce(sf_dir: str, k: int = DEFAULT_K,
                    query_ids=DEFAULT_QUERIES) -> ray.data.Dataset:
     """Exact cosine top-k; returns (qid, vec_id) pairs, ties broken by
     (sim desc, vec_id asc) to match the SQL oracle's row_number order."""
-    qref = ray.put(_load_queries(sf_dir, set(query_ids)))
+    qids_arr, qm = _load_queries(sf_dir, set(query_ids))
+    if not len(qids_arr):
+        return empty_result(KNN_SCHEMA)
+    qref = ray.put((qids_arr, qm))
     ds = read_embeddings(sf_dir)
     partial = ds.map_batches(BruteForceScorer, batch_format="pyarrow",
                              zero_copy_batch=True,
@@ -165,6 +185,8 @@ def knn_lsh(sf_dir: str, k: int = DEFAULT_K, query_ids=DEFAULT_QUERIES,
     planes make buckets precise, multi-probe recovers the neighbors that
     one flipped sign bit would otherwise lose."""
     qids_arr, qm = _load_queries(sf_dir, set(query_ids))
+    if not len(qids_arr):
+        return empty_result(KNN_SCHEMA)
     ds = read_embeddings(sf_dir)
     dim = qm.shape[1]
     buckets = ds.map_batches(LshBucketStage, batch_format="pyarrow",
@@ -377,8 +399,10 @@ def knn_ivf(sf_dir: str, k: int = DEFAULT_K, query_ids=DEFAULT_QUERIES,
     same ~37% corpus fraction as the old 16/6 (same scoring cost; the
     n x C assignment matmul is negligible) but the finer quantization lifts
     recall@10 0.66 -> 0.86 at sf0.1 (0.76-0.80 at the small tiers)."""
-    cent = _ivf_centroids(sf_dir, n_centroids)
     qids_arr, qm = _load_queries(sf_dir, set(query_ids))
+    if not len(qids_arr):
+        return empty_result(KNN_SCHEMA)
+    cent = _ivf_centroids(sf_dir, n_centroids)
     probe = np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe]   # (Q, n_probe)
     probed: dict[int, list[int]] = {}
     for qrow in range(len(qids_arr)):

@@ -4,6 +4,7 @@ embedding near-dup scan vs a numpy reference."""
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -256,3 +257,29 @@ def test_jaccard_pairs_equal_bruteforce_reference(ray_session):
     got_pairs = {(int(a), int(b)) for a, b in zip(got["doc_a"], got["doc_b"])}
     assert len(expect) > 0
     assert got_pairs == expect
+
+
+def test_similarity_family_survives_empty_embeddings(ray_session, tmp_path):
+    """An empty embeddings shard (real at 100 TB: a partition whose docs
+    were all filtered upstream) must flow through every knn / embedding
+    near-dup path as a typed empty result, never a crash."""
+    d = tmp_path / "empty_emb"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"vec_id": pa.array([], "int64"),
+                  "embedding": pa.array([], pa.list_(pa.float32()))}),
+        str(d / "embeddings.parquet"))
+
+    from schoolocr_ray.pipelines import dedup, similarity
+
+    for fn, cols in [(similarity.knn_bruteforce, {"qid", "vec_id", "sim"}),
+                     (similarity.knn_lsh, {"qid", "vec_id", "sim"}),
+                     (similarity.knn_ivf, {"qid", "vec_id", "sim"}),
+                     (dedup.embedding_neardup, {"vec_a", "vec_b"}),
+                     (dedup.embedding_neardup_lsh, {"vec_a", "vec_b"}),
+                     (dedup.embedding_neardup_ivf, {"vec_a", "vec_b"})]:
+        ds = fn(str(d))
+        assert ds.count() == 0, fn.__name__
+        # the schema survives at the Dataset level (a zero-row to_pandas
+        # loses columns — a known Ray quirk, not an operator contract)
+        assert set(ds.schema().names) >= cols, (fn.__name__, ds.schema())
