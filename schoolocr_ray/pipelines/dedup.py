@@ -280,16 +280,25 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 8,
 
 
 def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45,
-                          n_tables: int = 16, n_planes: int = 4,
+                          n_tables: int = 8, n_planes: int = 3,
                           hot_cap: int = 1024) -> ray.data.Dataset:
     """Embedding near-dup pairs, the 100 TB path: random-hyperplane LSH
     bucket shuffle (each bucket row carries its embedding, see
     ``similarity.LshBucketStage``), within-bucket all-pairs cosine scan,
     cross-table pair dedup.  No broadcast, no all-pairs matmul: each group
     sees ~n/2^n_planes vectors, and a pair at cosine >= 0.45 collides in
-    >= 1 of 16 tables w.p. ~0.96 ((1-theta/pi)^4 per table) — recall < 1
-    by construction, bounded by the recall test against the exact
-    ``embedding_neardup`` matmul path.
+    >= 1 of 8 tables w.p. ~0.92 ((1-theta/pi)^3 ~ 0.27 per table) —
+    recall < 1 by construction, bounded by the recall test against the
+    exact ``embedding_neardup`` matmul path.
+
+    Defaults from the r5 offline sweep (3 seeds at the bench tier): the
+    old 16 tables x 4 planes and 8 x 3 have the SAME within-bucket scan
+    cost (~4.1M pair comparisons — halving the tables exactly offsets the
+    4x bigger buckets), but 8 x 3 ships every embedding 8x instead of 16x
+    through the exchange — at corpus scale the shuffle bytes, not the
+    scan, dominate this operator.  Measured pair recall 0.896-0.951
+    across seeds vs 0.938-0.958 for the 2x-heavier config: ~3 recall
+    points buy half the data movement.
 
     Scaling knobs: ``n_planes`` grows with log2(corpus/target_bucket) so
     buckets stay bounded; ``hot_cap`` (deterministic lowest-vec_id cut)
