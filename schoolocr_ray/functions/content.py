@@ -79,11 +79,13 @@ class ContentScorer:
         string, a kind tag and the block score; blocks in the body area are
         classified content/boilerplate, table rows and the header/code
         strips are tagged structurally."""
-        # line start offsets into the page string (single C-level pass;
-        # the trailing extra entry from `initial` is simply unused)
+        # line-start offset of line i is lens[i] + i (each line contributes
+        # len+1 for the newline); built as an all-C accumulate over map(len)
+        # with the +i folded in at the few span-emission sites, so there is
+        # no per-line Python bytecode.
         from itertools import accumulate
 
-        offsets = list(accumulate((n + 1 for n in map(len, lines)), initial=0))
+        lens = list(accumulate(map(len, lines), initial=0))
 
         spans: list[dict] = []
         kept: list[str] = []
@@ -93,7 +95,7 @@ class ContentScorer:
             ln = lines[li]
             if ln.strip():
                 kind = SPAN_CODE if ("[" in ln and "]" in ln) else SPAN_HEADER
-                spans.append({"start": offsets[li], "end": offsets[li] + len(ln),
+                spans.append({"start": lens[li] + li, "end": lens[li] + li + len(ln),
                               "kind": kind, "score": 1.0})
 
         # body blocks: contiguous non-blank, non-table line runs
@@ -106,8 +108,8 @@ class ContentScorer:
             score = self.score_block(text)
             first, last = block_lines[0][0], block_lines[-1][0]
             kind = SPAN_CONTENT if score >= self._threshold else SPAN_BOILER
-            spans.append({"start": offsets[first],
-                          "end": offsets[last] + len(lines[last]),
+            spans.append({"start": lens[first] + first,
+                          "end": lens[last] + last + len(lines[last]),
                           "kind": kind, "score": score})
             if kind == SPAN_CONTENT:
                 kept.append(text)
@@ -134,8 +136,8 @@ class ContentScorer:
         flush_block()
 
         if table_first is not None:
-            spans.append({"start": offsets[table_first],
-                          "end": offsets[table_last] + len(lines[table_last]),
+            spans.append({"start": lens[table_first] + table_first,
+                          "end": lens[table_last] + table_last + len(lines[table_last]),
                           "kind": SPAN_TABLE, "score": 1.0})
 
         spans.sort(key=lambda s: s["start"])
