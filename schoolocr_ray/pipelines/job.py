@@ -180,12 +180,23 @@ def run_job(
         ds = with_partition_id(ds, num_partitions, salt_span=salt_span,
                                file_waves=file_waves)
         ds = filter_completed(ds, done)
-        if concurrency is None:
-            concurrency = default_concurrency()
-        acks = ds.map_batches(FusedExtractStage, batch_format="pyarrow",
-                              zero_copy_batch=True, batch_size=batch_size,
-                              concurrency=concurrency,
-                              fn_constructor_kwargs={"staging": staging})
+        if os.environ.get("GRAFT_TASK_POOL"):
+            # task-pool extraction (stages.extract.fused_extract_task): the
+            # stage state is import-time regex tables, so tasks + per-worker
+            # model cache are semantically identical to the actor pool while
+            # skipping its spin-up ramp and the static spare-CPU split
+            from ..stages.extract import fused_extract_task
+
+            acks = ds.map_batches(fused_extract_task, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=batch_size,
+                                  fn_kwargs={"staging": staging})
+        else:
+            if concurrency is None:
+                concurrency = default_concurrency()
+            acks = ds.map_batches(FusedExtractStage, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=batch_size,
+                                  concurrency=concurrency,
+                                  fn_constructor_kwargs={"staging": staging})
         for b in acks.iter_batches(batch_size=None, batch_format="pyarrow"):
             if t_first_ack is None:
                 t_first_ack = _time.monotonic()

@@ -216,8 +216,9 @@ class FusedExtractStage:
     emits only small ack rows — the checkpointed-job path, where the full
     extracted payload never enters the object store."""
 
-    def __init__(self, staging: str | None = None) -> None:
-        self.models = ExtractorModels()
+    def __init__(self, staging: str | None = None,
+                 models: ExtractorModels | None = None) -> None:
+        self.models = models or ExtractorModels()
         self.staging = staging
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -242,3 +243,36 @@ class FusedExtractStage:
 
             return stage_fragments(batch, self.staging)
         return batch
+
+
+_TASK_STAGES: dict[str | None, FusedExtractStage] = {}
+
+
+def fused_extract_task(batch: pa.Table, staging: str | None = None) -> pa.Table:
+    """Task-pool form of :class:`FusedExtractStage` — same per-turn oracle
+    chain, but run as plain Ray tasks instead of a fixed-size actor pool.
+
+    The stage's "model" state is regex tables compiled at module import
+    (~50 ms once per warm worker process, 0 ms per construct), so the
+    load-once-per-actor pattern buys nothing here; what the fixed pool
+    COSTS is its spin-up ramp (~2 s at 32 cpus) plus a static
+    extract/read/finalize CPU split that must be hand-tuned per level
+    (pipelines.extract.default_concurrency history).  As tasks, the
+    streaming executor shares all CPUs dynamically between reads,
+    extraction and the wave-overlapped finalize — no spare-CPU rule, no
+    ramp.  A stage whose state were genuinely expensive (a real ML model)
+    should stay an actor pool; this engine keeps both forms and the job
+    picks via ``$GRAFT_TASK_POOL`` (see pipelines.job.run_job for the A/B
+    record).
+
+    Models are shared per worker process via ``default_models()``; the
+    per-``staging`` stage object is cached so repeated blocks of one job
+    pay zero setup."""
+    stage = _TASK_STAGES.get(staging)
+    if stage is None:
+        from ..oracle import default_models
+
+        _TASK_STAGES.clear()  # one staging root per job; don't grow across jobs
+        stage = FusedExtractStage(staging, models=default_models())
+        _TASK_STAGES[staging] = stage
+    return stage(batch)

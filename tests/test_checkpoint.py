@@ -154,8 +154,17 @@ def test_wave_granular_resume(ray_session, small_corpus, tmp_path):
         with open(p) as f:
             done_pids.append(json.load(f)["part_id"])
     assert done_pids, "no wave-0 partition was durable after the crash"
-    assert all(pid < 4 for pid in done_pids), \
-        f"crash after wave 0 leaked later-wave manifests: {done_pids}"
+    # the contract is wave-0 DURABILITY: every wave-0 partition that has rows
+    # in the reference output must already hold a manifest.  Wave-1 manifests
+    # MAY also be present — wave submission order follows ack completion, so
+    # wave 1 can legally finalize before the injected wave-0 failure fires —
+    # and any durable manifest is a complete partition by the footer-count
+    # invariant, so extras are correct, not leaks.
+    ref_pids_w0 = {pid for pid in range(4) if os.path.exists(
+        os.path.join(out_ref, f"part_id={pid}", "data.parquet"))}
+    assert ref_pids_w0 <= set(done_pids), \
+        f"wave-0 partition(s) {ref_pids_w0 - set(done_pids)} not durable " \
+        f"after the wave-0 finalize (durable: {done_pids})"
     before = {pid: os.path.getmtime(
         os.path.join(out, f"part_id={pid}", "data.parquet"))
         for pid in done_pids}
