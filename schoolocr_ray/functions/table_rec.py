@@ -153,29 +153,44 @@ def cell_text(lines: list[str], box: Box) -> str:
     return lines[li][c1:c2]
 
 
+# The direct row construction below is an exact-equivalence rewrite of the
+# reference's flatten -> y-center sort -> ROW_THRESHOLD regroup -> x-center
+# sort chain (Yolo_cell_rec.py:6-79) and is only valid while one text line
+# cannot straddle a row group: boxes on the same line share y exactly (gap 0
+# <= threshold -> same group) and consecutive lines' y-centers differ by
+# exactly LINE_H (> threshold -> always a new group).
+assert LINE_H > ROW_THRESHOLD, \
+    "extract_table_rows' per-line row construction requires LINE_H > ROW_THRESHOLD"
+
+
 def extract_table_rows(lines: list[str], detector: CellDetector) -> list[list[Box]]:
     """Detect, filter, y-group and x-sort cell boxes into rows —
-    extract_table_rows (Yolo_cell_rec.py:6-79), ported loop-for-loop."""
-    filtered = detector.detect_passing(lines)
-    if not filtered:
-        return []
+    extract_table_rows (Yolo_cell_rec.py:6-79).
 
-    # every box has y2 == y1 + LINE_H, so ordering by y-center
-    # (b[1]+b[3])/2 is exactly ordering by y1 (stable sort keeps ties)
-    filtered.sort(key=_get_y1)
-
+    Exact equivalence with the ported loop-for-loop form (git history), in
+    C-level work instead of sort+regroup passes: ``detect_passing`` emits
+    boxes in (line, column) order, so the y-center sort is a no-op
+    (y1 == li*LINE_H is nondecreasing), every row group is exactly one
+    line's boxes (LINE_H > ROW_THRESHOLD, module assert above), and the
+    per-row x-center sort is a no-op too (x1 and x2 — hence centers — are
+    strictly increasing within a line, and Timsort is stable).  Building
+    the groups directly per line skips the flatten + two sorts + regroup
+    scan, ~10% of the table pass."""
+    li_min = -(-MIN_Y // LINE_H)
+    li_max = min(MAX_Y // LINE_H, len(lines) - 1)
+    speck_ok = detector._speck_conf >= CONF_THRESHOLD
     row_groups: list[list[Box]] = []
-    current_row: list[Box] = []
-    y_prev = None
-    for box in filtered:
-        y_current = (box[1] + box[3]) / 2
-        if y_prev is not None and abs(y_current - y_prev) > ROW_THRESHOLD:
-            row_groups.append(sorted(current_row, key=lambda b: (b[0] + b[2]) / 2))
-            current_row = []
-        current_row.append(box)
-        y_prev = y_current
-    if current_row:
-        row_groups.append(sorted(current_row, key=lambda b: (b[0] + b[2]) / 2))
+    for li, ln in enumerate(lines[li_min:li_max + 1], li_min):
+        if not ln:
+            continue
+        cells = _line_cells(ln)
+        if not cells:
+            continue
+        y1, y2 = float(li * LINE_H), float((li + 1) * LINE_H)
+        row = [[x1, y1, x2, y2] for x1, x2, kind in cells
+               if kind == _K_CONTENT or (speck_ok and kind == _K_SPECK)]
+        if row:
+            row_groups.append(row)
     return row_groups
 
 
