@@ -90,21 +90,27 @@ class ContentScorer:
         spans: list[dict] = []
         kept: list[str] = []
 
-        # structural spans above the body area (header / code strips)
+        # structural spans above the body area (header / code strips);
+        # `ln and not ln.isspace()` == `ln.strip()` as an emptiness test,
+        # without allocating a stripped copy (header-area lines are mostly "")
         for li in range(min(BODY_START_LINE, len(lines))):
             ln = lines[li]
-            if ln.strip():
+            if ln and not ln.isspace():
                 kind = SPAN_CODE if ("[" in ln and "]" in ln) else SPAN_HEADER
                 spans.append({"start": lens[li] + li, "end": lens[li] + li + len(ln),
                               "kind": kind, "score": 1.0})
 
-        # body blocks: contiguous non-blank, non-table line runs
+        # body blocks: contiguous non-blank, non-table line runs.
+        # block_lines holds (line_idx, line.strip()) — each body line is
+        # stripped exactly once, at classification time, and the flush joins
+        # the pre-stripped copies (the strip-in-test + strip-in-join pair
+        # was ~1M redundant C calls per 10k pages).
         block_lines: list[tuple[int, str]] = []
 
         def flush_block() -> None:
             if not block_lines:
                 return
-            text = " ".join(ln.strip() for _, ln in block_lines)
+            text = " ".join([s for _, s in block_lines])
             score = self.score_block(text)
             first, last = block_lines[0][0], block_lines[-1][0]
             kind = SPAN_CONTENT if score >= self._threshold else SPAN_BOILER
@@ -129,10 +135,12 @@ class ContentScorer:
                 if table_first is None:
                     table_first = li
                 table_last = li
-            elif ln.strip():
-                block_lines.append((li, ln))
-            elif block_lines:
-                flush_block()
+            else:
+                s = ln.strip()
+                if s:
+                    block_lines.append((li, s))
+                elif block_lines:
+                    flush_block()
         flush_block()
 
         if table_first is not None:
