@@ -33,7 +33,11 @@ _ALNUM_RE = re.compile(r"[^\W_]", re.U)
 
 def _correct_orientation(lines: list[str]) -> list[str]:
     """ImageOrientationCorrector analog (code_rec.py:35-37): a flipped code
-    strip carries the orientation marker; reverse it back."""
+    strip carries the orientation marker; reverse it back.  Flipped strips
+    are the rare case — return the input list untouched when no line
+    carries the marker (the common path allocates nothing)."""
+    if not any(ORIENT_MARKER in ln for ln in lines):
+        return lines
     out = []
     for ln in lines:
         if ORIENT_MARKER in ln:
