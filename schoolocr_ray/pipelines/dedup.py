@@ -27,7 +27,7 @@ import ray.data
 from .similarity import PAIR_SCHEMA, empty_result, read_embeddings
 from .text import _read_docs, shingles
 
-from ..util import arrow_groups
+from ..util import arrow_groups, embedding_matrix
 
 N_PERM = 64
 N_BANDS = 8
@@ -376,7 +376,7 @@ def embedding_neardup_ivf(sf_dir: str, threshold: float = 0.45,
             self.n_assign = n_assign
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            em = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+            em = embedding_matrix(batch.column("embedding"))
             em /= np.linalg.norm(em, axis=1, keepdims=True)
             sims = em @ self.cent.T
             k = min(self.n_assign, sims.shape[1])
@@ -433,10 +433,10 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.45) -> ray.data.Dataset:
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
-    all_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    all_ids = t.column("vec_id").to_numpy().astype(np.int64, copy=False)
     if not len(all_ids):
         return empty_result(PAIR_SCHEMA)
-    all_m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    all_m = embedding_matrix(t.column("embedding"))
     all_m /= np.linalg.norm(all_m, axis=1, keepdims=True)
     ref = ray.put((all_ids, all_m))
 
@@ -446,8 +446,8 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.45) -> ray.data.Dataset:
             self.threshold = threshold
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            em = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+            vids = batch.column("vec_id").to_numpy().astype(np.int64, copy=False)
+            em = embedding_matrix(batch.column("embedding"))
             em /= np.linalg.norm(em, axis=1, keepdims=True)
             sims = em @ self.m.T                       # (batch, corpus)
             rows, cols = np.nonzero(sims >= self.threshold)

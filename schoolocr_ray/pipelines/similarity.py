@@ -17,7 +17,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..util import arrow_groups
+from ..util import arrow_groups, embedding_matrix
 
 DEFAULT_K = 10
 DEFAULT_QUERIES = (0, 1, 2, 3, 4)
@@ -86,8 +86,8 @@ class BruteForceScorer:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        em = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        vids = batch.column("vec_id").to_numpy().astype(np.int64, copy=False)
+        em = embedding_matrix(batch.column("embedding"))
         em /= np.linalg.norm(em, axis=1, keepdims=True)
         sims = em @ self.qm.T                      # (batch, n_queries)
         out_q, out_v, out_s = [], [], []
@@ -152,8 +152,8 @@ class LshBucketStage:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        em = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        vids = batch.column("vec_id").to_numpy().astype(np.int64, copy=False)
+        em = embedding_matrix(batch.column("embedding"))
         buckets = self.bucket(em)
         n, t = buckets.shape
         rep = pa.array(np.tile(np.arange(n), t), pa.int64())
@@ -361,8 +361,8 @@ class IvfAssignScore:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        em = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        vids = batch.column("vec_id").to_numpy().astype(np.int64, copy=False)
+        em = embedding_matrix(batch.column("embedding"))
         em /= np.linalg.norm(em, axis=1, keepdims=True)
         lists = (em @ self.cent.T).argmax(axis=1)
         out_q, out_v, out_s = [], [], []
