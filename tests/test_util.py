@@ -1,0 +1,76 @@
+"""Unit pins for the shared Arrow helpers (util.py).
+
+The end-to-end oracle suite only exercises the fast paths of these
+helpers on well-formed tables; these tests pin the edge cases — ragged
+lists, nulls, empties, ownership — that would otherwise fail silently
+as a misread buffer.
+"""
+import numpy as np
+import pyarrow as pa
+
+from schoolocr_ray.util import embedding_matrix
+
+
+def test_embedding_matrix_matches_stack_path():
+    rows = [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0], [7.0, 8.0, 9.0]]
+    col = pa.chunked_array([pa.array(rows[:2], pa.list_(pa.float32())),
+                            pa.array(rows[2:], pa.list_(pa.float32()))])
+    m = embedding_matrix(col)
+    assert m.dtype == np.float64 and m.shape == (3, 3)
+    assert np.array_equal(m, np.stack(col.to_pylist()).astype(np.float64))
+
+
+def test_embedding_matrix_output_is_owned():
+    # callers normalize in place; a view of the Arrow buffer would
+    # corrupt the shared (plasma) block
+    col = pa.array([[1.0, 2.0], [3.0, 4.0]], pa.list_(pa.float64()))
+    m = embedding_matrix(col)
+    m /= 2.0
+    assert col.to_pylist() == [[1.0, 2.0], [3.0, 4.0]]
+
+
+def test_embedding_matrix_sliced_offsets():
+    # a sliced ListArray has a nonzero buffer offset; flatten() must
+    # respect it (reading the raw values buffer from 0 would not)
+    col = pa.array([[9.0, 9.0], [1.0, 2.0], [3.0, 4.0]],
+                   pa.list_(pa.float32())).slice(1)
+    assert np.array_equal(embedding_matrix(col),
+                          np.array([[1.0, 2.0], [3.0, 4.0]]))
+
+
+def test_embedding_matrix_empty():
+    col = pa.chunked_array([pa.array([], pa.list_(pa.float32()))])
+    assert embedding_matrix(col).shape == (0, 0)
+
+
+def test_embedding_matrix_ragged_falls_back():
+    import pytest
+
+    col = pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float32()))
+    with pytest.raises(ValueError):          # np.stack on ragged input
+        embedding_matrix(col)
+
+
+def test_embedding_matrix_null_entry_falls_back():
+    import pytest
+
+    col = pa.array([[1.0, 2.0], None, [3.0, 4.0]], pa.list_(pa.float32()))
+    with pytest.raises(Exception):           # slow path surfaces the bad row
+        embedding_matrix(col)
+
+
+def test_count_sum_partial_matches_pandas():
+    import pandas as pd
+
+    from schoolocr_ray.pipelines.relational import _count_sum_partial
+
+    rng = np.random.default_rng(7)
+    keys = rng.choice(["a", "b", "c"], size=1000)
+    vals = rng.integers(-50, 50, size=1000)
+    tbl = pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.int64())})
+    got = _count_sum_partial(tbl, ["k"], "v", "n", "s").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    exp = pd.DataFrame({"k": keys, "v": vals}).groupby("k").agg(
+        n=("v", "size"), s=("v", "sum")).reset_index()
+    assert got.columns.tolist() == ["k", "n", "s"]
+    assert got.astype(str).equals(exp.astype(str))
