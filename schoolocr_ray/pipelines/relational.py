@@ -241,7 +241,7 @@ def orders_rollup(sf_dir: str) -> pd.DataFrame:
                           {"o_orderpriority": "object"})
 
 
-def lineitem_order_join(sf_dir: str, num_partitions: int | None = None) -> ray.data.Dataset:
+def lineitem_order_join(sf_dir: str, num_partitions: int | None = None) -> pd.DataFrame:
     """Large-large hash join lineitem ⋈ orders on orderkey (both sides too
     big to broadcast at scale), rolled up to revenue per order priority.
 
@@ -293,13 +293,13 @@ def lineitem_order_join(sf_dir: str, num_partitions: int | None = None) -> ray.d
                          "n": g.column("n_sum"),
                          "revenue_cents": g.column("cents_sum")})
 
-    return joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None) \
-                 .groupby("o_orderpriority").aggregate(
-                     Sum("n", alias_name="n"),
-                     Sum("revenue_cents", alias_name="revenue_cents"))
+    parts = joined.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    return _fold_partials(parts, ["o_orderpriority"], ["n", "revenue_cents"],
+                          {"o_orderpriority": "object"})
 
 
-def events_windowed(sf_dir: str, window_hours: int = 6) -> ray.data.Dataset:
+def events_windowed(sf_dir: str, window_hours: int = 6) -> pd.DataFrame:
     """Tumbling-window aggregate: count + exact cents-sum per
     (event_type, 6-hour window).  The window id is a pure projection
     (epoch_us // span), so this composes as map_batches partials + one
@@ -316,9 +316,12 @@ def events_windowed(sf_dir: str, window_hours: int = 6) -> ray.data.Dataset:
                                         pa.int64())}),
             ["event_type", "win"], "cents", "n", "sum_cents")
 
-    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None) \
-             .groupby(["event_type", "win"]).aggregate(
-                 Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    # the (type, window) domain is time-span-bounded (a dimension), not
+    # row-scaled — fold like the other domain-bounded rollups
+    return _fold_partials(parts, ["event_type", "win"], ["n", "sum_cents"],
+                          {"event_type": "object", "win": "int64"})
 
 
 def _scaled_buckets(sf_dir: str, target_rows_per_bucket: int) -> int:
@@ -483,7 +486,7 @@ def events_lag(sf_dir: str, num_buckets: int | None = None,
 
 
 def events_hopping(sf_dir: str, window_hours: int = 6,
-                   hop_hours: int = 2) -> ray.data.Dataset:
+                   hop_hours: int = 2) -> pd.DataFrame:
     """Hopping (sliding) window aggregate: each event contributes to every
     window of span ``window_hours`` that contains it, windows starting
     every ``hop_hours`` — span/hop windows per event, emitted by a pure
@@ -516,9 +519,12 @@ def events_hopping(sf_dir: str, window_hours: int = 6,
                       "cents": pa.array(cs[keep], pa.int64())}),
             ["event_type", "win"], "cents", "n", "sum_cents")
 
-    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None) \
-             .groupby(["event_type", "win"]).aggregate(
-                 Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    # the (type, window) domain is time-span-bounded (a dimension), not
+    # row-scaled — fold like the other domain-bounded rollups
+    return _fold_partials(parts, ["event_type", "win"], ["n", "sum_cents"],
+                          {"event_type": "object", "win": "int64"})
 
 
 def _events_sessions_salted(sf_dir: str, gap_minutes: int, num_buckets: int,
