@@ -81,6 +81,19 @@ def _fold_partials(partials: ray.data.Dataset, keys: list[str],
     return df.groupby(keys, sort=False, as_index=False)[sum_cols].sum()
 
 
+def _typed_empty(cols: dict[str, str]) -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+
+
+def _events_empty(sf_dir: str) -> bool:
+    """O(1) footer check for the empty-shard guard: several event
+    operators' lazy pipelines produce zero blocks on an empty table, and
+    a zero-row Dataset loses its schema through ``to_pandas`` — the
+    guard returns the TYPED empty instead.  An empty shard is a real
+    input at 100 TB scale (a partition range can be all-filtered)."""
+    return pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows == 0
+
+
 def events_stats(sf_dir: str) -> pd.DataFrame:
     """G3/G4 analog: counters per event_type (count + exact integer-cents
     sum), partial-aggregated per batch."""
@@ -191,6 +204,8 @@ def events_topk_per_group(sf_dir: str, k: int = 5) -> ray.data.Dataset:
     (group, block) — at 10^12 rows the shuffle is k x |groups| x blocks,
     never data-sized.  Determinism: integer cents DESC, event_id ASC
     tiebreak; ranks assigned after the per-group final sort."""
+    if _events_empty(sf_dir):
+        return _typed_empty({"event_type": "object", "rnk": "int64", "event_id": "int64", "cents": "int64"})  # noqa: E501
     ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -267,10 +282,10 @@ def lineitem_order_join(sf_dir: str, num_partitions: int | None = None) -> pd.Da
         # shuffle needs anyway
         num_partitions = max(2, min(64, n_li // 150_000))
     if n_li == 0:
-        return ray.data.from_arrow(pa.table({
-            "o_orderpriority": pa.array([], pa.string()),
-            "n": pa.array([], pa.int64()),
-            "revenue_cents": pa.array([], pa.int64())}))
+        # typed pandas empty, matching the fold-path return type (a typed
+        # zero-row Dataset loses its columns through to_pandas)
+        return _typed_empty({"o_orderpriority": "object",
+                             "n": "int64", "revenue_cents": "int64"})
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
 
     def li_partial(batch: pa.Table) -> pa.Table:
@@ -456,6 +471,8 @@ def events_lag(sf_dir: str, num_buckets: int | None = None,
     assumption; pass ``chunk_hours`` to lift it (``_events_lag_salted``:
     time-chunked histories with summary-scale carry rows between chunks —
     equality-tested against this path, incl. a planted mega-user)."""
+    if _events_empty(sf_dir):
+        return _typed_empty({"event_id": "int64", "prev_cents": "int64"})
     if num_buckets is None:
         num_buckets = _scaled_buckets(sf_dir, target_rows_per_bucket)
     if chunk_hours is not None:
@@ -732,6 +749,8 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30,
     as ``events_lag``/``events_asof_purchase``; pass ``chunk_hours`` for
     the mega-user-safe chunked path (``_events_sessions_salted``,
     equality-tested against this one)."""
+    if _events_empty(sf_dir):
+        return _typed_empty({"user_id": "int64", "session_idx": "int64", "n_events": "int64", "start_us": "int64", "end_us": "int64"})  # noqa: E501
     if num_buckets is None:
         num_buckets = _scaled_buckets(sf_dir, target_rows_per_bucket)
     if chunk_hours is not None:
@@ -929,6 +948,8 @@ def events_asof_purchase(sf_dir: str, num_buckets: int | None = None,
     bucket.  Bucket count scales with input like ``events_lag``; pass
     ``chunk_hours`` for the mega-user-safe chunked path
     (``_events_asof_salted``, equality-tested against this one)."""
+    if _events_empty(sf_dir):
+        return _typed_empty({"event_id": "int64", "purchase_event_id": "int64", "purchase_cents": "int64"})  # noqa: E501
     if num_buckets is None:
         num_buckets = _scaled_buckets(sf_dir, target_rows_per_bucket)
     if chunk_hours is not None:
@@ -983,6 +1004,8 @@ def events_distinct_users(sf_dir: str, num_buckets: int | None = None,
     partial per bucket feeding a tiny per-type groupby.  Only distinct
     pairs cross the shuffle; bucket count scales with the input like
     ``events_lag`` so a bucket holds ~``target_rows_per_bucket`` rows."""
+    if _events_empty(sf_dir):
+        return _typed_empty({"event_type": "object", "n_users": "int64"})
     if num_buckets is None:
         n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
         num_buckets = max(32, -(-n // target_rows_per_bucket))
@@ -1133,10 +1156,9 @@ def events_range_join(sf_dir: str, n_campaigns: int = 20,
                     .sort_values("event_id").reset_index(drop=True))
     if camp.empty:
         # no campaigns (empty shard): an empty to_pandas loses columns,
-        # so return the typed empty rather than indexing into it
-        return ray.data.from_arrow(pa.table({
-            "event_id": pa.array([], pa.int64()),
-            "campaign_id": pa.array([], pa.int64())}))
+        # so return the typed empty rather than indexing into it (a typed
+        # zero-row Dataset would ALSO lose its columns through to_pandas)
+        return _typed_empty({"event_id": "int64", "campaign_id": "int64"})
     camp_ids = camp["event_id"].to_numpy(np.int64)
     starts = camp["ts"].to_numpy("datetime64[us]").astype(np.int64)
     ends = starts + np.int64(window_hours) * 3_600_000_000
@@ -1190,6 +1212,8 @@ def events_funnel(sf_dir: str, num_buckets: int | None = None,
     aggregates, immune to mega-users at the cost of three stream passes —
     equality-tested against this default.
     """
+    if _events_empty(sf_dir):
+        return pd.DataFrame({"stage": ["view", "view_click", "view_click_purchase"], "n_users": np.zeros(3, dtype=np.int64)})  # noqa: E501
     win_us = np.int64(window_hours) * 3_600_000_000
     if mode == "join":
         return _events_funnel_joined(sf_dir, int(win_us))
@@ -1252,6 +1276,8 @@ def events_hll_users(sf_dir: str, n_registers: int = 64) -> ray.data.Dataset:
     standard ~1.04/sqrt(m) estimator is a driver-side formula over these
     registers.  Duplicate rows can't perturb a MAX, which is exactly why
     the sketch needs no dedup pass."""
+    if _events_empty(sf_dir):
+        return _typed_empty({"event_type": "object", "j": "int64", "register": "int64"})  # noqa: E501
     from ray.data.aggregate import Max
 
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
@@ -1374,6 +1400,8 @@ def events_cohorts(sf_dir: str, num_buckets: int = 64) -> ray.data.Dataset:
     per bucket; the final exchange carries cohort x week partials only.
     Mega-user safe: a user's bucket rows are bounded by
     n_upstream_blocks x n_distinct_weeks, not their event count."""
+    if _events_empty(sf_dir):
+        return _typed_empty({"cohort_week": "int64", "week": "int64", "n_users": "int64"})  # noqa: E501
     WEEK_US = np.int64(7 * 24 * 3600) * 1_000_000
     ds = _read(sf_dir, "events", columns=["ts", "user_id"])
 

@@ -188,9 +188,17 @@ def test_new_events_ops_survive_empty_table(ray_session, tmp_path):
     for fn in (r.events_percentiles, r.events_range_join,
                r.events_funnel, r.events_hll_users,
                r.events_cohorts, r.events_topk_per_group,
-               functools.partial(r.events_funnel, mode="join")):
+               functools.partial(r.events_funnel, mode="join"),
+               # the _fold_partials family: the driver fold's typed-empty
+               # branch (empty to_pandas loses columns) must keep the schema
+               r.events_stats, r.events_histogram, r.events_windowed,
+               r.events_hopping,
+               # the _events_empty-guarded family: footer short-circuit
+               r.events_lag, r.events_sessions, r.events_asof_purchase,
+               r.events_distinct_users):
         df = _to_pandas(fn(str(d)))
         assert len(df) == 0 or set(df.get("n_users", [])) == {0}, fn
+        assert len(df.columns) > 0, fn      # typed empty, not column-less
 
 
 def test_lineitem_order_join_survives_empty_lineitem(ray_session, tmp_path):
@@ -210,9 +218,9 @@ def test_lineitem_order_join_survives_empty_lineitem(ray_session, tmp_path):
 
     from schoolocr_ray.pipelines import relational as r
 
-    ds = r.lineitem_order_join(str(d))
-    assert sorted(ds.schema().names) == ["n", "o_orderpriority", "revenue_cents"]
-    assert ds.count() == 0
+    df = _to_pandas(r.lineitem_order_join(str(d)))
+    assert sorted(df.columns) == ["n", "o_orderpriority", "revenue_cents"]
+    assert len(df) == 0
 
 
 def test_events_range_join_never_sorts_the_stream(ray_session, monkeypatch):
