@@ -21,7 +21,7 @@ import ray.data
 
 from .text import EN_STOP, RU_STOP, _NONWORD, _read_docs, _tokens
 
-from ..util import arrow_groups
+from ..util import arrow_groups, docs_empty, typed_empty
 
 # typed empty frames: map_groups stages must emit schema-carrying empties
 # (a schema-less empty block trips the executor's RefBundle schema check)
@@ -56,6 +56,8 @@ def stratified_sample(sf_dir: str,
     and per-stratum rates rebalance the corpus mix (the DoReMi-style
     mixture-weighting step) without any shuffle at all: one streaming
     map_batches pass, rows never leave their block."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "lang_pred": "object"})
     rates = SAMPLE_RATES if rates is None else rates
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -104,6 +106,8 @@ def token_shards(sf_dir: str, capacity: int = SHARD_CAPACITY,
        (groupby(bucket), ~bucket_span rows per group — one shuffle of the
        narrow table, never of the text).
     """
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "n_tokens": "int64", "start_tok": "int64", "shard_id": "int64"})  # noqa: E501
     tok = _read_docs(sf_dir).map_batches(
         lambda b: pa.Table.from_pydict({
             "doc_id": b.column("doc_id"),
@@ -168,6 +172,8 @@ def top_terms(sf_dir: str, k: int = TOP_TERMS_K,
     exactly once).  The final per-doc top-k re-buckets by doc_id with ONE
     vectorized sort + groupby.head per bucket — no per-doc or per-term
     Python calls anywhere."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "term": "object", "tf": "int64", "df": "int64"})  # noqa: E501
     if num_buckets is None:
         n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
         num_buckets = max(16, -(-n // 25_000))
@@ -244,6 +250,8 @@ def shuffle_shards(sf_dir: str, seed: int = 42,
     doc_id)`` over the same md5 — exact, including md5 ties (broken by
     doc_id).
     """
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "shard": "int64", "pos": "int64"})
     import hashlib
 
     docs = _read_docs(sf_dir, columns=("doc_id",))
@@ -320,6 +328,8 @@ def corpus_tf_score(sf_dir: str, num_buckets: int | None = None) -> ray.data.Dat
     aggregate, no join, no broadcast (the vocab is corpus-scale) — and
     the doc bucket sums the weighted rows.  Each row crosses the wire
     exactly twice, independent of vocabulary or corpus size."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "n_tok": "int64", "sum_w": "int64"})
     if num_buckets is None:
         n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
         num_buckets = max(16, -(-n // 25_000))
@@ -390,6 +400,8 @@ def curation_pipeline(sf_dir: str, min_tokens: int = 10,
     id-only rows instead of two cascaded hash joins (two extra shuffle
     fleets, and join aggregator pools can starve small clusters).  Never
     shuffles text."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "shard": "int64"})
     import hashlib
 
     from ray.data.aggregate import Sum
@@ -439,6 +451,8 @@ def train_val_test_split(sf_dir: str, seed: int = 7,
     Percentile comes from the first 4 hex digits (0..65535 scaled to
     0..99), giving ~±0.4% split-size jitter at 10k docs — the standard
     hash-split trade (exactness would need a global sort)."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "split": "object"})
     import hashlib
 
     def fn(batch: pa.Table) -> pa.Table:

@@ -27,7 +27,7 @@ import ray.data
 from .similarity import PAIR_SCHEMA, empty_result, read_embeddings
 from .text import _read_docs, shingles
 
-from ..util import arrow_groups, embedding_matrix
+from ..util import arrow_groups, embedding_matrix, docs_empty, typed_empty
 
 N_PERM = 64
 N_BANDS = 8
@@ -157,6 +157,8 @@ def _minhash_band_buckets(sf_dir: str, k: int) -> ray.data.Dataset:
 def minhash_candidate_pairs(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     """shingle -> minhash -> band -> bucket groupby -> candidate pairs
     (unverified: every same-band-signature pair, hot-capped)."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_a": "int64", "doc_b": "int64"})
     cand = _minhash_band_buckets(sf_dir, k).groupby("bk").map_groups(
         arrow_groups(
             lambda df: _minhash_bucket_pairs(df, 0.0, HOT_CAP)[["doc_a", "doc_b"]]),
@@ -175,6 +177,8 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.5, k: int = 3,
     that survives 10^12 docs.  The estimate's resolution is 1/64; pairs
     near the threshold can flip vs the exact-Jaccard oracle, which the
     recall test (tests/test_trainops.py) bounds."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_a": "int64", "doc_b": "int64", "est_jaccard": "float64"})  # noqa: E501
     pairs = _minhash_band_buckets(sf_dir, k).groupby("bk").map_groups(
         arrow_groups(lambda df: _minhash_bucket_pairs(df, threshold, hot_cap)),
         batch_format="pandas")
@@ -203,6 +207,8 @@ def simhash64(text: str) -> int:
 
 
 def simhash(sf_dir: str) -> ray.data.Dataset:
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "simhash": "int64"})
     def fn(batch: pa.Table) -> pa.Table:
         hs = [simhash64(t) for t in batch.column("text").to_pylist()]
         return pa.Table.from_pydict({
@@ -225,6 +231,8 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 8,
     selection): a popular 16-bit chunk signature — boilerplate at corpus
     scale — would otherwise contribute O(bucket^2) pairs (round-2 fix,
     mirrored in the banding test)."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})  # noqa: E501
 
     def chunks(batch: pa.Table) -> pa.Table:
         cids, sigs, dids, full = [], [], [], []

@@ -19,7 +19,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Min, Sum
 
-from ..util import arrow_groups
+from ..util import arrow_groups, docs_empty, typed_empty
 
 _WS = re.compile(r"\s+")
 _NONWORD = re.compile(r"[^a-zа-яё]+")
@@ -78,6 +78,8 @@ def token_count(sf_dir: str) -> ray.data.Dataset:
     """Token counts per document: whitespace tokens AND a BPE-ish regex
     count (the pre-tokenizer pass of byte-pair encoders — what a token
     budget at training time is actually denominated in)."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "n_tokens": "int64", "n_bpe_tokens": "int64"})  # noqa: E501
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -96,6 +98,8 @@ def quality_features(sf_dir: str) -> ray.data.Dataset:
     """Integer quality features per document (length, tokens, digits,
     punctuation, stopword hits) — the building blocks of a quality score,
     kept integer so the SQL oracle is exact."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "n_chars": "int64", "n_words": "int64", "n_digits": "int64", "n_punct": "int64", "stop_hits": "int64"})  # noqa: E501
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -120,6 +124,8 @@ def quality_features(sf_dir: str) -> ray.data.Dataset:
 def lang_id(sf_dir: str) -> ray.data.Dataset:
     """Stopword-vote language ID (en vs ru) — the n-gram-heuristic family,
     expressed so a DuckDB lambda reproduces it exactly."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "lang_pred": "object"})
 
     def fn(batch: pa.Table) -> pa.Table:
         preds = []
@@ -139,6 +145,8 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
 def fingerprint(sf_dir: str) -> ray.data.Dataset:
     """Rolling polynomial hash over tokens (mod 2^61-1) — a deterministic
     document fingerprint for fast change detection."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "fp": "int64"})
 
     def fn(batch: pa.Table) -> pa.Table:
         fps = []
@@ -158,6 +166,8 @@ def fingerprint(sf_dir: str) -> ray.data.Dataset:
 def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     """Exact dedup: hash-partition on a content hash, keep the minimum
     doc_id per identical text (first-writer-wins)."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64"})
 
     def add_hash(batch: pa.Table) -> pa.Table:
         hs = [hashlib.sha1(t.encode()).hexdigest() for t in batch.column("text").to_pylist()]
@@ -198,6 +208,8 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     need no second corpus pass, no driver-side lookup table, and no hash
     join at ANY scale — this replaces round-2's dual broadcast/join count
     paths with one plan that is already the 100 TB shape."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_a": "int64", "doc_b": "int64"})
 
     def explode(batch: pa.Table) -> pa.Table:
         ids, shs, buckets, nsh = [], [], [], []
@@ -382,6 +394,8 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, k: int = 3,
     touches the driver.  ``mode="auto"`` counts the pairs (a cheap
     distributed aggregate) and switches at ``CC_DRIVER_MAX_PAIRS``.
     Both paths produce identical clusters (equality-tested)."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "cluster": "int64"})
     pairs_ds = jaccard_pairs(sf_dir, threshold, k)
     if mode == "auto":
         # materialize once: count() and the chosen path reuse the executed
@@ -412,6 +426,8 @@ def decontaminate(sf_dir: str, k: int = 3, eval_mod: int = 50) -> ray.data.Datas
     flag (callers filter ``~contaminated``; keeping the flag makes the
     audit trail queryable, which real decontamination reports require).
     """
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "n_hits": "int64", "contaminated": "bool"})  # noqa: E501
     docs = _read_docs(sf_dir)
 
     def eval_shingles(batch: pa.Table) -> pa.Table:
@@ -467,6 +483,8 @@ def repetition_scores(sf_dir: str) -> ray.data.Dataset:
     tokenizer (``_tokens``), counted WITH multiplicity — a doc shorter
     than 2 tokens has 0 bigrams and top_bigram_n 0.
     """
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "n_lines": "int64", "n_dup_lines": "int64", "n_bigrams": "int64", "top_bigram_n": "int64"})  # noqa: E501
     from collections import Counter
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -507,6 +525,8 @@ def chunk_documents(sf_dir: str, size: int = 64,
     (doc_id, chunk_idx) is derivable locally.  Chunk text re-joins tokens
     with single spaces (deterministic; the SQL twin uses the same
     tokens), so counts and text are integer/string-exact."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "chunk_idx": "int64", "chunk_text": "object", "n_chunk_tokens": "int64"})  # noqa: E501
 
     def fn(batch: pa.Table) -> pa.Table:
         ids, idxs, texts_out, ntoks = [], [], [], []

@@ -132,3 +132,23 @@ def embedding_matrix(col, dtype=None):
     # unconditional astype copy: callers normalize in place (``em /= ...``),
     # and a zero-copy view here would alias the shared object-store buffer
     return flat.reshape(n, dim).astype(dtype)
+
+
+def typed_empty(cols):
+    """Typed empty pandas frame — the empty-shard result shape.  A
+    zero-row Dataset (even a typed one) loses its columns through
+    ``to_pandas`` (Ray's empty-block schema trap), so empty-shard guards
+    return this instead."""
+    import pandas as pd
+
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+
+
+def docs_empty(sf_dir: str) -> bool:
+    """O(1) parquet-footer emptiness check for the documents table — the
+    empty-shard guard used across the text/dedup/curation families (an
+    empty shard is a real input at 100 TB: a partition range can be
+    all-filtered)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows == 0

@@ -127,8 +127,11 @@ def test_shuffle_shards_dense_deterministic(ray_session):
 
 def test_new_docs_ops_survive_empty_table(ray_session, tmp_path):
     """An empty documents shard (real at 100 TB: a partition with no
-    surviving docs) must flow through every curation operator as an empty
-    result, never a crash — pins the Dataset.unique()-returns-None edge."""
+    surviving docs) must flow through every text/dedup/curation operator
+    as a TYPED empty result — never a crash, never a column-less frame
+    (the zero-row-Dataset-loses-schema trap; guards are the docs_empty
+    footer short-circuit)."""
+    import pandas as pd
     import pyarrow as pa
 
     d = tmp_path / "empty_sf"
@@ -138,9 +141,19 @@ def test_new_docs_ops_survive_empty_table(ray_session, tmp_path):
                              "lang": pa.array([], "string")}),
                    str(d / "documents.parquet"))
 
-    from schoolocr_ray.pipelines import curation, text
+    from schoolocr_ray.pipelines import curation, dedup, text
 
-    for fn in (text.decontaminate, text.repetition_scores,
-               curation.shuffle_shards, curation.corpus_tf_score,
-               curation.train_val_test_split, curation.curation_pipeline):
-        assert len(fn(str(d)).to_pandas()) == 0, fn.__name__
+    for fn in (text.token_count, text.quality_features, text.lang_id,
+               text.fingerprint, text.exact_dedup, text.jaccard_pairs,
+               text.dedup_clusters, text.decontaminate,
+               text.repetition_scores, text.chunk_documents,
+               dedup.minhash_dedup, dedup.minhash_candidate_pairs,
+               dedup.simhash, dedup.simhash_near_pairs,
+               curation.stratified_sample, curation.token_shards,
+               curation.top_terms, curation.shuffle_shards,
+               curation.corpus_tf_score, curation.train_val_test_split,
+               curation.curation_pipeline):
+        res = fn(str(d))
+        df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        assert len(df) == 0, fn.__name__
+        assert len(df.columns) > 0, fn.__name__   # typed, not column-less
