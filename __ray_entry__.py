@@ -407,6 +407,15 @@ def _transcripts_wired_cells(sf_dir: str) -> Any:
                           zero_copy_batch=True, concurrency=(1, 4))
 
 
+def _select_cols(res: Any, cols: list[str]) -> Any:
+    """Column projection that tolerates both result shapes: a Dataset on
+    the normal path, a typed empty pandas frame from an empty-shard
+    guard."""
+    if hasattr(res, "select_columns"):
+        return res.select_columns(cols)
+    return res[cols]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from schoolocr_ray.pipelines import (
         curation,
@@ -449,10 +458,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the fake container's byte arithmetic; the frames DIGEST column
         # stays pytest-pinned — DuckDB 1.0 has no blob substring/sha1)
         "multimodal_decode": multimodal.decode_features,
-        "multimodal_resize": lambda sf: multimodal.resize(sf).select_columns(
-            ["doc_id", "width", "height", "n_bytes"]),
-        "multimodal_frames": lambda sf: multimodal.frame_sample(sf).select_columns(
-            ["doc_id", "frame_idx", "n_bytes"]),
+        "multimodal_resize": lambda sf: _select_cols(
+            multimodal.resize(sf), ["doc_id", "width", "height", "n_bytes"]),
+        "multimodal_frames": lambda sf: _select_cols(
+            multimodal.frame_sample(sf), ["doc_id", "frame_idx", "n_bytes"]),
         # --- 1. model eval analog (per-token classification pinned in
         # pytest; the report rollup SQL-checked against an independently-
         # written driver-side prediction table)

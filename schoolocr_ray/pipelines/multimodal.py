@@ -19,6 +19,8 @@ import struct
 import pyarrow as pa
 import ray.data
 
+from ..util import docs_empty, typed_empty
+
 MAGIC = b"IMG1"
 
 
@@ -94,6 +96,8 @@ class DecoderStub:
 def decode_features(sf_dir: str, batch_size: int = 64) -> ray.data.Dataset:
     """Decode/feature-extract over binary payloads: small batches (large
     binary rows), actor pool, typed metadata out."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "width": "int32", "height": "int32", "n_bytes": "int64", "digest": "object"})  # noqa: E501
     payloads = make_payloads(sf_dir)
     return payloads.map_batches(DecoderStub, batch_format="pyarrow",
                                 zero_copy_batch=True, batch_size=batch_size,
@@ -133,6 +137,8 @@ def resize(sf_dir: str, target_w: int = 32, target_h: int = 32,
            batch_size: int = 64) -> ray.data.Dataset:
     """Resize stage over binary payloads, then re-decode to verify the new
     dims — the decode -> transform -> decode plumbing pattern."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "width": "int32", "height": "int32", "n_bytes": "int64", "digest": "object"})  # noqa: E501
     payloads = make_payloads(sf_dir)
     small = payloads.map_batches(
         ResizeStub, batch_format="pyarrow", zero_copy_batch=True,
@@ -147,6 +153,8 @@ def frame_sample(sf_dir: str, every: int = 7, batch_size: int = 64) -> ray.data.
     """Frame-sampling plumbing for a 'video' payload: treat each 64-byte
     body chunk as a frame, emit one row per sampled frame (flat_map shape —
     more rows out than in), with (doc_id, frame_idx, n_bytes, digest)."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "frame_idx": "int32", "n_bytes": "int64", "digest": "object"})  # noqa: E501
 
     def sample(batch: pa.Table) -> pa.Table:
         ids, fidx, lens, digests = [], [], [], []

@@ -52,12 +52,15 @@ KNN_SCHEMA = pa.schema([("qid", pa.int64()), ("vec_id", pa.int64()),
 PAIR_SCHEMA = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
 
 
-def empty_result(schema: pa.Schema) -> ray.data.Dataset:
-    """Zero-row dataset with the operator's documented schema — the
-    degradation every similarity/near-dup path returns for an empty
+def empty_result(schema: pa.Schema):
+    """Typed empty pandas frame with the operator's documented schema —
+    the degradation every similarity/near-dup path returns for an empty
     embeddings shard (real at 100 TB: a partition whose docs were all
-    filtered upstream) instead of crashing mid-plan."""
-    return ray.data.from_arrow(schema.empty_table())
+    filtered upstream) instead of crashing mid-plan.  pandas, not a
+    zero-row Dataset: even a TYPED zero-row Dataset loses its columns
+    through ``Dataset.to_pandas`` (Ray's empty-block schema trap);
+    pyarrow's own ``empty_table().to_pandas()`` keeps them."""
+    return schema.empty_table().to_pandas()
 
 
 def _load_queries(sf_dir: str, query_ids) -> tuple[np.ndarray, np.ndarray]:

@@ -273,14 +273,17 @@ def test_similarity_family_survives_empty_embeddings(ray_session, tmp_path):
 
     from schoolocr_ray.pipelines import dedup, similarity
 
+    import pandas as pd
+
     for fn, cols in [(similarity.knn_bruteforce, {"qid", "vec_id", "sim"}),
                      (similarity.knn_lsh, {"qid", "vec_id", "sim"}),
                      (similarity.knn_ivf, {"qid", "vec_id", "sim"}),
                      (dedup.embedding_neardup, {"vec_a", "vec_b"}),
                      (dedup.embedding_neardup_lsh, {"vec_a", "vec_b"}),
                      (dedup.embedding_neardup_ivf, {"vec_a", "vec_b"})]:
-        ds = fn(str(d))
-        assert ds.count() == 0, fn.__name__
-        # the schema survives at the Dataset level (a zero-row to_pandas
-        # loses columns — a known Ray quirk, not an operator contract)
-        assert set(ds.schema().names) >= cols, (fn.__name__, ds.schema())
+        res = fn(str(d))
+        # typed pandas empty (a zero-row Dataset would lose its columns
+        # through to_pandas — the guard returns the surviving shape)
+        df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        assert len(df) == 0, fn.__name__
+        assert set(df.columns) >= cols, (fn.__name__, df.columns)
