@@ -21,7 +21,7 @@ import ray.data
 
 from .text import EN_STOP, RU_STOP, _NONWORD, _read_docs, _tokens
 
-from ..util import arrow_groups, docs_empty, typed_empty
+from ..util import arrow_groups, cached_get, docs_empty, typed_empty
 
 # typed empty frames: map_groups stages must emit schema-carrying empties
 # (a schema-less empty block trips the executor's RefBundle schema check)
@@ -387,48 +387,82 @@ def corpus_tf_score(sf_dir: str, num_buckets: int | None = None) -> ray.data.Dat
 
 
 def curation_pipeline(sf_dir: str, min_tokens: int = 10,
-                      seed: int = 42, n_shards: int = 8) -> ray.data.Dataset:
+                      seed: int = 42, n_shards: int = 8,
+                      k: int = 3, eval_mod: int = 50) -> ray.data.Dataset:
     """The composed end-to-end curation flow — what a training-data user
     actually runs: exact dedup ∩ decontamination ∩ quality floor, then
     shard assignment; one lazy Dataset pipeline, streaming end to end.
 
-    Composition: each upstream operator keeps its single-responsibility
-    shape and emits its (narrow, one-row-per-doc) verdict table; the
-    3-way doc_id semi-join is a UNION + membership count (a doc kept by
-    all three filters appears exactly three times — each verdict table is
-    distinct-per-doc by construction), which costs ONE sort-groupby over
-    id-only rows instead of two cascaded hash joins (two extra shuffle
-    fleets, and join aggregator pools can starve small clusters).  Never
-    shuffles text."""
+    Semantics are exactly the composition of the standalone operators
+    (``exact_dedup`` min-id-per-text ∩ ``decontaminate`` no-eval-shingle
+    ∩ ``token_count`` floor), but the execution is FUSED: the three
+    upstream operators each read and tokenize the full corpus, so the
+    composed-as-written plan costs three corpus scans plus a 3×-row
+    union shuffle.  Here one verdict pass computes all three predicates
+    from a single tokenization (the k-shingle contamination probe and
+    the token floor share ``_tokens``), emitting only (sha1-digest,
+    doc_id·2 | ok) — the ok bit rides the dedup exchange, so the
+    min-doc_id-per-text winner and its verdict come out of ONE narrow
+    groupby-Min (doc_ids are unique, so min of the packed key IS the
+    min-id doc's packed key).  One corpus scan, one 28-byte-row
+    exchange, text never shuffles: the 100 TB shape.
+
+    The eval shingle set is the decontamination broadcast small side —
+    built distributed over the ``doc_id % eval_mod == 0`` slice,
+    ``ray.put`` once, fetched per actor in ``__init__``."""
     if docs_empty(sf_dir):
         return typed_empty({"doc_id": "int64", "shard": "int64"})
     import hashlib
 
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Min
 
-    from .text import decontaminate, exact_dedup, token_count
+    from .text import _tokens, shingles
 
-    kept = exact_dedup(sf_dir)                       # (doc_id) min-per-text
-    clean = decontaminate(sf_dir) \
-        .filter(expr="contaminated == False") \
-        .select_columns(["doc_id"])                  # uncontaminated train docs
-    quality = token_count(sf_dir) \
-        .filter(expr=f"n_tokens >= {min_tokens}") \
-        .select_columns(["doc_id"])
+    docs = _read_docs(sf_dir)
 
-    def ones(batch: pa.Table) -> pa.Table:
+    def eval_shingles(batch: pa.Table) -> pa.Table:
+        out: set[str] = set()
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            if did % eval_mod == 0:
+                out |= shingles(t, k)
+        return pa.Table.from_pydict({"s": pa.array(sorted(out), pa.string())})
+
+    # collect per-block-distinct shingle rows and union on the driver: the
+    # eval side is MB-scale BY CONSTRUCTION, and Dataset.unique would pay a
+    # full sort-shuffle (~2.7 s fixed) to dedup what a set.update absorbs
+    eval_set: set[str] = set()
+    for b in docs.map_batches(eval_shingles, batch_format="pyarrow",
+                              zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        eval_set.update(b.column("s").to_pylist())
+    ref = ray.put(eval_set)
+
+    def verdicts(batch: pa.Table) -> pa.Table:
+        """One pass, all three verdicts; emits (content-digest, packed)."""
+        ev: set[str] = cached_get(ref)   # fetched once per worker process
+        hs, packed = [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            toks = _tokens(t)
+            ok = did % eval_mod != 0 and len(toks) >= min_tokens
+            if ok and ev:
+                # any-overlap probe — short-circuits on the first hit
+                ok = not any(" ".join(toks[i:i + k]) in ev
+                             for i in range(len(toks) - k + 1))
+            hs.append(hashlib.sha1(t.encode()).digest())
+            packed.append((did << 1) | ok)
         return pa.Table.from_pydict({
-            "doc_id": batch.column("doc_id").cast(pa.int64()),
-            "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "h": pa.array(hs, pa.binary(20)),
+            "p": pa.array(packed, pa.int64()),
         })
 
-    votes = kept.union(clean, quality) \
-                .map_batches(ones, batch_format="pyarrow", zero_copy_batch=True) \
-                .groupby("doc_id").aggregate(Sum("n", alias_name="n"))
-    final = votes.filter(expr="n == 3")
+    winners = docs.map_batches(verdicts, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+                  .groupby("h").aggregate(Min("p", alias_name="p"))
 
-    def assign_shard(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
+    def finish(batch: pa.Table) -> pa.Table:
+        p = batch.column("p").to_numpy(zero_copy_only=False)
+        ids = (p[(p & 1) == 1] >> 1).astype(np.int64)
         shards = [int(hashlib.md5(f"{seed}:{d}".encode()).hexdigest()[0], 16)
                   % n_shards for d in ids]
         return pa.Table.from_pydict({
@@ -436,8 +470,8 @@ def curation_pipeline(sf_dir: str, min_tokens: int = 10,
             "shard": pa.array(shards, pa.int64()),
         })
 
-    return final.map_batches(assign_shard, batch_format="pyarrow",
-                             zero_copy_batch=True)
+    return winners.map_batches(finish, batch_format="pyarrow",
+                               zero_copy_batch=True)
 
 
 def train_val_test_split(sf_dir: str, seed: int = 7,

