@@ -409,7 +409,7 @@ def curation_pipeline(sf_dir: str, min_tokens: int = 10,
 
     The eval shingle set is the decontamination broadcast small side —
     built distributed over the ``doc_id % eval_mod == 0`` slice,
-    ``ray.put`` once, fetched per actor in ``__init__``."""
+    ``ray.put`` once, fetched once per worker process (util.cached_get)."""
     if docs_empty(sf_dir):
         return typed_empty({"doc_id": "int64", "shard": "int64"})
     import hashlib

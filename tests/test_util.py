@@ -74,3 +74,45 @@ def test_count_sum_partial_matches_pandas():
         n=("v", "size"), s=("v", "sum")).reset_index()
     assert got.columns.tolist() == ["k", "n", "s"]
     assert got.astype(str).equals(exp.astype(str))
+
+
+def test_task_stage_memoizes_per_process():
+    """task_stage builds the stage instance once per (cls, args) within a
+    worker process and reuses it across batches — the amortization contract
+    the broadcast stages rely on after moving off actor pools."""
+    from schoolocr_ray import util
+
+    built = []
+
+    class Stage:
+        def __init__(self, mult):
+            self.mult = mult
+            built.append(mult)
+
+        def __call__(self, batch):
+            return pa.table({"v": pa.array(
+                batch.column("v").to_numpy() * self.mult)})
+
+    util._BCAST_CACHE.clear()
+    fn2, fn3 = util.task_stage(Stage, 2), util.task_stage(Stage, mult=3)
+    b = pa.table({"v": pa.array([1, 2], pa.int64())})
+    assert fn2(b).column("v").to_pylist() == [2, 4]
+    assert fn2(b).column("v").to_pylist() == [2, 4]    # reuses the instance
+    assert fn3(b).column("v").to_pylist() == [3, 6]    # distinct args: new one
+    assert built == [2, 3]
+    util._BCAST_CACHE.clear()
+
+
+def test_cached_get_fetches_once(ray_session):
+    """cached_get deserializes a broadcast ref once per process and serves
+    later calls from the memo (keyed by object id, bounded)."""
+    import ray
+
+    from schoolocr_ray import util
+
+    util._BCAST_CACHE.clear()
+    ref = ray.put({"a", "b"})
+    first = util.cached_get(ref)
+    assert first == {"a", "b"}
+    assert util.cached_get(ref) is first     # memo hit, same object
+    util._BCAST_CACHE.clear()
