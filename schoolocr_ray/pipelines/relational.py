@@ -268,7 +268,17 @@ def lineitem_order_join(sf_dir: str, num_partitions: int | None = None) -> pd.Da
     clusters an order's line items contiguously, so a block usually holds
     all of them); ``n`` rides the partials so the final rollup still counts
     LINE ITEMS, not partials.  The rollup after the join pre-aggregates per
-    batch so the final groupby moves partial rows only."""
+    batch so the final groupby moves partial rows only.
+
+    Measured caveats (r5): this synth corpus does NOT cluster lineitem by
+    orderkey, so the per-block partial compresses only ~3% here (600k ->
+    581k rows) — the ~4x claim holds on clustered layouts only.  A
+    single-bucket-pass union variant (the ``events_cohorts`` shape: both
+    sides' narrow rows through one orderkey-hash groupby, per-bucket
+    vectorized merge, driver fold) was built, oracle-verified and A/B'd
+    interleaved at sf0.1/32 cpus: 3.18 s median vs 2.82 s for this native
+    join — the join fleet beats the 8-group map_groups merge once the
+    exchange, not the fleet launch, is the cost; the native form stays."""
     # Ray's native hash join can't key an empty side (ArrowInvalid in the
     # shuffle aggregator); an empty shard is a real input at 100 TB scale,
     # so answer it from the footer (O(1)) with the typed empty result
