@@ -54,7 +54,8 @@ def _count_sum_partial(tbl: pa.Table, keys: list[str], sum_col: str,
 
 def _fold_partials(partials: ray.data.Dataset, keys: list[str],
                    sum_cols: list[str],
-                   key_dtypes: dict[str, str]) -> pd.DataFrame:
+                   key_dtypes: dict[str, str],
+                   agg: str = "sum") -> pd.DataFrame:
     """Final merge for DOMAIN-BOUNDED count/sum partials (key cardinality
     set by a dimension — event types, priorities, regions, histogram
     bins — never by row count): repartition(8) + whole-partition
@@ -67,9 +68,9 @@ def _fold_partials(partials: ray.data.Dataset, keys: list[str],
     keys (order keys, doc ids): those stay on the cluster groupby."""
     def combine(batch: pa.Table) -> pa.Table:
         g = batch.group_by(keys, use_threads=False).aggregate(
-            [(c, "sum") for c in sum_cols])
+            [(c, agg) for c in sum_cols])
         return pa.table({**{k: g.column(k) for k in keys},
-                         **{c: g.column(f"{c}_sum") for c in sum_cols}})
+                         **{c: g.column(f"{c}_{agg}") for c in sum_cols}})
 
     df = partials.repartition(8) \
                  .map_batches(combine, batch_format="pyarrow",
@@ -78,7 +79,7 @@ def _fold_partials(partials: ray.data.Dataset, keys: list[str],
     if df.empty:                     # empty to_pandas loses columns — typed empty
         return pd.DataFrame({**{k: pd.Series(dtype=key_dtypes[k]) for k in keys},
                              **{c: pd.Series(dtype="int64") for c in sum_cols}})
-    return df.groupby(keys, sort=False, as_index=False)[sum_cols].sum()
+    return df.groupby(keys, sort=False, as_index=False)[sum_cols].agg(agg)
 
 
 def _typed_empty(cols: dict[str, str]) -> pd.DataFrame:
@@ -171,9 +172,16 @@ def customers_per_region(sf_dir: str) -> pd.DataFrame:
                           {"r_name": "object"})
 
 
-def lineitem_semi_join(sf_dir: str, region_name: str = "ASIA") -> ray.data.Dataset:
+def lineitem_semi_join(sf_dir: str, region_name: str = "ASIA") -> pd.DataFrame:
     """J2 analog: broadcast semi-join — lineitem rows whose supplier sits in
-    the given region, counted per supplier."""
+    the given region, counted per supplier.
+
+    The final merge folds on the driver (`_fold_partials`): the key domain
+    is exactly the broadcast key set, which is driver-resident BY
+    CONSTRUCTION (the semi-join already assumes it fits in one `ray.put`),
+    so the fold adds no scale assumption the broadcast didn't already make
+    and skips Ray's ~1 s sort-shuffle Aggregate fixed cost on a
+    dimension-sized merge."""
     nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
     region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
     supplier = pq.read_table(f"{sf_dir}/supplier.parquet",
@@ -192,8 +200,9 @@ def lineitem_semi_join(sf_dir: str, region_name: str = "ASIA") -> ray.data.Datas
                                      "n": pa.array(counts, pa.int64())})
 
     ds = _read(sf_dir, "lineitem", columns=["l_suppkey"])
-    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None) \
-             .groupby("l_suppkey").aggregate(Sum("n", alias_name="n"))
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    return _fold_partials(parts, ["l_suppkey"], ["n"], {"l_suppkey": "int64"})
 
 
 def events_topk_per_group(sf_dir: str, k: int = 5) -> ray.data.Dataset:
@@ -222,15 +231,28 @@ def events_topk_per_group(sf_dir: str, k: int = 5) -> ray.data.Dataset:
             "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
         })
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["cents", "event_id"],
-                            ascending=[False, True]).head(k).reset_index(drop=True)
-        df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df[["event_type", "rnk", "event_id", "cents"]]
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["cents", "event_id"], ascending=[False, True])
+        return pa.Table.from_pandas(df.groupby("event_type", sort=False).head(k),
+                                    preserve_index=False).replace_schema_metadata(None)
 
-    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None) \
-             .groupby("event_type").map_groups(arrow_groups(final),
-                                               batch_format="pandas")
+    # final keys are event TYPES — dimension-bounded, so the k x |types|
+    # candidate set folds on the driver (the _fold_partials shape, with a
+    # per-type top-k instead of a sum); the exchange carries at most
+    # k x |types| x 8 rows regardless of input size
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    df = parts.repartition(8).map_batches(combine, batch_format="pyarrow",
+                                          zero_copy_batch=True,
+                                          batch_size=None).to_pandas()
+    if df.empty:
+        return _typed_empty({"event_type": "object", "rnk": "int64",
+                             "event_id": "int64", "cents": "int64"})
+    df = df.sort_values(["cents", "event_id"], ascending=[False, True])
+    df = df.groupby("event_type", sort=False).head(k)
+    df["rnk"] = (df.groupby("event_type", sort=False).cumcount() + 1).astype(np.int64)
+    return df[["event_type", "rnk", "event_id", "cents"]].reset_index(drop=True)
 
 
 def top_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
@@ -1288,8 +1310,6 @@ def events_hll_users(sf_dir: str, n_registers: int = 64) -> ray.data.Dataset:
     the sketch needs no dedup pass."""
     if _events_empty(sf_dir):
         return _typed_empty({"event_type": "object", "j": "int64", "register": "int64"})  # noqa: E501
-    from ray.data.aggregate import Max
-
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1318,10 +1338,12 @@ def events_hll_users(sf_dir: str, n_registers: int = 64) -> ray.data.Dataset:
             g.rename(columns={"rho": "register"}),
             preserve_index=False).replace_schema_metadata(None)
 
-    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None) \
-             .repartition(4) \
-             .groupby(["event_type", "j"]) \
-             .aggregate(Max("register", alias_name="register"))
+    # (event_type, j) is |types| x n_registers — dimension-bounded, so the
+    # register MAX-merge folds on the driver like the count/sum rollups
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    return _fold_partials(parts, ["event_type", "j"], ["register"],
+                          {"event_type": "object", "j": "int64"}, agg="max")
 
 
 def _events_funnel_joined(sf_dir: str, win_us: int,
@@ -1433,10 +1455,11 @@ def events_cohorts(sf_dir: str, num_buckets: int = 64) -> ray.data.Dataset:
              .size().reset_index(name="n_users")
         return g[["cohort_week", "week", "n_users"]]
 
-    return ds.map_batches(user_weeks, batch_format="pyarrow",
-                          zero_copy_batch=True) \
-             .groupby("bk").map_groups(arrow_groups(count_bucket),
-                                       batch_format="pandas") \
-             .repartition(4) \
-             .groupby(["cohort_week", "week"]) \
-             .aggregate(Sum("n_users", alias_name="n_users"))
+    parts = ds.map_batches(user_weeks, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+              .groupby("bk").map_groups(arrow_groups(count_bucket),
+                                        batch_format="pandas")
+    # final merge keys are (cohort_week, week) — a weeks^2 domain, bounded
+    # by the corpus time span, so the driver fold applies
+    return _fold_partials(parts, ["cohort_week", "week"], ["n_users"],
+                          {"cohort_week": "int64", "week": "int64"})
