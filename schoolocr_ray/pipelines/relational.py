@@ -255,10 +255,31 @@ def events_topk_per_group(sf_dir: str, k: int = 5) -> ray.data.Dataset:
     return df[["event_type", "rnk", "event_id", "cents"]].reset_index(drop=True)
 
 
-def top_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
-    """O analog: global top-k by balance (distributed sort + limit)."""
+def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """O analog: global top-k by balance.
+
+    Per-block top-k partials + a driver fold of the k x blocks candidates —
+    never a full distributed sort for k rows (``sort().limit(k)`` shuffles
+    the whole table to order 10 survivors; the same bottom-k-partials fix
+    the r4 verdict prescribed for the range-join campaign pick).  Ties
+    break by (c_acctbal DESC, c_custkey ASC) at every level, matching the
+    SQL twin's ORDER BY exactly."""
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
-    return ds.sort(["c_acctbal", "c_custkey"], descending=[True, False]).limit(k)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["c_acctbal", "c_custkey"],
+                           ascending=[False, True]).head(k),
+            preserve_index=False).replace_schema_metadata(None)
+
+    df = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None).to_pandas()
+    if df.empty:
+        return _typed_empty({"c_custkey": "int64", "c_name": "object",
+                             "c_acctbal": "float64"})
+    return df.sort_values(["c_acctbal", "c_custkey"],
+                          ascending=[False, True]).head(k).reset_index(drop=True)
 
 
 def orders_rollup(sf_dir: str) -> pd.DataFrame:
