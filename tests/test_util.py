@@ -116,3 +116,39 @@ def test_cached_get_fetches_once(ray_session):
     assert first == {"a", "b"}
     assert util.cached_get(ref) is first     # memo hit, same object
     util._BCAST_CACHE.clear()
+
+
+def test_fold_partials_matches_pandas_groupby(ray_session):
+    """_fold_partials (repartition + Arrow re-combine + driver fold) must
+    equal a plain pandas groupby for both agg modes, on unsorted multi-block
+    input with string and int keys — the contract every dimension-bounded
+    rollup now rides."""
+    import pandas as pd
+    import ray.data
+
+    from schoolocr_ray.pipelines.relational import _fold_partials
+
+    rng = np.random.default_rng(11)
+    for agg in ("sum", "max"):
+        n = 5000
+        df = pd.DataFrame({
+            "k1": rng.choice(["a", "b", "c", "d"], size=n),
+            "k2": rng.integers(0, 7, size=n).astype("int64"),
+            "v1": rng.integers(-1000, 1000, size=n).astype("int64"),
+            "v2": rng.integers(0, 65, size=n).astype("int64"),
+        })
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+                     .repartition(13)
+        got = _fold_partials(ds, ["k1", "k2"], ["v1", "v2"],
+                             {"k1": "object", "k2": "int64"}, agg=agg) \
+            .sort_values(["k1", "k2"]).reset_index(drop=True)
+        exp = df.groupby(["k1", "k2"], as_index=False)[["v1", "v2"]].agg(agg) \
+                .sort_values(["k1", "k2"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got.astype({"v1": "int64", "v2": "int64"}),
+                                      exp, check_dtype=False)
+
+    # empty input keeps the typed schema (the zero-row to_pandas trap)
+    empty = ray.data.from_arrow(pa.table({"k1": pa.array([], pa.string()),
+                                          "v1": pa.array([], pa.int64())}))
+    out = _fold_partials(empty, ["k1"], ["v1"], {"k1": "object"})
+    assert list(out.columns) == ["k1", "v1"] and len(out) == 0
