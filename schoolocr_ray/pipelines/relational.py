@@ -273,8 +273,15 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
                            ascending=[False, True]).head(k),
             preserve_index=False).replace_schema_metadata(None)
 
+    # same two-level shape as _fold_partials: per-partition re-combine caps
+    # what reaches the driver at 8 x k rows regardless of block count (at
+    # 10^12 rows the raw k x blocks candidate set would itself be GB-scale)
     df = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
-                        batch_size=None).to_pandas()
+                        batch_size=None) \
+           .repartition(8) \
+           .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None) \
+           .to_pandas()
     if df.empty:
         return _typed_empty({"c_custkey": "int64", "c_name": "object",
                              "c_acctbal": "float64"})
