@@ -128,8 +128,22 @@ def token_shards(sf_dir: str, capacity: int = SHARD_CAPACITY,
             "total": pa.array(g["n"].to_numpy(), pa.int64()),
         })
 
+    def recombine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["bucket"], use_threads=False).aggregate(
+            [("total", "sum")])
+        return pa.table({"bucket": g.column("bucket"),
+                         "total": g.column("total_sum")})
+
+    # re-combine caps driver input at 8 x bucket-domain rows (per-BLOCK
+    # partials alone are blocks x buckets-per-block — unbounded in block
+    # count at 10^12 rows); the prefix itself still needs one row per
+    # bucket, which is the scan's documented KB-per-10^10-docs budget
     partials = tok.map_batches(bucket_partials, batch_format="pyarrow",
-                               zero_copy_batch=True).to_pandas()
+                               zero_copy_batch=True) \
+                  .repartition(8) \
+                  .map_batches(recombine, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None) \
+                  .to_pandas()
     totals = partials.groupby("bucket")["total"].sum().sort_index()
     offsets = totals.cumsum().shift(1, fill_value=0)
     offsets_d = {int(b): int(o) for b, o in offsets.items()}
@@ -282,8 +296,18 @@ def shuffle_shards(sf_dir: str, seed: int = 42,
         return pa.Table.from_pydict({"kb": pa.array(kb, pa.int32()),
                                      "n": pa.array(n, pa.int64())})
 
+    def recombine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["kb"], use_threads=False).aggregate([("n", "sum")])
+        return pa.table({"kb": g.column("kb"), "n": g.column("n_sum")})
+
+    # re-combine caps driver input at 8 x 256 kb rows regardless of block
+    # count (per-block partials alone scale with the number of blocks)
     counts = tab.map_batches(partials, batch_format="pyarrow",
-                             zero_copy_batch=True).to_pandas()
+                             zero_copy_batch=True) \
+                .repartition(8) \
+                .map_batches(recombine, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None) \
+                .to_pandas()
     counts = counts.groupby("kb")["n"].sum()
     # exclusive prefix per shard over kb ascending: lowercase-hex
     # lexicographic order == numeric order of int(key[:2], 16), so walking
