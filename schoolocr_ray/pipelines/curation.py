@@ -428,8 +428,11 @@ def curation_pipeline(sf_dir: str, min_tokens: int = 10,
     doc_id·2 | ok) — the ok bit rides the dedup exchange, so the
     min-doc_id-per-text winner and its verdict come out of ONE narrow
     groupby-Min (doc_ids are unique, so min of the packed key IS the
-    min-id doc's packed key).  One corpus scan, one 28-byte-row
-    exchange, text never shuffles: the 100 TB shape.
+    min-id doc's packed key).  Two corpus reads total (the eval-slice
+    pass must scan doc_ids to find its ``% eval_mod`` slice, then the
+    verdict pass reads everything once) versus four for the
+    composed-as-written plan, ONE tokenization per document, and one
+    28-byte-row exchange — text never shuffles.
 
     The eval shingle set is the decontamination broadcast small side —
     built distributed over the ``doc_id % eval_mod == 0`` slice,
@@ -440,26 +443,11 @@ def curation_pipeline(sf_dir: str, min_tokens: int = 10,
 
     from ray.data.aggregate import Min
 
-    from .text import _tokens, shingles
+    from .text import _tokens, eval_shingle_ref
 
     docs = _read_docs(sf_dir)
-
-    def eval_shingles(batch: pa.Table) -> pa.Table:
-        out: set[str] = set()
-        for did, t in zip(batch.column("doc_id").to_pylist(),
-                          batch.column("text").to_pylist()):
-            if did % eval_mod == 0:
-                out |= shingles(t, k)
-        return pa.Table.from_pydict({"s": pa.array(sorted(out), pa.string())})
-
-    # collect per-block-distinct shingle rows and union on the driver: the
-    # eval side is MB-scale BY CONSTRUCTION, and Dataset.unique would pay a
-    # full sort-shuffle (~2.7 s fixed) to dedup what a set.update absorbs
-    eval_set: set[str] = set()
-    for b in docs.map_batches(eval_shingles, batch_format="pyarrow",
-                              zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
-        eval_set.update(b.column("s").to_pylist())
-    ref = ray.put(eval_set)
+    # shared with text.decontaminate — one definition of the eval slice
+    ref = eval_shingle_ref(docs, k, eval_mod)
 
     def verdicts(batch: pa.Table) -> pa.Table:
         """One pass, all three verdicts; emits (content-digest, packed)."""

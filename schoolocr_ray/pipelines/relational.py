@@ -205,7 +205,7 @@ def lineitem_semi_join(sf_dir: str, region_name: str = "ASIA") -> pd.DataFrame:
     return _fold_partials(parts, ["l_suppkey"], ["n"], {"l_suppkey": "int64"})
 
 
-def events_topk_per_group(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+def events_topk_per_group(sf_dir: str, k: int = 5) -> pd.DataFrame:
     """Grouped top-k (the §2.6 family's per-GROUP shape, completing the
     per-row O4/O5 and global-O6 variants): the k highest-value events per
     event_type with rank.  Scale shape: each batch emits only its local
@@ -232,6 +232,11 @@ def events_topk_per_group(sf_dir: str, k: int = 5) -> ray.data.Dataset:
         })
 
     def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # keep the input schema: a pandas round-trip on an empty frame
+            # re-infers string columns as null type (repartition(8) yields
+            # empty partitions whenever partials total < 8 rows)
+            return batch
         df = batch.to_pandas()
         df = df.sort_values(["cents", "event_id"], ascending=[False, True])
         return pa.Table.from_pandas(df.groupby("event_type", sort=False).head(k),
@@ -267,11 +272,14 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        return pa.Table.from_pandas(
-            df.sort_values(["c_acctbal", "c_custkey"],
-                           ascending=[False, True]).head(k),
-            preserve_index=False).replace_schema_metadata(None)
+        # pure Arrow: keeps the exact input schema on EMPTY batches too
+        # (repartition(8) on a small table yields empty partitions, and a
+        # pandas round-trip would re-infer string columns as null type)
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(batch, sort_keys=[("c_acctbal", "descending"),
+                                                ("c_custkey", "ascending")])
+        return batch.take(idx[:k])
 
     # same two-level shape as _fold_partials: per-partition re-combine caps
     # what reaches the driver at 8 x k rows regardless of block count (at
@@ -1320,7 +1328,7 @@ def events_funnel(sf_dir: str, num_buckets: int | None = None,
              .groupby("stage").aggregate(Sum("n_users", alias_name="n_users"))
 
 
-def events_hll_users(sf_dir: str, n_registers: int = 64) -> ray.data.Dataset:
+def events_hll_users(sf_dir: str, n_registers: int = 64) -> pd.DataFrame:
     """HyperLogLog distinct-user sketch per event_type — the mergeable-
     sketch counterpart of the exact ``events_distinct_users``: at 10^12
     rows the exact count shuffles every distinct (type, user) pair once,
@@ -1446,7 +1454,7 @@ def _events_funnel_joined(sf_dir: str, win_us: int,
         {"stage": "object", "n_users": "int64"}))
 
 
-def events_cohorts(sf_dir: str, num_buckets: int = 64) -> ray.data.Dataset:
+def events_cohorts(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
     """Cohort retention — the product-analytics rollup over event streams:
     users cohorted by their FIRST activity week, counted distinct per
     (cohort_week, active week).  Weeks are integer epoch-week indices

@@ -47,12 +47,16 @@ def conv_rollup(ds: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset
             "n_warn": pc.greater(pc.list_value_length(batch.column("warnings")),
                                  0).cast(pa.int64()),
         })
+        # count_all (row count), not count(turn_idx): the old pandas
+        # `size` counted rows, and count(col) would silently undercount if
+        # a null turn_idx ever appeared (unreachable with the extract
+        # schema today, but the SQL twin is COUNT(*) — keep them aligned)
         g = t.group_by(["conv_id"], use_threads=False).aggregate(
-            [("turn_idx", "count"), ("total_score", "sum"),
+            [([], "count_all"), ("total_score", "sum"),
              ("n_err", "sum"), ("n_warn", "sum"), ("turn_idx", "max")])
         return pa.table({
             "conv_id": g.column("conv_id"),
-            "n_turns": g.column("turn_idx_count").cast(pa.int64()),
+            "n_turns": g.column("count_all").cast(pa.int64()),
             "sum_score": g.column("total_score_sum"),
             "error_turns": g.column("n_err_sum"),
             "warning_turns": g.column("n_warn_sum"),

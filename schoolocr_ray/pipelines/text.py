@@ -187,6 +187,32 @@ def shingles(text: str, k: int = 3) -> set[str]:
     return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
 
 
+def eval_shingle_ref(docs: ray.data.Dataset, k: int, eval_mod: int):
+    """Build the eval-slice shingle set and broadcast it once (`ray.put`) —
+    the decontamination small side, shared by ``decontaminate`` and the
+    fused ``curation_pipeline`` so the eval-slice rule can never diverge
+    between them.
+
+    Per-block-distinct shingle rows are collected and unioned on the
+    driver: the eval side is MB-scale BY CONSTRUCTION (benchmark suites vs
+    a 100 TB corpus), and ``Dataset.unique`` would pay a full sort-shuffle
+    (~2.7 s fixed, measured) to dedup what a driver-side ``set.update``
+    absorbs."""
+    def eval_shingles(batch: pa.Table) -> pa.Table:
+        out: set[str] = set()
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            if did % eval_mod == 0:
+                out |= shingles(t, k)
+        return pa.Table.from_pydict({"s": pa.array(sorted(out), pa.string())})
+
+    eval_set: set[str] = set()
+    for b in docs.map_batches(eval_shingles, batch_format="pyarrow",
+                              zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        eval_set.update(b.column("s").to_pylist())
+    return ray.put(eval_set)
+
+
 def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
                   k: int = 3, hot_cap: int = JACCARD_HOT_CAP) -> ray.data.Dataset:
     """n-gram Jaccard near-duplicate pairs, fully distributed:
@@ -429,24 +455,7 @@ def decontaminate(sf_dir: str, k: int = 3, eval_mod: int = 50) -> ray.data.Datas
     if docs_empty(sf_dir):
         return typed_empty({"doc_id": "int64", "n_hits": "int64", "contaminated": "bool"})  # noqa: E501
     docs = _read_docs(sf_dir)
-
-    def eval_shingles(batch: pa.Table) -> pa.Table:
-        out: set[str] = set()
-        for did, t in zip(batch.column("doc_id").to_pylist(),
-                          batch.column("text").to_pylist()):
-            if did % eval_mod == 0:
-                out |= shingles(t, k)
-        return pa.Table.from_pydict({"s": pa.array(sorted(out), pa.string())})
-
-    # collect per-block-distinct shingle rows and union on the driver: the
-    # eval side is MB-scale BY CONSTRUCTION (benchmark suites vs a 100 TB
-    # corpus), and Dataset.unique would pay a full sort-shuffle (~2.7 s
-    # fixed, measured) to dedup what a driver-side set.update absorbs
-    eval_set: set[str] = set()
-    for b in docs.map_batches(eval_shingles, batch_format="pyarrow",
-                              zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
-        eval_set.update(b.column("s").to_pylist())
-    ref = ray.put(eval_set)
+    ref = eval_shingle_ref(docs, k, eval_mod)
 
     def decontaminate_batch(batch: pa.Table) -> pa.Table:
         # task pool + per-worker-process memoized fetch (util.cached_get):

@@ -173,10 +173,18 @@ def cached_get(ref):
 
     key = ref.hex()
     if key not in _BCAST_CACHE:
-        if len(_BCAST_CACHE) > 8:   # bound: broadcasts are few and small
-            _BCAST_CACHE.clear()
+        _evict_oldest()
         _BCAST_CACHE[key] = ray.get(ref)
     return _BCAST_CACHE[key]
+
+
+def _evict_oldest(cap: int = 16) -> None:
+    """FIFO single-entry eviction for the broadcast/stage memo: a clear-all
+    would wipe entries in active use whenever a worker serves many distinct
+    stages across a session's queries, silently degrading the
+    once-per-process amortization to once-per-task."""
+    while len(_BCAST_CACHE) >= cap:
+        _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
 
 
 def task_stage(cls, *args, **kwargs):
@@ -201,8 +209,7 @@ def task_stage(cls, *args, **kwargs):
     def fn(batch):
         inst = _BCAST_CACHE.get(key)
         if inst is None:
-            if len(_BCAST_CACHE) > 8:
-                _BCAST_CACHE.clear()
+            _evict_oldest()
             inst = _BCAST_CACHE[key] = cls(*args, **kwargs)
         return inst(batch)
 

@@ -152,3 +152,26 @@ def test_fold_partials_matches_pandas_groupby(ray_session):
                                           "v1": pa.array([], pa.int64())}))
     out = _fold_partials(empty, ["k1"], ["v1"], {"k1": "object"})
     assert list(out.columns) == ["k1", "v1"] and len(out) == 0
+
+
+def test_topk_folds_survive_tiny_tables(ray_session, tmp_path):
+    """repartition(8) on a table smaller than 8 rows yields EMPTY partitions;
+    the top-k fold combines must keep the input schema through them (a
+    pandas round-trip re-infers empty string columns as null type and trips
+    Ray's block schema check)."""
+    import pyarrow.parquet as pq
+
+    from schoolocr_ray.pipelines.relational import top_customers
+
+    d = tmp_path / "tiny_sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([3, 1, 2], pa.int64()),
+        "c_name": pa.array(["c3", "c1", "c2"], pa.string()),
+        "c_acctbal": pa.array([5.0, 9.0, 9.0], pa.float64()),
+    }), str(d / "customer.parquet"))
+
+    got = top_customers(str(d), k=2)
+    # ties on acctbal break by custkey ascending
+    assert list(got["c_custkey"]) == [1, 2]
+    assert list(got["c_name"]) == ["c1", "c2"]
