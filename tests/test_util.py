@@ -103,6 +103,22 @@ def test_task_stage_memoizes_per_process():
     util._BCAST_CACHE.clear()
 
 
+def test_memo_evicts_oldest_first():
+    """At the cap the memo drops its OLDEST entry only — newer entries in
+    active use must survive (a clear-all would degrade the once-per-process
+    amortization to once-per-task whenever a worker serves many stages)."""
+    from schoolocr_ray import util
+
+    util._BCAST_CACHE.clear()
+    for i in range(16):
+        util._BCAST_CACHE[f"k{i}"] = i
+    util._evict_oldest()                      # at cap: one insert pending
+    assert "k0" not in util._BCAST_CACHE      # oldest gone
+    assert util._BCAST_CACHE["k15"] == 15     # newest kept
+    assert len(util._BCAST_CACHE) == 15
+    util._BCAST_CACHE.clear()
+
+
 def test_cached_get_fetches_once(ray_session):
     """cached_get deserializes a broadcast ref once per process and serves
     later calls from the memo (keyed by object id, bounded)."""
