@@ -114,6 +114,23 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         # the checkpoint, not re-extractions)
         e.ensure_extract_output(sf_dir)
 
+        # Prestart + pre-import the TASK worker pool outside any timed
+        # window: after the extraction actor fleet exits, the first
+        # task-form query pays a one-time fleet of fresh-worker spawns AND
+        # each new worker's first import of the pipeline package (~1.5-2 s
+        # total, measured — it floated onto whichever query ran first:
+        # top_customers, then docs_token_count).  A long-lived cluster
+        # keeps warm, imported workers; one fan-out map_batches that
+        # imports the query-tier modules absorbs both costs here so
+        # per-query timings measure the query, not process startup.
+        def _prewarm(b):
+            from schoolocr_ray.pipelines import (  # noqa: F401
+                curation, dedup, relational, similarity, text)
+            return b
+
+        ray.data.range(num_cpus, override_num_blocks=num_cpus).map_batches(
+            _prewarm, batch_size=1).materialize()
+
         q = e.queries()
         for name in ("events_stats", "customers_per_region", "lineitem_semi_join",
                      "lineitem_order_join", "top_customers", "docs_token_count",
