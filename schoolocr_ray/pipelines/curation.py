@@ -19,7 +19,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
-from .text import EN_STOP, RU_STOP, _NONWORD, _read_docs, _tokens
+from .text import _read_docs, _regex_count, _stop_votes, _tokens
 
 from ..util import arrow_groups, cached_get, docs_empty, typed_empty
 
@@ -47,6 +47,41 @@ SHARD_CAPACITY = 2048  # tokens per training shard
 TOP_TERMS_K = 3
 
 
+def _explode_terms(batch: pa.Table, num_buckets: int) -> pa.Table:
+    """(doc_id, term, tf, tbk) rows for one batch, fully vectorized:
+    Arrow lower + split_pattern_regex explodes tokens, one Arrow
+    ``group_by((doc_id, term))`` counts tf — no per-doc Python loop, no
+    per-doc value_counts.  Docs never span batches, so the batch-local
+    count IS the per-doc global tf and (doc, term) rows are globally
+    unique.  Shared by ``top_terms`` and ``corpus_tf_score`` so their
+    tokenization can never diverge.  ``tbk`` is the term-hash bucket for
+    the df shuffle — within-run determinism is all bucketing needs (the
+    bucket id never reaches any output)."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern_regex(pc.utf8_lower(batch.column("text")),
+                                  "[^a-zа-яё]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy()
+    rep = np.repeat(
+        batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
+        np.diff(offs))
+    pairs = pa.table({"doc_id": pa.array(rep, pa.int64()),
+                      "term": toks.flatten()})
+    pairs = pairs.filter(pc.not_equal(pairs.column("term"), ""))
+    counted = pairs.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+    tbk = (pd.util.hash_array(
+        counted.column("term").to_numpy(zero_copy_only=False))
+        % num_buckets).astype(np.int32)
+    return pa.table({
+        "doc_id": counted.column("doc_id"),
+        "term": counted.column("term"),
+        "tf": counted.column("count_all").cast(pa.int64()),
+        "tbk": pa.array(tbk),
+    })
+
+
 def stratified_sample(sf_dir: str,
                       rates: dict[str, int] | None = None) -> ray.data.Dataset:
     """Deterministic stratified downsampling: language-ID each document
@@ -61,21 +96,15 @@ def stratified_sample(sf_dir: str,
     rates = SAMPLE_RATES if rates is None else rates
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        preds = []
-        for t in texts:
-            toks = _NONWORD.split(t.lower())
-            en = sum(tok in EN_STOP for tok in toks)
-            ru = sum(tok in RU_STOP for tok in toks)
-            preds.append("en" if en >= ru else "ru")
+        en, ru = _stop_votes(batch.column("text"))
+        preds = np.where(en >= ru, "en", "ru")
         doc_id = batch.column("doc_id").to_numpy().astype(np.uint64)
         h = (doc_id * np.uint64(HASH_MULT)) % np.uint64(_HASH_MOD)
-        thr = np.array([rates[p] for p in preds], dtype=np.uint64)
+        thr = np.where(preds == "en", rates["en"], rates["ru"]).astype(np.uint64)
         keep = h < thr
         return pa.Table.from_pydict({
             "doc_id": batch.column("doc_id").filter(pa.array(keep)),
-            "lang_pred": pa.array([p for p, k in zip(preds, keep) if k],
-                                  pa.string()),
+            "lang_pred": pa.array(preds[keep]),
         })
 
     return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow",
@@ -113,9 +142,7 @@ def token_shards(sf_dir: str, capacity: int = SHARD_CAPACITY,
             "doc_id": b.column("doc_id"),
             "bucket": pa.array(b.column("doc_id").to_numpy() // bucket_span,
                                pa.int64()),
-            "n_tokens": pa.array(
-                [len(_tokens(t)) for t in b.column("text").to_pylist()],
-                pa.int64()),
+            "n_tokens": _regex_count(b.column("text"), r"\S+"),
         }),
         batch_format="pyarrow", zero_copy_batch=True).materialize()
 
@@ -175,9 +202,10 @@ def top_terms(sf_dir: str, k: int = TOP_TERMS_K,
     only monotonically reweight the same (tf, df) order per doc, but would
     make the oracle epsilon-sensitive).
 
-    Shape: explode to (doc_id, term, tf) rows with per-batch vectorized
-    pandas (docs never span batches, so batch-local value_counts IS the
-    per-doc global tf, and (doc, term) rows are globally unique).  That
+    Shape: explode to (doc_id, term, tf) rows with the shared Arrow
+    tokenize + group_by counter ``_explode_terms`` (docs never span
+    batches, so the batch-local count IS the per-doc global tf, and
+    (doc, term) rows are globally unique).  That
     uniqueness means document frequency is just each term's global row
     count, so df is computed INSIDE a term-bucketed shuffle — hash terms
     into buckets, one vectorized ``transform('size')`` per bucket — with
@@ -192,28 +220,9 @@ def top_terms(sf_dir: str, k: int = TOP_TERMS_K,
         n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
         num_buckets = max(16, -(-n // 25_000))
 
-    def explode(batch: pa.Table) -> pa.Table:
-        rows_doc, rows_term, rows_tf = [], [], []
-        for did, text in zip(batch.column("doc_id").to_pylist(),
-                             batch.column("text").to_pylist()):
-            toks = [t for t in _NONWORD.split(text.lower()) if t]
-            if not toks:
-                continue
-            vc = pd.Series(toks).value_counts()
-            rows_doc.extend([did] * len(vc))
-            rows_term.extend(vc.index.tolist())
-            rows_tf.extend(vc.to_numpy().tolist())
-        out = pd.DataFrame({"doc_id": np.asarray(rows_doc, dtype=np.int64),
-                            "term": rows_term,
-                            "tf": np.asarray(rows_tf, dtype=np.int64)})
-        # term-hash bucket for the df shuffle (within-run determinism is
-        # all bucketing needs — the bucket id never reaches the output)
-        out["tbk"] = (pd.util.hash_array(out["term"].to_numpy(object))
-                      % num_buckets).astype(np.int32)
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
-
     tf_rows = _read_docs(sf_dir).map_batches(
-        explode, batch_format="pyarrow", zero_copy_batch=True)
+        lambda b: _explode_terms(b, num_buckets),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     def df_bucket(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -358,24 +367,6 @@ def corpus_tf_score(sf_dir: str, num_buckets: int | None = None) -> ray.data.Dat
         n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
         num_buckets = max(16, -(-n // 25_000))
 
-    def explode(batch: pa.Table) -> pa.Table:
-        rows_doc, rows_term, rows_tf = [], [], []
-        for did, text in zip(batch.column("doc_id").to_pylist(),
-                             batch.column("text").to_pylist()):
-            toks = [t for t in _NONWORD.split(text.lower()) if t]
-            if not toks:
-                continue
-            vc = pd.Series(toks).value_counts()
-            rows_doc.extend([did] * len(vc))
-            rows_term.extend(vc.index.tolist())
-            rows_tf.extend(vc.to_numpy().tolist())
-        out = pd.DataFrame({"doc_id": np.asarray(rows_doc, dtype=np.int64),
-                            "term": rows_term,
-                            "tf": np.asarray(rows_tf, dtype=np.int64)})
-        out["tbk"] = (pd.util.hash_array(out["term"].to_numpy(object))
-                      % num_buckets).astype(np.int32)
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
-
     _EMPTY_W = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "tf": pd.Series([], dtype="int64"),
                              "w": pd.Series([], dtype="int64"),
@@ -404,8 +395,9 @@ def corpus_tf_score(sf_dir: str, num_buckets: int | None = None) -> ray.data.Dat
             n_tok=("tf", "sum"), sum_w=("w", "sum")).reset_index()
         return g[["doc_id", "n_tok", "sum_w"]]
 
-    rows = _read_docs(sf_dir).map_batches(explode, batch_format="pyarrow",
-                                          zero_copy_batch=True)
+    rows = _read_docs(sf_dir).map_batches(
+        lambda b: _explode_terms(b, num_buckets),
+        batch_format="pyarrow", zero_copy_batch=True)
     return rows.groupby("tbk").map_groups(arrow_groups(weight_bucket), batch_format="pandas") \
                .groupby("bk").map_groups(arrow_groups(score_bucket), batch_format="pandas")
 

@@ -74,21 +74,62 @@ BPE_RE = ("'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-zА-Яа-яЁё]+| ?[0-9]+"
 _BPE = re.compile(BPE_RE)
 
 
+def _regex_count(txt: pa.ChunkedArray | pa.Array, pattern: str) -> pa.Array:
+    """Non-overlapping regex match count per string, in Arrow's RE2 —
+    the C++ replacement for ``len(pattern.findall(t))`` Python loops.
+    Exactness contract: the DuckDB oracle twins also run RE2, so
+    Ray-vs-SQL equality holds by construction; Python-re equivalence of
+    each pattern used here is verified corpus-wide in
+    tests/test_text_vectorized.py (RE2's ``\\s``/``\\S`` are ASCII-only,
+    Python's are Unicode — identical on this corpus's whitespace)."""
+    import pyarrow.compute as pc
+
+    return pc.count_substring_regex(txt, pattern).cast(pa.int64())
+
+
+def _segment_sums(vals: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Sum ``vals`` within each list segment of a flattened ListArray.
+    cumsum-difference instead of ``np.add.reduceat`` because reduceat
+    mishandles empty segments (returns the element AT the offset)."""
+    c = np.concatenate([[0], np.cumsum(vals, dtype=np.int64)])
+    return c[offsets[1:]] - c[offsets[:-1]]
+
+
+def _stop_votes(txt: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Per-document counts of EN / RU stopword token occurrences
+    (tokens = ``[^a-zа-яё]+`` splits of the lowered text, duplicates
+    counted), fully in Arrow kernels: lower → split_pattern_regex →
+    flatten → is_in → segment sums over the list offsets."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern_regex(pc.utf8_lower(txt), "[^a-zа-яё]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offs = toks.offsets.to_numpy()
+    en = pc.is_in(flat, value_set=pa.array(EN_STOP)).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    ru = pc.is_in(flat, value_set=pa.array(RU_STOP)).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    return _segment_sums(en, offs), _segment_sums(ru, offs)
+
+
 def token_count(sf_dir: str) -> ray.data.Dataset:
     """Token counts per document: whitespace tokens AND a BPE-ish regex
     count (the pre-tokenizer pass of byte-pair encoders — what a token
-    budget at training time is actually denominated in)."""
+    budget at training time is actually denominated in).  Both counts are
+    single RE2 kernels per batch (``\\S+`` runs = whitespace-split token
+    count), zero-copy from the object store — no Python loop, no
+    ``to_pylist`` string materialization."""
     if docs_empty(sf_dir):
         return typed_empty({"doc_id": "int64", "n_tokens": "int64", "n_bpe_tokens": "int64"})  # noqa: E501
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        counts = [len(_tokens(t)) for t in texts]
-        bpe = [len(_BPE.findall(t)) for t in texts]
+        txt = batch.column("text")
         return pa.Table.from_pydict({
             "doc_id": batch.column("doc_id"),
-            "n_tokens": pa.array(counts, pa.int64()),
-            "n_bpe_tokens": pa.array(bpe, pa.int64()),
+            "n_tokens": _regex_count(txt, r"\S+"),
+            "n_bpe_tokens": _regex_count(txt, BPE_RE),
         })
 
     return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -102,20 +143,20 @@ def quality_features(sf_dir: str) -> ray.data.Dataset:
         return typed_empty({"doc_id": "int64", "n_chars": "int64", "n_words": "int64", "n_digits": "int64", "n_punct": "int64", "stop_hits": "int64"})  # noqa: E501
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n_chars = [len(t) for t in texts]
-        n_words = [len(_tokens(t)) for t in texts]
-        n_digits = [sum(c.isdigit() for c in t) for t in texts]
-        n_punct = [len(_PUNCT.findall(t)) for t in texts]
-        stop_hits = [sum(tok in EN_STOP for tok in _NONWORD.split(t.lower()))
-                     for t in texts]
+        import pyarrow.compute as pc
+
+        txt = batch.column("text")
+        en_hits, _ = _stop_votes(txt)
+        # n_digits is the ASCII [0-9] count — exactly the SQL twin's
+        # regexp_replace([^0-9]) semantics (Python's str.isdigit also
+        # counts Unicode digits; corpus has none, verified in tests)
         return pa.Table.from_pydict({
             "doc_id": batch.column("doc_id"),
-            "n_chars": pa.array(n_chars, pa.int64()),
-            "n_words": pa.array(n_words, pa.int64()),
-            "n_digits": pa.array(n_digits, pa.int64()),
-            "n_punct": pa.array(n_punct, pa.int64()),
-            "stop_hits": pa.array(stop_hits, pa.int64()),
+            "n_chars": pc.utf8_length(txt).cast(pa.int64()),
+            "n_words": _regex_count(txt, r"\S+"),
+            "n_digits": _regex_count(txt, "[0-9]"),
+            "n_punct": _regex_count(txt, "[.,;:!?]"),
+            "stop_hits": pa.array(en_hits, pa.int64()),
         })
 
     return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -128,15 +169,10 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
         return typed_empty({"doc_id": "int64", "lang_pred": "object"})
 
     def fn(batch: pa.Table) -> pa.Table:
-        preds = []
-        for t in batch.column("text").to_pylist():
-            toks = _NONWORD.split(t.lower())
-            en = sum(tok in EN_STOP for tok in toks)
-            ru = sum(tok in RU_STOP for tok in toks)
-            preds.append("en" if en >= ru else "ru")
+        en, ru = _stop_votes(batch.column("text"))
         return pa.Table.from_pydict({
             "doc_id": batch.column("doc_id"),
-            "lang_pred": pa.array(preds, pa.string()),
+            "lang_pred": pa.array(np.where(en >= ru, "en", "ru")),
         })
 
     return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -497,32 +533,60 @@ def repetition_scores(sf_dir: str) -> ray.data.Dataset:
     """
     if docs_empty(sf_dir):
         return typed_empty({"doc_id": "int64", "n_lines": "int64", "n_dup_lines": "int64", "n_bigrams": "int64", "top_bigram_n": "int64"})  # noqa: E501
-    from collections import Counter
 
-    def fn(batch: pa.Table) -> pa.Table:
-        n_lines, n_dup, n_bi, top_bi = [], [], [], []
-        for t in batch.column("text").to_pylist():
-            lines = t.split("\n")
-            n_lines.append(len(lines))
-            n_dup.append(len(lines) - len(set(lines)))
-            toks = _tokens(t)
-            if len(toks) >= 2:
-                counts = Counter(zip(toks, toks[1:]))
-                n_bi.append(len(toks) - 1)
-                top_bi.append(max(counts.values()))
-            else:
-                n_bi.append(0)
-                top_bi.append(0)
-        return pa.Table.from_pydict({
-            "doc_id": batch.column("doc_id"),
-            "n_lines": pa.array(n_lines, pa.int64()),
-            "n_dup_lines": pa.array(n_dup, pa.int64()),
-            "n_bigrams": pa.array(n_bi, pa.int64()),
-            "top_bigram_n": pa.array(top_bi, pa.int64()),
-        })
-
-    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow",
+    return _read_docs(sf_dir).map_batches(_repetition_batch,
+                                          batch_format="pyarrow",
                                           zero_copy_batch=True)
+
+
+def _repetition_batch(batch: pa.Table) -> pa.Table:
+    """All four repetition counters without materializing a single Python
+    string: lines/tokens are Arrow splits, and equality classes come from
+    ``dictionary_encode`` (exact — dictionary codes, not hashes), so
+    dup-line and bigram multiplicities reduce to integer groupbys.
+    Python-loop equivalence is pinned in tests/test_text_vectorized."""
+    import pyarrow.compute as pc
+
+    txt = batch.column("text")
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    n = len(txt)
+    n_lines = pc.add(pc.count_substring(txt, "\n"), 1).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+    # duplicate lines: n_lines minus per-doc distinct line-code count
+    lines = pc.split_pattern(txt, "\n")
+    rep_l = np.repeat(np.arange(n), np.diff(lines.offsets.to_numpy()))
+    codes_l = pc.dictionary_encode(lines.flatten()) \
+                .indices.to_numpy(zero_copy_only=False)
+    uniq = pd.DataFrame({"d": rep_l, "c": codes_l}) \
+             .groupby("d")["c"].nunique()
+    n_dup = n_lines - uniq.reindex(range(n), fill_value=0).to_numpy()
+    # bigrams WITH multiplicity: adjacent token-code pairs within a doc
+    toks = pc.split_pattern_regex(txt, r"\s+")
+    rep_t = np.repeat(np.arange(n), np.diff(toks.offsets.to_numpy()))
+    flat_t = toks.flatten()
+    mask = pc.not_equal(flat_t, "").to_numpy(zero_copy_only=False)
+    codes_t = pc.dictionary_encode(flat_t) \
+                .indices.to_numpy(zero_copy_only=False)[mask]
+    rep_t = rep_t[mask]
+    same = rep_t[:-1] == rep_t[1:] if len(rep_t) else np.array([], bool)
+    d = rep_t[:-1][same]
+    n_bi = np.bincount(d, minlength=n).astype(np.int64)
+    if len(d):
+        sizes = pd.DataFrame({"d": d, "c1": codes_t[:-1][same],
+                              "c2": codes_t[1:][same]}) \
+                  .groupby(["d", "c1", "c2"]).size()
+        top_bi = sizes.groupby(level=0).max() \
+                      .reindex(range(n), fill_value=0).to_numpy()
+    else:
+        top_bi = np.zeros(n, np.int64)
+    return pa.Table.from_pydict({
+        "doc_id": batch.column("doc_id"),
+        "n_lines": pa.array(n_lines, pa.int64()),
+        "n_dup_lines": pa.array(n_dup, pa.int64()),
+        "n_bigrams": pa.array(n_bi, pa.int64()),
+        "top_bigram_n": pa.array(top_bi, pa.int64()),
+    })
 
 
 def chunk_documents(sf_dir: str, size: int = 64,

@@ -1,0 +1,103 @@
+"""Python-re ↔ Arrow-RE2 equivalence contract for the vectorized text
+stages (token_count / quality_features / lang_id).
+
+Those stages run single RE2 kernels per batch (`pc.count_substring_regex`,
+`split_pattern_regex` + `is_in` + segment sums); their docstrings promise
+byte-equality with the original Python-re row forms.  RE2's ``\\s``/``\\S``
+and character classes are ASCII-only while Python's are Unicode, so the
+promise is corpus-conditional — this test pins it on the real synth
+corpus (every text and every edge string below), and will catch a future
+corpus change that introduces Unicode whitespace/digits before the DuckDB
+gate does.
+
+No Ray needed: the kernels are pure pyarrow, tested on raw arrays.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from schoolocr_ray.pipelines.text import (
+    _BPE,
+    _NONWORD,
+    _PUNCT,
+    _regex_count,
+    _segment_sums,
+    _stop_votes,
+    _tokens,
+    BPE_RE,
+    EN_STOP,
+    RU_STOP,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# adversarial strings the synth corpus may not cover: empty, whitespace-only,
+# punctuation runs, mixed-script, contraction chains, digit runs
+EDGE = [
+    "", " ", "\t\n  ", "...,,;;!?", "it's we've they'll i'd",
+    "Привет мир и не на с что как", "abc123def 456", "a" * 500,
+    "the the,the;the", "и и и", "word", "  leading and trailing  ",
+]
+
+
+def _texts():
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
+    return t.column("text").to_pylist() + EDGE
+
+
+def test_regex_count_matches_python_re():
+    texts = _texts()
+    arr = pa.array(texts, pa.string())
+    for pat, pyre, pyfn in [
+        (r"\S+", None, lambda t: len(_tokens(t))),
+        (BPE_RE, _BPE, None),
+        ("[.,;:!?]", _PUNCT, None),
+        ("[0-9]", None, lambda t: sum(c.isdigit() for c in t)),
+    ]:
+        got = _regex_count(arr, pat).to_numpy(zero_copy_only=False)
+        want = [pyfn(t) if pyfn else len(pyre.findall(t)) for t in texts]
+        assert (got == np.asarray(want)).all(), pat
+
+
+def test_stop_votes_match_python_loop():
+    texts = _texts()
+    en, ru = _stop_votes(pa.array(texts, pa.string()))
+    for i, t in enumerate(texts):
+        toks = _NONWORD.split(t.lower())
+        assert en[i] == sum(tok in EN_STOP for tok in toks), t[:40]
+        assert ru[i] == sum(tok in RU_STOP for tok in toks), t[:40]
+
+
+def test_repetition_counters_match_python_loop():
+    from collections import Counter
+
+    from schoolocr_ray.pipelines.text import _repetition_batch
+
+    texts = _texts() + ["a\na\na", "x y x y x y", "a\nb\na\nb", "\n\n\n"]
+    got = _repetition_batch(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}))
+    for i, s in enumerate(texts):
+        lines = s.split("\n")
+        assert got["n_lines"][i].as_py() == len(lines)
+        assert got["n_dup_lines"][i].as_py() == len(lines) - len(set(lines))
+        toks = _tokens(s)
+        if len(toks) >= 2:
+            c = Counter(zip(toks, toks[1:]))
+            assert got["n_bigrams"][i].as_py() == len(toks) - 1
+            assert got["top_bigram_n"][i].as_py() == max(c.values())
+        else:
+            assert got["n_bigrams"][i].as_py() == 0
+            assert got["top_bigram_n"][i].as_py() == 0
+
+
+def test_segment_sums_empty_segments():
+    # the np.add.reduceat trap: empty segments must sum to 0, not to the
+    # element at the offset
+    vals = np.array([1, 2, 3], dtype=np.int64)
+    offs = np.array([0, 0, 1, 1, 3, 3])
+    assert _segment_sums(vals, offs).tolist() == [0, 1, 0, 5, 0]
+    # all-empty input
+    assert _segment_sums(np.array([], np.int64), np.array([0])).tolist() == []
