@@ -19,7 +19,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
-from .text import _read_docs, _regex_count, _stop_votes, _tokens
+from .text import _read_docs, _regex_count, _stop_votes
 
 from ..util import arrow_groups, cached_get, docs_empty, typed_empty
 
@@ -415,8 +415,8 @@ def curation_pipeline(sf_dir: str, min_tokens: int = 10,
     upstream operators each read and tokenize the full corpus, so the
     composed-as-written plan costs three corpus scans plus a 3×-row
     union shuffle.  Here one verdict pass computes all three predicates
-    from a single tokenization (the k-shingle contamination probe and
-    the token floor share ``_tokens``), emitting only (sha1-digest,
+    from a single vectorized tokenization (the k-shingle contamination
+    probe and the ``\\S+`` token floor), emitting only (sha1-digest,
     doc_id·2 | ok) — the ok bit rides the dedup exchange, so the
     min-doc_id-per-text winner and its verdict come out of ONE narrow
     groupby-Min (doc_ids are unique, so min of the packed key IS the
@@ -435,29 +435,40 @@ def curation_pipeline(sf_dir: str, min_tokens: int = 10,
 
     from ray.data.aggregate import Min
 
-    from .text import _tokens, eval_shingle_ref
+    from .text import _distinct_kgrams, eval_shingle_ref
 
     docs = _read_docs(sf_dir)
     # shared with text.decontaminate — one definition of the eval slice
     ref = eval_shingle_ref(docs, k, eval_mod)
 
     def verdicts(batch: pa.Table) -> pa.Table:
-        """One pass, all three verdicts; emits (content-digest, packed)."""
-        ev: set[str] = cached_get(ref)   # fetched once per worker process
-        hs, packed = [], []
-        for did, t in zip(batch.column("doc_id").to_pylist(),
-                          batch.column("text").to_pylist()):
-            toks = _tokens(t)
-            ok = did % eval_mod != 0 and len(toks) >= min_tokens
-            if ok and ev:
-                # any-overlap probe — short-circuits on the first hit
-                ok = not any(" ".join(toks[i:i + k]) in ev
-                             for i in range(len(toks) - k + 1))
-            hs.append(hashlib.sha1(t.encode()).digest())
-            packed.append((did << 1) | ok)
+        """One pass, all three verdicts; emits (content-digest, packed).
+        The eval-overlap probe is the vectorized ``_distinct_kgrams`` +
+        ``is_in`` form (same machinery as ``text.decontaminate``, same
+        broadcast StringArray) computed only for docs that pass the
+        eval-slice and token-floor checks; only the sha1 digest remains a
+        per-doc call (hashlib has no Arrow kernel)."""
+        import pyarrow.compute as pc
+
+        ev: pa.Array = cached_get(ref)   # fetched once per worker process
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ntok = _regex_count(txt, r"\S+").to_numpy(zero_copy_only=False)
+        ok = ((ids % eval_mod) != 0) & (ntok >= min_tokens)
+        if len(ev) and ok.any():
+            d, grams, _ = _distinct_kgrams(txt.filter(pa.array(ok)), k)
+            if len(grams):
+                hit = pc.is_in(grams, value_set=ev) \
+                        .to_numpy(zero_copy_only=False)
+                n_hits = np.bincount(d[hit], minlength=int(ok.sum()))
+                ok[ok] = n_hits == 0
+        hs = [hashlib.sha1(t.encode()).digest() for t in txt.to_pylist()]
         return pa.Table.from_pydict({
             "h": pa.array(hs, pa.binary(20)),
-            "p": pa.array(packed, pa.int64()),
+            "p": pa.array((ids << 1) | ok, pa.int64()),
         })
 
     winners = docs.map_batches(verdicts, batch_format="pyarrow",

@@ -93,6 +93,32 @@ def test_repetition_counters_match_python_loop():
             assert got["top_bigram_n"][i].as_py() == 0
 
 
+def test_distinct_kgrams_match_shingles():
+    from schoolocr_ray.pipelines.text import _distinct_kgrams, shingles
+
+    texts = _texts() + ["a b", "a b c", "a b c d", "x x x x x",
+                        "a b c a b c a b c", "  pad  a b c  "]
+    arr = pa.array(texts, pa.string())
+    for k in (2, 3, 4):
+        d, g, n_sh = _distinct_kgrams(arr, k)
+        got: dict[int, set] = {}
+        for di, s in zip(d, g.to_pylist()):
+            got.setdefault(int(di), set()).add(s)
+        for i, t in enumerate(texts):
+            want = shingles(t, k)
+            assert got.get(i, set()) == want, (k, t[:40])
+            assert n_sh[i] == len(want), (k, t[:40])
+
+
+def test_simhash_batch_matches_row_form():
+    from schoolocr_ray.pipelines.dedup import _simhash_batch, simhash64
+
+    texts = _texts() + ["a a a a", "a b a b", "xyz"]
+    got = _simhash_batch(pa.array(texts, pa.string()))
+    want = np.array([simhash64(t) for t in texts], np.int64)
+    assert (got == want).all()
+
+
 def test_segment_sums_empty_segments():
     # the np.add.reduceat trap: empty segments must sum to 0, not to the
     # element at the offset
