@@ -680,21 +680,51 @@ def chunk_documents(sf_dir: str, size: int = 64,
         return typed_empty({"doc_id": "int64", "chunk_idx": "int64", "chunk_text": "object", "n_chunk_tokens": "int64"})  # noqa: E501
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids, idxs, texts_out, ntoks = [], [], [], []
-        for did, t in zip(batch.column("doc_id").to_pylist(),
-                          batch.column("text").to_pylist()):
-            toks = _tokens(t)
-            for ci, s in enumerate(range(0, len(toks), stride)):
-                chunk = toks[s:s + size]
-                ids.append(did)
-                idxs.append(ci)
-                texts_out.append(" ".join(chunk))
-                ntoks.append(len(chunk))
-        return pa.Table.from_pydict({
-            "doc_id": pa.array(ids, pa.int64()),
-            "chunk_idx": pa.array(idxs, pa.int64()),
-            "chunk_text": pa.array(texts_out, pa.string()),
-            "n_chunk_tokens": pa.array(ntoks, pa.int64()),
+        """Vectorized windowing (byte-equal to the per-doc loop, pinned in
+        tests/test_text_vectorized.py): window token indices are one
+        numpy gather-index construction, window text is ONE
+        ``binary_join`` over a LargeListArray view of the gathered tokens
+        (int64 offsets — a block's token count can pass 2^31 at scale)."""
+        import pyarrow.compute as pc
+
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        n = len(txt)
+        toks = pc.split_pattern_regex(txt, r"\s+")
+        rep = np.repeat(np.arange(n, dtype=np.int64),
+                        np.diff(toks.offsets.to_numpy()))
+        flat = toks.flatten()
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(mask))
+        rep = rep[mask]
+        ntok = np.bincount(rep, minlength=n).astype(np.int64)
+        doc_start = np.concatenate([[0], np.cumsum(ntok)[:-1]])
+        n_chunks = -(-ntok // stride)   # ceil; empty docs get no chunks
+        total_c = int(n_chunks.sum())
+        if total_c == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string()),
+                             "n_chunk_tokens": pa.array([], pa.int64())})
+        cdoc = np.repeat(np.arange(n), n_chunks)
+        c0 = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        cidx = np.arange(total_c) - np.repeat(c0, n_chunks)
+        wstart = doc_start[cdoc] + cidx * stride
+        ln = np.minimum(size, ntok[cdoc] - cidx * stride)
+        l0 = np.concatenate([[0], np.cumsum(ln)[:-1]])
+        gidx = np.repeat(wstart, ln) + (np.arange(int(ln.sum())) -
+                                        np.repeat(l0, ln))
+        windows = pa.LargeListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(ln)]), pa.int64()),
+            flat.take(pa.array(gidx, pa.int64())))
+        doc_ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[cdoc], pa.int64()),
+            "chunk_idx": pa.array(cidx, pa.int64()),
+            "chunk_text": pc.binary_join(windows, " "),
+            "n_chunk_tokens": pa.array(ln, pa.int64()),
         })
 
     return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow",

@@ -119,6 +119,38 @@ def test_simhash_batch_matches_row_form():
     assert (got == want).all()
 
 
+def test_chunk_windows_match_python_loop(ray_session):
+    texts = _texts() + ["a", "a b c",
+                        " ".join(f"t{i}" for i in range(200))]
+    size, stride = 64, 48
+    want = []
+    for i, s in enumerate(texts):
+        toks = _tokens(s)
+        for ci, st in enumerate(range(0, len(toks), stride)):
+            chunk = toks[st:st + size]
+            want.append((i, ci, " ".join(chunk), len(chunk)))
+
+    # run the operator's batch fn through a real (tiny) dataset at the
+    # operator's parameters via the module entry — simplest faithful path
+    import pyarrow.parquet as pqt
+    import tempfile, os
+
+    from schoolocr_ray.pipelines.text import chunk_documents
+
+    with tempfile.TemporaryDirectory() as d:
+        pqt.write_table(
+            pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string()),
+                      "lang": pa.array(["en"] * len(texts))}),
+            os.path.join(d, "documents.parquet"))
+        got = chunk_documents(d, size=size, stride=stride).to_pandas()
+    got = got.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    for row, (di, ci, txt, ln) in zip(got.itertuples(index=False), sorted(want)):
+        assert (row.doc_id, row.chunk_idx, row.chunk_text,
+                row.n_chunk_tokens) == (di, ci, txt, ln)
+
+
 def test_segment_sums_empty_segments():
     # the np.add.reduceat trap: empty segments must sum to 0, not to the
     # element at the offset
