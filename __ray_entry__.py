@@ -517,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": text.repetition_scores,
         "docs_chunks": text.chunk_documents,
         "docs_fingerprint": text.fingerprint,
+        "docs_dup_spans": text.dup_spans,
         # --- 5. genuinely no_oracle LAST: approximate ANN (recall-floor
         # pytest + bench-tier recall in BASELINE.md), full re-extraction,
         # wired-cell re-extraction, the training loop (golden/equality
@@ -546,6 +547,7 @@ def oracle_sql() -> dict[str, str]:
 
     from schoolocr_ray.pipelines import curation as _curation
     from schoolocr_ray.pipelines import dedup as _dedup
+    from schoolocr_ray.pipelines import text
     from schoolocr_ray.pipelines.evaluation import (
         EVAL_PREDS_PATH,
         ensure_eval_predictions,
@@ -676,6 +678,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_fingerprint": f"""
             SELECT doc_id, fp FROM read_parquet('{fp_golden}')
+        """,
+        # duplicated-span counter: positional k-gram windows built with the
+        # same list-slice semantics as the engine's token windows; a window
+        # is "duplicated" iff its gram occurs in >= 2 distinct docs
+        "docs_dup_spans": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents WHERE trim(text) <> ''
+            ), g AS (
+                SELECT doc_id,
+                       UNNEST(list_transform(
+                           range(1, len(t) - {text.DUP_SPAN_K} + 2),
+                           i -> array_to_string(
+                               t[i:i+{text.DUP_SPAN_K}-1], ' '))) AS gram
+                FROM toks WHERE len(t) >= {text.DUP_SPAN_K}
+            ), df AS (
+                SELECT gram, COUNT(DISTINCT doc_id) AS nd
+                FROM g GROUP BY gram
+            )
+            SELECT g.doc_id,
+                   COUNT(*) AS n_grams,
+                   SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_dup_grams
+            FROM g JOIN df USING (gram)
+            GROUP BY g.doc_id
         """,
         # minhash LSH pairs over the signature golden: banding (8 bands x 8
         # rows, exact band-vector equality stands in for the engine's

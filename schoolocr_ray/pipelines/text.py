@@ -38,6 +38,10 @@ FP_BASE = 1_000_003
 JACCARD_HOT_CAP = 64
 JACCARD_BUCKETS = 64
 
+# duplicated-span window (tokens) — single source of truth shared with
+# the generated DuckDB twin, same contract as JACCARD_HOT_CAP above
+DUP_SPAN_K = 8
+
 
 def _tokens(text: str) -> list[str]:
     t = text.strip()
@@ -223,29 +227,21 @@ def shingles(text: str, k: int = 3) -> set[str]:
     return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
 
 
-def _distinct_kgrams(txt: pa.Array | pa.ChunkedArray, k: int
-                     ) -> tuple[np.ndarray, pa.Array, np.ndarray]:
-    """Distinct k-token shingles per document, fully vectorized — the
-    batch equivalent of calling ``shingles(text, k)`` per row (equality
-    pinned in tests/test_text_vectorized.py).
-
-    Tokens come from one Arrow regex split; k-grams from ONE
-    ``binary_join_element_wise`` over k shifted views of the flat token
-    array (windows crossing a document boundary masked out); per-doc
-    de-duplication packs (doc_idx, dictionary code) into one int64 and
-    np.uniques it — no Python loop over docs, tokens or grams anywhere.
-
-    Returns ``(doc_idx, grams, n_sh)``: one row per distinct (doc, gram)
-    with ``doc_idx`` the position in the input batch, plus each input
-    doc's distinct-shingle count (0 for docs shorter than k tokens).
-    """
+def _positional_kgrams(txt: pa.Array | pa.ChunkedArray, k: int
+                       ) -> tuple[np.ndarray, pa.Array]:
+    """ALL positional k-token grams per document (with multiplicity, in
+    position order), fully vectorized: tokens from one Arrow regex split;
+    k-grams from ONE ``binary_join_element_wise`` over k shifted views of
+    the flat token array (windows crossing a document boundary masked
+    out).  Returns ``(doc_idx, grams)`` aligned arrays — the shared core
+    of ``_distinct_kgrams`` (shingle sets) and ``dup_spans`` (positional
+    duplicate-span counting)."""
     import pyarrow.compute as pc
 
     if isinstance(txt, pa.ChunkedArray):
         txt = txt.combine_chunks()
     n = len(txt)
-    empty = (np.array([], np.int64), pa.array([], pa.string()),
-             np.zeros(n, np.int64))
+    empty = (np.array([], np.int64), pa.array([], pa.string()))
     toks = pc.split_pattern_regex(txt, r"\s+")
     rep = np.repeat(np.arange(n, dtype=np.int64),
                     np.diff(toks.offsets.to_numpy()))
@@ -263,7 +259,31 @@ def _distinct_kgrams(txt: pa.Array | pa.ChunkedArray, k: int
         return empty
     views = [flat.slice(j, m) for j in range(k)]
     grams = pc.binary_join_element_wise(*views, " ").filter(pa.array(valid))
-    gdoc = rep[:m][valid]
+    return rep[:m][valid], grams
+
+
+def _distinct_kgrams(txt: pa.Array | pa.ChunkedArray, k: int
+                     ) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+    """Distinct k-token shingles per document, fully vectorized — the
+    batch equivalent of calling ``shingles(text, k)`` per row (equality
+    pinned in tests/test_text_vectorized.py).
+
+    ``_positional_kgrams`` builds the windows; per-doc de-duplication
+    packs (doc_idx, dictionary code) into one int64 and np.uniques it —
+    no Python loop over docs, tokens or grams anywhere.
+
+    Returns ``(doc_idx, grams, n_sh)``: one row per distinct (doc, gram)
+    with ``doc_idx`` the position in the input batch, plus each input
+    doc's distinct-shingle count (0 for docs shorter than k tokens).
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    n = len(txt)
+    gdoc, grams = _positional_kgrams(txt, k)
+    if not len(grams):
+        return gdoc, grams, np.zeros(n, np.int64)
     codes = pc.dictionary_encode(grams)
     idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     packed = np.unique((gdoc << 32) | idx)
@@ -305,6 +325,91 @@ def eval_shingle_ref(docs: ray.data.Dataset, k: int, eval_mod: int):
     # ``is_in`` C++ hash lookup per batch instead of per-doc Python set
     # intersections (sorted for run-to-run determinism of the payload)
     return ray.put(pa.array(sorted(eval_set), pa.string()))
+
+
+def dup_spans(sf_dir: str, k: int = DUP_SPAN_K,
+              num_buckets: int | None = None) -> ray.data.Dataset:
+    """Exact substring-level duplication counter — the duplicated-span
+    family of training-data dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): for every document, how many of
+    its positional ``k``-token windows also occur in ANOTHER document.
+    Consumers threshold ``n_dup_grams / n_grams`` (the duplicated-span
+    fraction) to drop boilerplate-heavy docs — the signal document-level
+    exact/MinHash/SimHash dedup cannot see, because it lives INSIDE
+    otherwise-unique documents.
+
+    Shape (linear at any scale — no pair generation anywhere): one
+    vectorized positional-k-gram explode (``_positional_kgrams``), a
+    gram-hash-bucket shuffle where each bucket counts distinct docs per
+    gram with ONE vectorized transform (a gram's rows all live in its
+    own bucket, so bucket-local nunique IS the corpus df), then a
+    doc-bucket shuffle summing each doc's duplicated-window partials.
+    Per-doc window totals ride the exploded rows (the jaccard_pairs
+    trick), so no second corpus pass and no join at any scale.  Docs
+    shorter than ``k`` tokens have no windows and emit nothing (the SQL
+    twin excludes them identically)."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "n_grams": "int64", "n_dup_grams": "int64"})  # noqa: E501
+    import pyarrow.parquet as _pq
+
+    if num_buckets is None:
+        n = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+        num_buckets = max(16, -(-n // 25_000))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d, grams = _positional_kgrams(batch.column("text"), k)
+        doc_ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ng = np.bincount(d, minlength=len(batch)).astype(np.int64)
+        codes = pc.dictionary_encode(grams)
+        dict_b = np.fromiter((zlib.crc32(s.encode()) % num_buckets
+                              for s in codes.dictionary.to_pylist()),
+                             np.int32, len(codes.dictionary))
+        b = dict_b[codes.indices.to_numpy(zero_copy_only=False)] \
+            if len(grams) else np.array([], np.int32)
+        return pa.table({"gram": grams,
+                         "doc_id": pa.array(doc_ids[d], pa.int64()),
+                         "ng": pa.array(ng[d], pa.int64()),
+                         "b": pa.array(b)})
+
+    _EMPTY_PART = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                "nd_part": pd.Series([], dtype="int64"),
+                                "n_grams": pd.Series([], dtype="int64"),
+                                "dbk": pd.Series([], dtype="int32")})
+
+    def bucket_pass(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY_PART
+        dup = (df.groupby("gram", sort=False)["doc_id"]
+                 .transform("nunique") >= 2).to_numpy().astype(np.int64)
+        g = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                          "dup": dup,
+                          "ng": df["ng"].to_numpy()})
+        out = g.groupby("doc_id", as_index=False).agg(
+            nd_part=("dup", "sum"), n_grams=("ng", "first"))
+        out["dbk"] = ((out["doc_id"].to_numpy() * 1_000_003) % 64) \
+            .astype(np.int32)
+        return out
+
+    _EMPTY_OUT = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                               "n_grams": pd.Series([], dtype="int64"),
+                               "n_dup_grams": pd.Series([], dtype="int64")})
+
+    def doc_pass(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY_OUT
+        out = df.groupby("doc_id", as_index=False).agg(
+            n_grams=("n_grams", "first"), n_dup_grams=("nd_part", "sum"))
+        return out[["doc_id", "n_grams", "n_dup_grams"]]
+
+    rows = _read_docs(sf_dir).map_batches(explode, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+    return rows.groupby("b").map_groups(arrow_groups(bucket_pass),
+                                        batch_format="pandas") \
+               .groupby("dbk").map_groups(arrow_groups(doc_pass),
+                                          batch_format="pandas")
 
 
 def jaccard_pairs(sf_dir: str, threshold: float = 0.5,

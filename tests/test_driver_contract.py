@@ -56,7 +56,8 @@ SQL_CHECKED = [
     "top_customers", "orders_rollup",
     "docs_token_count", "docs_quality", "docs_langid", "docs_exact_dedup",
     "docs_repetition", "docs_chunks",
-    "docs_jaccard_pairs", "docs_dedup_clusters", "docs_decontaminate",
+    "docs_jaccard_pairs", "docs_dup_spans", "docs_dedup_clusters",
+    "docs_decontaminate",
     "docs_embedding_neardup", "knn_bruteforce",
     "transcripts_conv_shape", "transcripts_tool_filter", "transcripts_dedup",
     "transcripts_fragments",

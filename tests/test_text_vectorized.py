@@ -151,6 +151,36 @@ def test_chunk_windows_match_python_loop(ray_session):
                 row.n_chunk_tokens) == (di, ci, txt, ln)
 
 
+def test_dup_spans_planted_duplicates(ray_session, tmp_path):
+    """A span shared verbatim by two docs counts at every window it
+    covers in BOTH docs; a doc with no shared window reports 0; docs
+    shorter than k windows emit nothing."""
+    import pyarrow.parquet as pqt
+
+    from schoolocr_ray.pipelines.text import dup_spans
+
+    k = 8
+    span = " ".join(f"s{i}" for i in range(k + 2))   # 10 tokens → 3 windows
+    texts = [
+        f"alpha beta {span} gamma delta one two three four",
+        f"zero {span} nine eight seven six five four3 three2",
+        "unique tokens only here nothing shared with others x y z",
+        "too short",
+    ]
+    pqt.write_table(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(["en"] * 4)}),
+        str(tmp_path / "documents.parquet"))
+    got = dup_spans(str(tmp_path), k=k).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == [0, 1, 2]       # doc 3 has no window
+    # docs 0/1: 18 tokens → 11 windows; doc 2: 11 tokens → 4 windows
+    assert got["n_grams"].tolist() == [11, 11, 4]
+    # exactly the 3 windows fully inside the planted span are shared
+    assert got["n_dup_grams"].tolist() == [3, 3, 0]
+
+
 def test_segment_sums_empty_segments():
     # the np.add.reduceat trap: empty segments must sum to 0, not to the
     # element at the offset
