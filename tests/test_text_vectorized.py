@@ -181,6 +181,68 @@ def test_dup_spans_planted_duplicates(ray_session, tmp_path):
     assert got["n_dup_grams"].tolist() == [3, 3, 0]
 
 
+# hypothesis property tests: the batch kernels vs the Python row forms
+# over the CORPUS ALPHABET (ASCII + Cyrillic + the whitespace the synth
+# corpus uses).  Arbitrary unicode is deliberately excluded: RE2's \s is
+# ASCII-only while Python's is unicode, so e.g. \xa0 diverges BY DESIGN
+# (the DuckDB oracles are RE2 too — the engine side is the contract).
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_CORPUS_TEXT = st.text(
+    alphabet="abc ABC абв 019 .,!?:\t\n'-",  # includes repeats-friendly tiny alphabet
+    max_size=120)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_CORPUS_TEXT, max_size=12), st.integers(min_value=2, max_value=4))
+def test_prop_distinct_kgrams(texts, k):
+    from schoolocr_ray.pipelines.text import _distinct_kgrams, shingles
+
+    d, g, n_sh = _distinct_kgrams(pa.array(texts, pa.string()), k)
+    got: dict[int, set] = {}
+    for di, s in zip(d, g.to_pylist()):
+        got.setdefault(int(di), set()).add(s)
+    for i, t in enumerate(texts):
+        want = shingles(t, k)
+        assert got.get(i, set()) == want
+        assert n_sh[i] == len(want)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_CORPUS_TEXT, max_size=12))
+def test_prop_simhash_batch(texts):
+    from schoolocr_ray.pipelines.dedup import _simhash_batch, simhash64
+
+    got = _simhash_batch(pa.array(texts, pa.string()))
+    assert got.tolist() == [simhash64(t) for t in texts]
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_CORPUS_TEXT, max_size=12))
+def test_prop_repetition_batch(texts):
+    from collections import Counter
+
+    from schoolocr_ray.pipelines.text import _repetition_batch, _tokens as tk
+
+    got = _repetition_batch(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}))
+    for i, s in enumerate(texts):
+        lines = s.split("\n")
+        assert got["n_lines"][i].as_py() == len(lines)
+        assert got["n_dup_lines"][i].as_py() == len(lines) - len(set(lines))
+        toks = tk(s)
+        if len(toks) >= 2:
+            c = Counter(zip(toks, toks[1:]))
+            assert got["top_bigram_n"][i].as_py() == max(c.values())
+        else:
+            assert got["top_bigram_n"][i].as_py() == 0
+
+
 def test_segment_sums_empty_segments():
     # the np.add.reduceat trap: empty segments must sum to 0, not to the
     # element at the offset
