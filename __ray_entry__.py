@@ -681,11 +681,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         # duplicated-span counter: positional k-gram windows built with the
         # same list-slice semantics as the engine's token windows; a window
-        # is "duplicated" iff its gram occurs in >= 2 distinct docs
+        # is "duplicated" iff its gram occurs in >= 2 distinct docs.
+        # list_filter(<> '') mirrors the engine's empty-token mask exactly —
+        # DuckDB's trim() strips only ASCII spaces, so a trim()-based twin
+        # would count phantom ''-token windows on tab/newline-edged text
         "docs_dup_spans": f"""
             WITH toks AS (
-                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-                FROM documents WHERE trim(text) <> ''
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
             ), g AS (
                 SELECT doc_id,
                        UNNEST(list_transform(

@@ -219,16 +219,10 @@ def _simhash_batch(txt: pa.Array | pa.ChunkedArray) -> np.ndarray:
     float64 weights are exact here: per-doc counts are far below 2^53."""
     import pyarrow.compute as pc
 
-    if isinstance(txt, pa.ChunkedArray):
-        txt = txt.combine_chunks()
+    from .text import _flat_tokens
+
     n = len(txt)
-    toks = pc.split_pattern_regex(txt, r"\s+")
-    rep = np.repeat(np.arange(n, dtype=np.int64),
-                    np.diff(toks.offsets.to_numpy()))
-    flat = toks.flatten()
-    mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    flat = flat.filter(pa.array(mask))
-    rep = rep[mask]
+    rep, flat = _flat_tokens(txt)
     res = np.zeros(n, dtype=np.int64)
     if len(flat) == 0:
         return res

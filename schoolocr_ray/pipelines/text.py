@@ -99,11 +99,35 @@ def _segment_sums(vals: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return c[offsets[1:]] - c[offsets[:-1]]
 
 
-def _stop_votes(txt: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """Per-document counts of EN / RU stopword token occurrences
-    (tokens = ``[^a-zа-яё]+`` splits of the lowered text, duplicates
-    counted), fully in Arrow kernels: lower → split_pattern_regex →
-    flatten → is_in → segment sums over the list offsets."""
+def _flat_tokens(txt: pa.Array | pa.ChunkedArray
+                 ) -> tuple[np.ndarray, pa.Array]:
+    """The shared token-explode prologue: combine chunks, split on
+    ``\\s+``, mask empty boundary tokens, and return ``(doc_idx, flat)``
+    aligned arrays (one row per token occurrence, position order).  One
+    definition so the idiom can never diverge between its consumers
+    (_positional_kgrams, _repetition_batch, chunk_documents,
+    dedup._simhash_batch)."""
+    import pyarrow.compute as pc
+
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    toks = pc.split_pattern_regex(txt, r"\s+")
+    rep = np.repeat(np.arange(len(txt), dtype=np.int64),
+                    np.diff(toks.offsets.to_numpy()))
+    flat = toks.flatten()
+    mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return rep[mask], flat.filter(pa.array(mask))
+
+
+def _stop_votes(txt: pa.Array,
+                stops: tuple[tuple[str, ...], ...] = (EN_STOP, RU_STOP)
+                ) -> tuple[np.ndarray, ...]:
+    """Per-document counts of stopword token occurrences, one array per
+    stop list in ``stops`` (tokens = ``[^a-zа-яё]+`` splits of the
+    lowered text, duplicates counted), fully in Arrow kernels: lower →
+    split_pattern_regex → flatten → is_in → segment sums over the list
+    offsets.  Callers that need only one list pass a 1-tuple and skip
+    the second membership pass."""
     import pyarrow.compute as pc
 
     toks = pc.split_pattern_regex(pc.utf8_lower(txt), "[^a-zа-яё]+")
@@ -111,11 +135,11 @@ def _stop_votes(txt: pa.Array) -> tuple[np.ndarray, np.ndarray]:
         toks = toks.combine_chunks()
     flat = toks.flatten()
     offs = toks.offsets.to_numpy()
-    en = pc.is_in(flat, value_set=pa.array(EN_STOP)).to_numpy(
-        zero_copy_only=False).astype(np.int64)
-    ru = pc.is_in(flat, value_set=pa.array(RU_STOP)).to_numpy(
-        zero_copy_only=False).astype(np.int64)
-    return _segment_sums(en, offs), _segment_sums(ru, offs)
+    return tuple(
+        _segment_sums(
+            pc.is_in(flat, value_set=pa.array(sl)).to_numpy(
+                zero_copy_only=False).astype(np.int64), offs)
+        for sl in stops)
 
 
 def token_count(sf_dir: str) -> ray.data.Dataset:
@@ -150,7 +174,7 @@ def quality_features(sf_dir: str) -> ray.data.Dataset:
         import pyarrow.compute as pc
 
         txt = batch.column("text")
-        en_hits, _ = _stop_votes(txt)
+        en_hits, = _stop_votes(txt, stops=(EN_STOP,))
         # n_digits is the ASCII [0-9] count — exactly the SQL twin's
         # regexp_replace([^0-9]) semantics (Python's str.isdigit also
         # counts Unicode digits; corpus has none, verified in tests)
@@ -238,17 +262,8 @@ def _positional_kgrams(txt: pa.Array | pa.ChunkedArray, k: int
     duplicate-span counting)."""
     import pyarrow.compute as pc
 
-    if isinstance(txt, pa.ChunkedArray):
-        txt = txt.combine_chunks()
-    n = len(txt)
     empty = (np.array([], np.int64), pa.array([], pa.string()))
-    toks = pc.split_pattern_regex(txt, r"\s+")
-    rep = np.repeat(np.arange(n, dtype=np.int64),
-                    np.diff(toks.offsets.to_numpy()))
-    flat = toks.flatten()
-    mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    flat = flat.filter(pa.array(mask))
-    rep = rep[mask]
+    rep, flat = _flat_tokens(txt)
     if len(flat) < k:
         return empty
     m = len(flat) - (k - 1)
@@ -262,8 +277,8 @@ def _positional_kgrams(txt: pa.Array | pa.ChunkedArray, k: int
     return rep[:m][valid], grams
 
 
-def _distinct_kgrams(txt: pa.Array | pa.ChunkedArray, k: int
-                     ) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+def _distinct_kgrams(txt: pa.Array | pa.ChunkedArray, k: int,
+                     with_codes: bool = False):
     """Distinct k-token shingles per document, fully vectorized — the
     batch equivalent of calling ``shingles(text, k)`` per row (equality
     pinned in tests/test_text_vectorized.py).
@@ -275,6 +290,10 @@ def _distinct_kgrams(txt: pa.Array | pa.ChunkedArray, k: int
     Returns ``(doc_idx, grams, n_sh)``: one row per distinct (doc, gram)
     with ``doc_idx`` the position in the input batch, plus each input
     doc's distinct-shingle count (0 for docs shorter than k tokens).
+    With ``with_codes=True`` additionally returns ``(dictionary,
+    row_codes)`` — the unique gram strings and each row's index into
+    them — so callers that bucket by a per-unique-gram hash (the jaccard
+    explode) need not re-dictionary-encode the grams they just got.
     """
     import pyarrow.compute as pc
 
@@ -283,14 +302,20 @@ def _distinct_kgrams(txt: pa.Array | pa.ChunkedArray, k: int
     n = len(txt)
     gdoc, grams = _positional_kgrams(txt, k)
     if not len(grams):
-        return gdoc, grams, np.zeros(n, np.int64)
+        base = (gdoc, grams, np.zeros(n, np.int64))
+        if with_codes:
+            return base + (pa.array([], pa.string()), np.array([], np.int64))
+        return base
     codes = pc.dictionary_encode(grams)
     idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     packed = np.unique((gdoc << 32) | idx)
     u_doc = packed >> 32
+    u_code = packed & 0xFFFFFFFF
     n_sh = np.bincount(u_doc, minlength=n).astype(np.int64)
-    return u_doc, codes.dictionary.take(pa.array(packed & 0xFFFFFFFF,
-                                                 pa.int64())), n_sh
+    out_grams = codes.dictionary.take(pa.array(u_code, pa.int64()))
+    if with_codes:
+        return u_doc, out_grams, n_sh, codes.dictionary, u_code
+    return u_doc, out_grams, n_sh
 
 
 def eval_shingle_ref(docs: ray.data.Dataset, k: int, eval_mod: int):
@@ -389,7 +414,10 @@ def dup_spans(sf_dir: str, k: int = DUP_SPAN_K,
                           "ng": df["ng"].to_numpy()})
         out = g.groupby("doc_id", as_index=False).agg(
             nd_part=("dup", "sum"), n_grams=("ng", "first"))
-        out["dbk"] = ((out["doc_id"].to_numpy() * 1_000_003) % 64) \
+        # doc-side buckets scale with the corpus like the gram side —
+        # a fixed count would grow each map_groups group linearly with
+        # the corpus (review finding, session 6)
+        out["dbk"] = ((out["doc_id"].to_numpy() * FP_BASE) % num_buckets) \
             .astype(np.int32)
         return out
 
@@ -445,15 +473,14 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
         so a shingle's group still lives entirely in one bucket."""
         import pyarrow.compute as pc
 
-        d, g, n_sh = _distinct_kgrams(batch.column("text"), k)
+        d, g, n_sh, dic, u_code = _distinct_kgrams(batch.column("text"), k,
+                                                   with_codes=True)
         doc_ids = batch.column("doc_id").to_numpy(
             zero_copy_only=False).astype(np.int64)
-        codes = pc.dictionary_encode(g)
         dict_b = np.fromiter((zlib.crc32(s.encode()) % JACCARD_BUCKETS
-                              for s in codes.dictionary.to_pylist()),
-                             np.int32, len(codes.dictionary))
-        b = dict_b[codes.indices.to_numpy(zero_copy_only=False)] \
-            if len(g) else np.array([], np.int32)
+                              for s in dic.to_pylist()),
+                             np.int32, len(dic))
+        b = dict_b[u_code] if len(g) else np.array([], np.int32)
         return pa.table({"s": g,
                          "doc_id": pa.array(doc_ids[d], pa.int64()),
                          "n_sh": pa.array(n_sh[d], pa.int64()),
@@ -742,13 +769,9 @@ def _repetition_batch(batch: pa.Table) -> pa.Table:
              .groupby("d")["c"].nunique()
     n_dup = n_lines - uniq.reindex(range(n), fill_value=0).to_numpy()
     # bigrams WITH multiplicity: adjacent token-code pairs within a doc
-    toks = pc.split_pattern_regex(txt, r"\s+")
-    rep_t = np.repeat(np.arange(n), np.diff(toks.offsets.to_numpy()))
-    flat_t = toks.flatten()
-    mask = pc.not_equal(flat_t, "").to_numpy(zero_copy_only=False)
+    rep_t, flat_t = _flat_tokens(txt)
     codes_t = pc.dictionary_encode(flat_t) \
-                .indices.to_numpy(zero_copy_only=False)[mask]
-    rep_t = rep_t[mask]
+                .indices.to_numpy(zero_copy_only=False)
     same = rep_t[:-1] == rep_t[1:] if len(rep_t) else np.array([], bool)
     d = rep_t[:-1][same]
     n_bi = np.bincount(d, minlength=n).astype(np.int64)
@@ -788,21 +811,16 @@ def chunk_documents(sf_dir: str, size: int = 64,
         """Vectorized windowing (byte-equal to the per-doc loop, pinned in
         tests/test_text_vectorized.py): window token indices are one
         numpy gather-index construction, window text is ONE
-        ``binary_join`` over a LargeListArray view of the gathered tokens
-        (int64 offsets — a block's token count can pass 2^31 at scale)."""
+        ``binary_join`` over a LargeListArray view of the gathered tokens.
+        Offsets are int64 (element count is 2^31-safe); the gathered
+        STRING BYTES per block must stay under 2 GiB — Arrow's utf8 take
+        builds 32-bit value offsets — which the engine's ~MB-scale block
+        sizing guarantees with orders of magnitude to spare."""
         import pyarrow.compute as pc
 
         txt = batch.column("text")
-        if isinstance(txt, pa.ChunkedArray):
-            txt = txt.combine_chunks()
         n = len(txt)
-        toks = pc.split_pattern_regex(txt, r"\s+")
-        rep = np.repeat(np.arange(n, dtype=np.int64),
-                        np.diff(toks.offsets.to_numpy()))
-        flat = toks.flatten()
-        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        flat = flat.filter(pa.array(mask))
-        rep = rep[mask]
+        rep, flat = _flat_tokens(txt)
         ntok = np.bincount(rep, minlength=n).astype(np.int64)
         doc_start = np.concatenate([[0], np.cumsum(ntok)[:-1]])
         n_chunks = -(-ntok // stride)   # ceil; empty docs get no chunks
