@@ -985,8 +985,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_token_count": r"""
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '')) AS n_tokens,
                    len(regexp_extract_all(text,
                        '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-zА-Яа-яЁё]+| ?[0-9]+| ?[^\sA-Za-zА-Яа-яЁё0-9]+|\s+'))
                        AS n_bpe_tokens
@@ -995,8 +995,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality": r"""
             SELECT doc_id,
                    length(text) AS n_chars,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '')) AS n_words,
                    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
                    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
                    len(list_filter(string_split_regex(lower(text), '[^a-zа-яё]+'),
@@ -1017,8 +1017,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_jaccard_pairs": r"""
             WITH tok AS (
-                SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
-                FROM documents WHERE trim(text) <> ''),
+                SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS ts
+                FROM documents),
             sh AS (
                 SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
                 FROM (SELECT doc_id, ts,
@@ -1039,9 +1040,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_chunks": r"""
             WITH tok AS (
-                SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts,
-                       len(string_split_regex(trim(text), '\s+')) AS n
-                FROM documents WHERE trim(text) <> ''),
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS ts,
+                       len(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '')) AS n
+                FROM documents),
             starts AS (
                 SELECT doc_id, ts, n,
                        unnest(generate_series(0, n - 1, 48)) AS s
@@ -1061,8 +1065,9 @@ def oracle_sql() -> dict[str, str]:
                        COUNT(DISTINCT line) AS n_distinct
                 FROM l GROUP BY doc_id),
             tok AS (
-                SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
-                FROM documents WHERE trim(text) <> ''),
+                SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS ts
+                FROM documents),
             bg AS (
                 SELECT doc_id, ts[i] || ' ' || ts[i+1] AS b
                 FROM (SELECT doc_id, ts,
@@ -1083,8 +1088,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_decontaminate": r"""
             WITH tok AS (
-                SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
-                FROM documents WHERE trim(text) <> ''),
+                SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS ts
+                FROM documents),
             sh AS (
                 SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
                 FROM (SELECT doc_id, ts,
@@ -1105,8 +1111,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_dedup_clusters": r"""
             WITH RECURSIVE pairs AS (
             WITH tok AS (
-                SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
-                FROM documents WHERE trim(text) <> ''),
+                SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS ts
+                FROM documents),
             sh AS (
                 SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
                 FROM (SELECT doc_id, ts,
@@ -1159,8 +1166,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_shards": r"""
             WITH t AS (
                 SELECT doc_id,
-                       CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+                       len(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '')) AS n_tokens
                 FROM documents),
             s AS (
                 SELECT doc_id, n_tokens,
@@ -1213,8 +1220,9 @@ def oracle_sql() -> dict[str, str]:
             WITH kept AS (
                 SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
             tokd AS (
-                SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
-                FROM documents WHERE trim(text) <> ''),
+                SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS ts
+                FROM documents),
             sh AS (
                 SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
                 FROM (SELECT doc_id, ts,
@@ -1230,8 +1238,8 @@ def oracle_sql() -> dict[str, str]:
                         AND sh.s IN (SELECT s FROM eval_sh))),
             quality AS (
                 SELECT doc_id FROM documents
-                WHERE CASE WHEN trim(text) = '' THEN 0
-                           ELSE len(string_split_regex(trim(text), '\s+')) END >= 10)
+                WHERE len(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) >= 10)
             SELECT k.doc_id,
                    CAST((strpos('0123456789abcdef',
                                 substr(md5('42:' || CAST(k.doc_id AS VARCHAR)), 1, 1)) - 1) % 8

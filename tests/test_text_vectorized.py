@@ -243,6 +243,49 @@ def test_prop_repetition_batch(texts):
             assert got["top_bigram_n"][i].as_py() == 0
 
 
+def test_oracle_twins_on_adversarial_whitespace(ray_session, tmp_path):
+    """The engine↔DuckDB contract on tab/newline-edged text — the edge
+    the driver's corpus never exercises.  DuckDB's trim() strips only
+    ASCII spaces, so a twin built on string_split_regex(trim(text))
+    counts phantom ''-boundary tokens; every twin now uses
+    list_filter(... <> '') which mirrors the engine's empty-token mask
+    exactly (session-6 review finding, confirmed by execution)."""
+    import duckdb
+    import pyarrow.parquet as pqt
+
+    import __ray_entry__ as e
+
+    texts = ["\nw0 w1 w2 w3 w4 w5 w6 w7", "w0 w1 w2 w3 w4 w5 w6 w7\t",
+             "\t a b c \n", "a\tb\nc", "", " \t\n ", "x",
+             "dup dup dup line\ndup dup dup line\nother",
+             "w0 w1 w2 w3 w4 w5 w6 w7",
+             "common a b c d e f g h i j k l m n o p q r s common"]
+    pqt.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(["en"] * len(texts)),
+                  "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+    qs, osql = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    for name in ("docs_token_count", "docs_quality", "docs_jaccard_pairs",
+                 "docs_chunks", "docs_repetition", "docs_decontaminate",
+                 "docs_dedup_clusters", "docs_dup_spans",
+                 "docs_token_shards", "docs_curation_pipeline"):
+        r = qs[name](str(tmp_path))
+        df = r.to_pandas() if hasattr(r, "to_pandas") else r
+        o = con.execute(osql[name]).df()
+        df = df[sorted(df.columns)].sort_values(
+            by=sorted(df.columns)).reset_index(drop=True)
+        o = o[sorted(o.columns)].sort_values(
+            by=sorted(o.columns)).reset_index(drop=True)
+        assert list(df.columns) == list(o.columns), name
+        assert len(df) == len(o), name
+        assert (df.astype(str).values == o.astype(str).values).all(), name
+
+
 def test_segment_sums_empty_segments():
     # the np.add.reduceat trap: empty segments must sum to 0, not to the
     # element at the offset
