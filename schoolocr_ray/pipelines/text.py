@@ -42,6 +42,20 @@ JACCARD_BUCKETS = 64
 # the generated DuckDB twin, same contract as JACCARD_HOT_CAP above
 DUP_SPAN_K = 8
 
+# n-gram novelty shingle width, shared with the generated DuckDB twin
+NOVELTY_K = 3
+
+# PII redaction patterns — RE2 syntax, shared VERBATIM with the DuckDB
+# twin (both engines run RE2, so replace/count semantics agree by
+# construction; leftmost-first, non-overlapping).  Redaction order is
+# email -> IPv4 -> phone: the phone pattern admits dotted digit runs, so
+# IPv4 must be consumed first, and each placeholder ('<EMAIL>' etc.)
+# contains no digits or '@' so later stages can never re-match inside an
+# earlier redaction.
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d().\-\s]{6,}\d"
+
 
 def _tokens(text: str) -> list[str]:
     t = text.strip()
@@ -438,6 +452,132 @@ def dup_spans(sf_dir: str, k: int = DUP_SPAN_K,
                                         batch_format="pandas") \
                .groupby("dbk").map_groups(arrow_groups(doc_pass),
                                           batch_format="pandas")
+
+
+def ngram_novelty(sf_dir: str, k: int = NOVELTY_K,
+                  num_buckets: int | None = None) -> ray.data.Dataset:
+    """Per-document n-gram novelty — for each document, how many of its
+    DISTINCT ``k``-token shingles first occur (by minimum ``doc_id``) in
+    THIS document.  ``n_novel / n_grams`` is the fraction of genuinely
+    new content a document contributes to the corpus — the complement of
+    the duplicated-span signal (``dup_spans`` asks "how much of me exists
+    elsewhere"; novelty asks "how much of me exists nowhere earlier"),
+    used to rank sources by marginal contribution when curating a
+    training mix.
+
+    Shape (linear at any scale, the ``dup_spans`` twin): one vectorized
+    distinct-shingle explode (``_distinct_kgrams``), a gram-hash-bucket
+    shuffle where each bucket resolves every gram's corpus-wide first
+    doc with ONE vectorized min-transform (a gram's rows all live in its
+    own bucket, so the bucket-local min IS the corpus min), then a
+    doc-bucket shuffle summing each doc's novel-gram partials.  Per-doc
+    distinct-shingle totals ride the exploded rows, so no second corpus
+    pass and no join at any scale.  Docs shorter than ``k`` tokens have
+    no shingles and emit nothing (the SQL twin excludes them
+    identically)."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "n_grams": "int64",
+                            "n_novel": "int64"})
+    import pyarrow.parquet as _pq
+
+    if num_buckets is None:
+        n = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+        num_buckets = max(16, -(-n // 25_000))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        d, g, n_sh, dic, u_code = _distinct_kgrams(batch.column("text"), k,
+                                                   with_codes=True)
+        doc_ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dict_b = np.fromiter((zlib.crc32(s.encode()) % num_buckets
+                              for s in dic.to_pylist()),
+                             np.int32, len(dic))
+        b = dict_b[u_code] if len(g) else np.array([], np.int32)
+        return pa.table({"gram": g,
+                         "doc_id": pa.array(doc_ids[d], pa.int64()),
+                         "n_sh": pa.array(n_sh[d], pa.int64()),
+                         "b": pa.array(b)})
+
+    _EMPTY_PART = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                "nv_part": pd.Series([], dtype="int64"),
+                                "n_grams": pd.Series([], dtype="int64"),
+                                "dbk": pd.Series([], dtype="int32")})
+
+    def bucket_pass(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY_PART
+        first = df.groupby("gram", sort=False)["doc_id"].transform("min")
+        novel = (first.to_numpy() == df["doc_id"].to_numpy()).astype(np.int64)
+        g = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                          "novel": novel,
+                          "n_sh": df["n_sh"].to_numpy()})
+        out = g.groupby("doc_id", as_index=False).agg(
+            nv_part=("novel", "sum"), n_grams=("n_sh", "first"))
+        # doc-side buckets scale with the corpus like the gram side
+        out["dbk"] = ((out["doc_id"].to_numpy() * FP_BASE) % num_buckets) \
+            .astype(np.int32)
+        return out
+
+    _EMPTY_OUT = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                               "n_grams": pd.Series([], dtype="int64"),
+                               "n_novel": pd.Series([], dtype="int64")})
+
+    def doc_pass(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY_OUT
+        out = df.groupby("doc_id", as_index=False).agg(
+            n_grams=("n_grams", "first"), n_novel=("nv_part", "sum"))
+        return out[["doc_id", "n_grams", "n_novel"]]
+
+    rows = _read_docs(sf_dir).map_batches(explode, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+    return rows.groupby("b").map_groups(arrow_groups(bucket_pass),
+                                        batch_format="pandas") \
+               .groupby("dbk").map_groups(arrow_groups(doc_pass),
+                                          batch_format="pandas")
+
+
+def pii_scrub(sf_dir: str) -> ray.data.Dataset:
+    """PII redaction — the scrubbing stage every production training-data
+    pipeline runs before anything else sees the text: emails, IPv4
+    addresses and phone-number-shaped digit runs are replaced with typed
+    placeholders, and per-category match counts are emitted so curation
+    can drop or down-weight PII-dense documents.
+
+    Embarrassingly parallel, zero shuffle: three staged RE2
+    count+replace kernel pairs per Arrow batch
+    (``pc.count_substring_regex`` / ``pc.replace_substring_regex``),
+    zero-copy from the object store, no Python loop.  Counts are taken
+    on each stage's INPUT so every count reflects exactly what that
+    stage redacted (the DuckDB twin stages identically; see the
+    ``PII_EMAIL``/``PII_IPV4``/``PII_PHONE`` ordering contract)."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "clean_text": "object",
+                            "n_emails": "int64", "n_ips": "int64",
+                            "n_phones": "int64"})
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        n_emails = _regex_count(txt, PII_EMAIL)
+        t1 = pc.replace_substring_regex(txt, PII_EMAIL,
+                                        replacement="<EMAIL>")
+        n_ips = _regex_count(t1, PII_IPV4)
+        t2 = pc.replace_substring_regex(t1, PII_IPV4, replacement="<IP>")
+        n_phones = _regex_count(t2, PII_PHONE)
+        t3 = pc.replace_substring_regex(t2, PII_PHONE,
+                                        replacement="<PHONE>")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "clean_text": t3,
+                         "n_emails": n_emails,
+                         "n_ips": n_ips,
+                         "n_phones": n_phones})
+
+    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow",
+                                          zero_copy_batch=True)
 
 
 def jaccard_pairs(sf_dir: str, threshold: float = 0.5,

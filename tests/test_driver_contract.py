@@ -79,6 +79,9 @@ SQL_CHECKED = [
     "docs_minhash_pairs",
     # corpus-curation operators: integer-exact hash sampling, the
     # distributed prefix scan, per-doc top terms
+    # new text operators: PII redaction + n-gram novelty
+    "docs_pii_scrub",
+    "docs_ngram_novelty",
     "docs_sample_stratified",
     "docs_token_shards",
     "docs_top_terms",

@@ -273,7 +273,8 @@ def test_oracle_twins_on_adversarial_whitespace(ray_session, tmp_path):
     for name in ("docs_token_count", "docs_quality", "docs_jaccard_pairs",
                  "docs_chunks", "docs_repetition", "docs_decontaminate",
                  "docs_dedup_clusters", "docs_dup_spans",
-                 "docs_token_shards", "docs_curation_pipeline"):
+                 "docs_token_shards", "docs_curation_pipeline",
+                 "docs_ngram_novelty", "docs_pii_scrub"):
         r = qs[name](str(tmp_path))
         df = r.to_pandas() if hasattr(r, "to_pandas") else r
         o = con.execute(osql[name]).df()
@@ -284,6 +285,79 @@ def test_oracle_twins_on_adversarial_whitespace(ray_session, tmp_path):
         assert list(df.columns) == list(o.columns), name
         assert len(df) == len(o), name
         assert (df.astype(str).values == o.astype(str).values).all(), name
+
+
+def test_pii_scrub_planted(ray_session, tmp_path):
+    """Active-redaction path with hand-computed expectations (the sf
+    corpora contain no digits or '@', so the driver row only checks the
+    no-op path): staged email -> IPv4 -> phone redaction, per-stage
+    counts, placeholders never re-matched."""
+    import duckdb
+    import pyarrow.parquet as pqt
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.text import pii_scrub
+
+    texts = [
+        "contact alice@example.com or bob.smith+x@mail.co.uk today",
+        "server at 192.168.0.1 and 10.0.0.255 rebooted",
+        "call +7 (912) 345-67-89 now",
+        "alice@example.com 192.168.0.1 +1 555 123 4567",
+        "no pii here at all",
+        "",
+    ]
+    want_clean = [
+        "contact <EMAIL> or <EMAIL> today",
+        "server at <IP> and <IP> rebooted",
+        "call <PHONE> now",
+        "<EMAIL> <IP> <PHONE>",
+        "no pii here at all",
+        "",
+    ]
+    want_counts = [(2, 0, 0), (0, 2, 0), (0, 0, 1), (1, 1, 1),
+                   (0, 0, 0), (0, 0, 0)]
+    pqt.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    got = pii_scrub(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(got["clean_text"]) == want_clean
+    assert [tuple(r) for r in
+            got[["n_emails", "n_ips", "n_phones"]].to_numpy()] == want_counts
+    # and the DuckDB twin agrees on the ACTIVE path (the driver corpus
+    # only ever exercises the no-op path)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    o = con.execute(e.oracle_sql()["docs_pii_scrub"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(o["clean_text"]) == want_clean
+    assert [tuple(r) for r in
+            o[["n_emails", "n_ips", "n_phones"]].to_numpy()] == want_counts
+
+
+def test_ngram_novelty_planted(ray_session, tmp_path):
+    """Hand-computed novelty on a corpus with known trigram overlap:
+    min-doc_id first-occurrence wins, within-doc duplicates count once,
+    docs shorter than k emit nothing."""
+    import pyarrow.parquet as pqt
+
+    from schoolocr_ray.pipelines.text import ngram_novelty
+
+    texts = ["a b c d",            # "a b c","b c d" -> all first here
+             "a b c x y z",        # "a b c" seen in doc0 -> 3 of 4 novel
+             "a b c d e",          # only "c d e" novel
+             "a b",                # < k tokens: emits nothing
+             "a b c a b c a b c"]  # distinct {"a b c","b c a","c a b"}
+    pqt.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    got = ngram_novelty(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert [tuple(r) for r in got.to_numpy()] == [
+        (0, 2, 2), (1, 4, 3), (2, 3, 1), (4, 3, 2)]
 
 
 def test_segment_sums_empty_segments():
