@@ -144,7 +144,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      "events_funnel", "events_hll_users",
                      "docs_corpus_tf_score", "docs_curation_pipeline",
                      "docs_chunks", "events_cohorts",
-                     "events_topk_per_group", "docs_dup_spans"):
+                     "events_topk_per_group", "docs_dup_spans",
+                     "docs_pii_scrub", "docs_ngram_novelty"):
             t0 = time.monotonic()
             res = q[name](sf_dir)
             if hasattr(res, "to_pandas"):
