@@ -447,10 +447,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      re-extraction, wired cells, training loop) run LAST — a
         #      no_oracle row spends a slot to say nothing the pytest
         #      recall-floor/golden tests don't already say.
-        # --- 1. SQL-checked, no prior row: new text operators (PII
-        # redaction, n-gram novelty)
+        # --- 1. SQL-checked, no prior row: new text/curation operators
+        # (PII redaction, n-gram novelty, source mixing)
         "docs_pii_scrub": text.pii_scrub,
         "docs_ngram_novelty": text.ngram_novelty,
+        "docs_source_mix": curation.source_mix,
         # --- 1. SQL-checked, no r4 row: corpus curation
         "docs_sample_stratified": curation.stratified_sample,
         "docs_token_shards": curation.token_shards,
@@ -597,8 +598,48 @@ def oracle_sql() -> dict[str, str]:
     """.replace("@EMAIL@", text.PII_EMAIL) \
        .replace("@IPV4@", text.PII_IPV4) \
        .replace("@PHONE@", text.PII_PHONE)
+    # source_mix twin: the weights dict inlines as a VALUES list and the
+    # threshold math runs in HUGEINT (2^32 * B * W overflows BIGINT at
+    # corpus scale); `//` is DuckDB integer floor division, matching the
+    # engine's Python-int `//` on the driver.
+    mix_values = ", ".join(f"('{s}', {w})"
+                           for s, w in _curation.MIX_WEIGHTS.items())
+    source_mix_sql = f"""
+            WITH tok AS (
+                SELECT doc_id, source,
+                       len(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> '')) AS n_tokens
+                FROM documents
+            ), tot AS (
+                SELECT source, CAST(SUM(n_tokens) AS HUGEINT) AS t
+                FROM tok GROUP BY source
+            ), ww AS (
+                SELECT tot.source, tot.t,
+                       CAST(COALESCE(w.wt, {_curation.MIX_DEFAULT_WEIGHT})
+                            AS HUGEINT) AS wt
+                FROM tot LEFT JOIN (VALUES {mix_values}) AS w(source, wt)
+                  ON tot.source = w.source
+            ), wt_s AS (
+                SELECT SUM(wt) AS wtot FROM ww
+            ), b_s AS (
+                SELECT MIN((t * wtot) // wt) AS b
+                FROM ww, wt_s WHERE t > 0
+            ), thr AS (
+                SELECT ww.source,
+                       CASE WHEN ww.t > 0
+                            THEN (CAST(4294967296 AS HUGEINT) * b_s.b
+                                  * ww.wt) // (wt_s.wtot * ww.t)
+                            ELSE 0 END AS thr
+                FROM ww, wt_s, b_s
+            )
+            SELECT tok.doc_id, tok.source, tok.n_tokens
+            FROM tok JOIN thr ON tok.source = thr.source
+            WHERE (CAST(tok.doc_id AS HUGEINT) * {_curation.HASH_MULT})
+                  % 4294967296 < thr.thr
+    """
     return {
         "docs_pii_scrub": pii_scrub_sql,
+        "docs_source_mix": source_mix_sql,
         "docs_ngram_novelty": f"""
             WITH toks AS (
                 SELECT doc_id,

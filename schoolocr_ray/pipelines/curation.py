@@ -43,6 +43,13 @@ _HASH_MOD = 1 << 32
 # (float rates would make the oracle comparison epsilon-sensitive)
 SAMPLE_RATES = {"en": int(0.30 * _HASH_MOD), "ru": int(0.70 * _HASH_MOD)}
 
+# demo mixture weights for `source_mix` over the driver corpus's
+# src0..src19 sources; any source absent from the dict gets
+# MIX_DEFAULT_WEIGHT.  Integer weights keep the threshold math exact —
+# the generated DuckDB twin inlines this same dict as a VALUES list.
+MIX_WEIGHTS = {f"src{i}": (i % 4) + 1 for i in range(20)}
+MIX_DEFAULT_WEIGHT = 1
+
 SHARD_CAPACITY = 2048  # tokens per training shard
 TOP_TERMS_K = 3
 
@@ -109,6 +116,96 @@ def stratified_sample(sf_dir: str,
 
     return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow",
                                           zero_copy_batch=True)
+
+
+def source_mix(sf_dir: str, weights: dict[str, int] | None = None,
+               default_weight: int = MIX_DEFAULT_WEIGHT) -> ray.data.Dataset:
+    """Mixture construction over the ``source`` column — the Pile/Dolma
+    assembly step: given integer target weights per source, downsample
+    each source deterministically so the sampled corpus's expected token
+    proportions match the weights, scaled to the binding source (the one
+    that runs out of tokens first at the target mix; no source is ever
+    upsampled).  Unlike ``stratified_sample`` (fixed user-given rates),
+    the keep-rates here are COMPUTED from measured per-source token
+    totals, with pure integer arithmetic so the DuckDB twin reproduces
+    every threshold bit-for-bit:
+
+        W_s   = weights.get(s, default_weight)          (integers)
+        W_tot = sum of W_s over sources present
+        B     = min over s with T_s > 0 of (T_s * W_tot) // W_s
+        thr_s = (2^32 * B * W_s) // (W_tot * T_s)       (0 if T_s == 0)
+        keep  = (doc_id * HASH_MULT) % 2^32 < thr_s
+
+    Expected sampled tokens from s are ~B * W_s / W_tot; the binding
+    source's threshold is exactly 2^32 (keep all).  Token-less sources
+    cannot contribute and are excluded from the budget min.
+
+    Scale shape: pass 1 is a column-pruned (source, text) read with
+    per-block Arrow group_by partials; only the repartition(8)-recombined
+    (source, total) rows — domain-bounded, never block-bounded — reach
+    the driver, which does the big-int threshold math on a KB-scale
+    table.  Pass 2 re-reads the corpus and filters streaming with the
+    broadcast threshold dict: zero shuffle at any scale, and membership
+    is a pure function of (doc_id, source, corpus totals) so resumed or
+    re-sharded runs sample identically."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "source": "object",
+                            "n_tokens": "int64"})
+    weights = MIX_WEIGHTS if weights is None else weights
+
+    def tok_partials(batch: pa.Table) -> pa.Table:
+        t = pa.table({"source": batch.column("source"),
+                      "n": _regex_count(batch.column("text"), r"\S+")})
+        g = t.group_by(["source"], use_threads=False).aggregate([("n", "sum")])
+        return pa.table({"source": g.column("source"),
+                         "t": g.column("n_sum").cast(pa.int64())})
+
+    def recombine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source"], use_threads=False).aggregate(
+            [("t", "sum")])
+        return pa.table({"source": g.column("source"),
+                         "t": g.column("t_sum")})
+
+    partials = _read_docs(sf_dir, columns=("source", "text")) \
+        .map_batches(tok_partials, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .repartition(8) \
+        .map_batches(recombine, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None) \
+        .to_pandas()
+    totals = partials.groupby("source")["t"].sum()
+    tok_tot = {str(s): int(v) for s, v in totals.items()}
+    w = {s: int(weights.get(s, default_weight)) for s in tok_tot}
+    w_tot = sum(w.values())
+    nonzero = [s for s, v in tok_tot.items() if v > 0]
+    budget = min((tok_tot[s] * w_tot) // w[s] for s in nonzero) \
+        if nonzero else 0
+    # exact big-int math on the driver (Python ints; 2^32 * B * W
+    # overflows int64 at corpus scale, which is why this never runs in
+    # numpy and the SQL twin casts to HUGEINT)
+    thr = {s: ((_HASH_MOD * budget * w[s]) // (w_tot * tok_tot[s])
+               if tok_tot[s] > 0 else 0) for s in tok_tot}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        thr_by_code = np.array([thr.get(s, 0)
+                                for s in enc.dictionary.to_pylist()],
+                               np.uint64)
+        th = (thr_by_code[enc.indices.to_numpy()] if len(batch)
+              else np.array([], np.uint64))
+        ids = batch.column("doc_id").to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(HASH_MULT)) % np.uint64(_HASH_MOD)
+        mask = pa.array(h < th)
+        txt = batch.column("text").filter(mask)
+        return pa.table({"doc_id": batch.column("doc_id").filter(mask),
+                         "source": src.filter(mask),
+                         "n_tokens": _regex_count(txt, r"\S+")})
+
+    return _read_docs(sf_dir, columns=("doc_id", "source", "text")) \
+        .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def token_shards(sf_dir: str, capacity: int = SHARD_CAPACITY,

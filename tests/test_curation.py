@@ -150,7 +150,8 @@ def test_new_docs_ops_survive_empty_table(ray_session, tmp_path):
                text.repetition_scores, text.chunk_documents,
                dedup.minhash_dedup, dedup.minhash_candidate_pairs,
                dedup.simhash, dedup.simhash_near_pairs,
-               curation.stratified_sample, curation.token_shards,
+               curation.stratified_sample, curation.source_mix,
+               curation.token_shards,
                curation.top_terms, curation.shuffle_shards,
                curation.corpus_tf_score, curation.train_val_test_split,
                curation.curation_pipeline):
@@ -158,3 +159,64 @@ def test_new_docs_ops_survive_empty_table(ray_session, tmp_path):
         df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
         assert len(df) == 0, fn.__name__
         assert len(df.columns) > 0, fn.__name__   # typed, not column-less
+
+
+def test_source_mix_planted(ray_session, tmp_path):
+    """Mixture construction on a corpus with hand-chosen per-source token
+    totals: the binding source (the one that exhausts first at the target
+    mix) keeps ALL its docs, every other source downsamples by exactly
+    the documented integer-threshold hash rule, and the DuckDB twin
+    reproduces the result bit-for-bit.
+
+    Weights (from MIX_WEIGHTS + default): src3 -> 4, src0 -> 1,
+    'extra' (absent from the dict) -> 1; W_tot = 6.  Totals: src3 = 40
+    tokens, src0 = 100, extra = 100.  B = min(40*6//4, 100*6, 100*6)
+    = 60, so thr(src3) = 2^32 (keep all) and thr(src0) = thr(extra)
+    = 2^32*60//(6*100) = 2^32 // 10."""
+    import duckdb
+    import pyarrow as pa
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.curation import (HASH_MULT, _HASH_MOD,
+                                                  source_mix)
+
+    rows = []
+    for i in range(10):                    # src3: 10 docs x 4 tokens = 40
+        rows.append((100 + i, "src3", "w x y z"))
+    for i in range(25):                    # src0: 25 docs x 4 = 100
+        rows.append((i, "src0", "a b c d"))
+    for i in range(20):                    # extra: 20 docs x 5 = 100
+        rows.append((200 + i, "extra", "p q r s t"))
+    pq.write_table(
+        pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "source": pa.array([r[1] for r in rows], pa.string()),
+                  "text": pa.array([r[2] for r in rows], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    got = source_mix(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    thr_low = (_HASH_MOD * 60) // (6 * 100)            # = 2^32 // 10
+    assert thr_low == _HASH_MOD // 10
+    kept = set(got["doc_id"])
+    # binding source keeps everything
+    assert all(100 + i in kept for i in range(10))
+    # the others follow the pure hash rule, computed here independently
+    want_low = {r[0] for r in rows if r[1] != "src3"
+                and (r[0] * HASH_MULT) % _HASH_MOD < thr_low}
+    assert kept - set(range(100, 110)) == want_low
+    assert want_low, "planted ids must keep at least one low-rate doc"
+    assert 0 in kept                       # hash(0) = 0 < thr always
+    # n_tokens re-counted on the kept rows
+    n_by_src = {"src3": 4, "src0": 4, "extra": 5}
+    assert all(int(r.n_tokens) == n_by_src[r.source]
+               for r in got.itertuples())
+
+    # and the DuckDB twin agrees bit-for-bit
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    o = con.execute(e.oracle_sql()["docs_source_mix"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (got[["doc_id", "source", "n_tokens"]].astype(str).values
+            == o[["doc_id", "source", "n_tokens"]].astype(str).values).all()

@@ -82,6 +82,8 @@ SQL_CHECKED = [
     # new text operators: PII redaction + n-gram novelty
     "docs_pii_scrub",
     "docs_ngram_novelty",
+    # mixture construction over the source column
+    "docs_source_mix",
     "docs_sample_stratified",
     "docs_token_shards",
     "docs_top_terms",
