@@ -260,10 +260,17 @@ def test_oracle_twins_on_adversarial_whitespace(ray_session, tmp_path):
              "dup dup dup line\ndup dup dup line\nother",
              "w0 w1 w2 w3 w4 w5 w6 w7",
              "common a b c d e f g h i j k l m n o p q r s common"]
+    # ids 4 and 5 are the all-whitespace docs: giving them their own
+    # source makes that source token-free, driving source_mix's
+    # zero-total branch (excluded from the budget min, threshold 0) in
+    # BOTH engines; sA/sB are absent from MIX_WEIGHTS -> default weight
+    sources = ["sZ" if i in (4, 5) else ("sA" if i % 2 == 0 else "sB")
+               for i in range(len(texts))]
     pqt.write_table(
         pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
                   "text": pa.array(texts, pa.string()),
                   "lang": pa.array(["en"] * len(texts)),
+                  "source": pa.array(sources, pa.string()),
                   "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
         str(tmp_path / "documents.parquet"))
     qs, osql = e.queries(), e.oracle_sql()
@@ -274,7 +281,8 @@ def test_oracle_twins_on_adversarial_whitespace(ray_session, tmp_path):
                  "docs_chunks", "docs_repetition", "docs_decontaminate",
                  "docs_dedup_clusters", "docs_dup_spans",
                  "docs_token_shards", "docs_curation_pipeline",
-                 "docs_ngram_novelty", "docs_pii_scrub"):
+                 "docs_ngram_novelty", "docs_pii_scrub",
+                 "docs_source_mix"):
         r = qs[name](str(tmp_path))
         df = r.to_pandas() if hasattr(r, "to_pandas") else r
         o = con.execute(osql[name]).df()
