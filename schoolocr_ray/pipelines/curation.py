@@ -133,12 +133,16 @@ def source_mix(sf_dir: str, weights: dict[str, int] | None = None,
         W_s   = weights.get(s, default_weight)          (integers)
         W_tot = sum of W_s over sources present
         B     = min over s with T_s > 0 of (T_s * W_tot) // W_s
-        thr_s = (2^32 * B * W_s) // (W_tot * T_s)       (0 if T_s == 0)
+        thr_s = 2^32 exactly if s is binding, i.e. (T_s*W_tot)//W_s == B
+                (the floor formula below rounds a hair under 2^32
+                whenever W_s does not divide T_s*W_tot, which would
+                silently drop a sliver of the scale-setting source);
+                else (2^32 * B * W_s) // (W_tot * T_s); 0 if T_s == 0
         keep  = (doc_id * HASH_MULT) % 2^32 < thr_s
 
     Expected sampled tokens from s are ~B * W_s / W_tot; the binding
-    source's threshold is exactly 2^32 (keep all).  Token-less sources
-    cannot contribute and are excluded from the budget min.
+    source keeps ALL its docs by the explicit pin above.  Token-less
+    sources cannot contribute and are excluded from the budget min.
 
     Scale shape: pass 1 is a column-pruned (source, text) read with
     per-block Arrow group_by partials; only the repartition(8)-recombined
@@ -183,8 +187,10 @@ def source_mix(sf_dir: str, weights: dict[str, int] | None = None,
     # exact big-int math on the driver (Python ints; 2^32 * B * W
     # overflows int64 at corpus scale, which is why this never runs in
     # numpy and the SQL twin casts to HUGEINT)
-    thr = {s: ((_HASH_MOD * budget * w[s]) // (w_tot * tok_tot[s])
-               if tok_tot[s] > 0 else 0) for s in tok_tot}
+    thr = {s: (0 if tok_tot[s] == 0
+               else _HASH_MOD if (tok_tot[s] * w_tot) // w[s] == budget
+               else (_HASH_MOD * budget * w[s]) // (w_tot * tok_tot[s]))
+           for s in tok_tot}
 
     def keep(batch: pa.Table) -> pa.Table:
         src = batch.column("source")

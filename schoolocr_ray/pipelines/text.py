@@ -51,10 +51,13 @@ NOVELTY_K = 3
 # email -> IPv4 -> phone: the phone pattern admits dotted digit runs, so
 # IPv4 must be consumed first, and each placeholder ('<EMAIL>' etc.)
 # contains no digits or '@' so later stages can never re-match inside an
-# earlier redaction.
+# earlier redaction.  The phone class allows only SAME-LINE whitespace
+# ([ \t], not \s) — a \s class would let one "phone" span line breaks
+# and swallow unrelated digit runs across a numeric table (session-7
+# review finding).
 PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
-PII_PHONE = r"\+?\d[\d().\-\s]{6,}\d"
+PII_PHONE = r"\+?\d[\d().\- \t]{6,}\d"
 
 
 def _tokens(text: str) -> list[str]:
@@ -366,6 +369,77 @@ def eval_shingle_ref(docs: ray.data.Dataset, k: int, eval_mod: int):
     return ray.put(pa.array(sorted(eval_set), pa.string()))
 
 
+def _gram_bucket_count(sf_dir: str, num_buckets: int | None) -> int:
+    """Default gram-bucket count, scaled with the corpus (~25k docs per
+    bucket) so per-bucket group size stays bounded at any scale."""
+    if num_buckets is not None:
+        return num_buckets
+    import pyarrow.parquet as _pq
+
+    n = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return max(16, -(-n // 25_000))
+
+
+def _crc_buckets(dictionary: pa.Array, num_buckets: int) -> np.ndarray:
+    """crc32 bucket id per DICTIONARY string — the Python generator is
+    bounded by the dictionary size, never the exploded row count."""
+    return np.fromiter((zlib.crc32(s.encode()) % num_buckets
+                        for s in dictionary.to_pylist()),
+                       np.int32, len(dictionary))
+
+
+def _gram_doc_rollup(sf_dir: str, explode, flag, out_col: str,
+                     num_buckets: int) -> ray.data.Dataset:
+    """Shared scaffold for per-document gram-flag rollups (``dup_spans``,
+    ``ngram_novelty``): vectorized gram explode -> gram-hash-bucket
+    shuffle where each bucket flags every exploded row with ONE
+    vectorized per-gram transform (a gram's rows all live in its own
+    bucket, so bucket-local group stats ARE corpus stats) and
+    partial-sums per doc -> doc-bucket shuffle summing the partials.
+    Per-doc gram totals ride the exploded rows (the jaccard_pairs
+    trick), so no second corpus pass and no join at any scale.
+
+    ``explode(batch)`` returns a (gram, doc_id, n_grams, b) table;
+    ``flag(df)`` returns a 0/1 int64 ndarray per exploded row."""
+    _EMPTY_PART = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                "part": pd.Series([], dtype="int64"),
+                                "n_grams": pd.Series([], dtype="int64"),
+                                "dbk": pd.Series([], dtype="int32")})
+
+    def bucket_pass(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY_PART
+        g = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                          "fl": flag(df),
+                          "ng": df["n_grams"].to_numpy()})
+        out = g.groupby("doc_id", as_index=False).agg(
+            part=("fl", "sum"), n_grams=("ng", "first"))
+        # doc-side buckets scale with the corpus like the gram side —
+        # a fixed count would grow each map_groups group linearly with
+        # the corpus (review finding, session 6)
+        out["dbk"] = ((out["doc_id"].to_numpy() * FP_BASE) % num_buckets) \
+            .astype(np.int32)
+        return out
+
+    _EMPTY_OUT = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                               "n_grams": pd.Series([], dtype="int64"),
+                               out_col: pd.Series([], dtype="int64")})
+
+    def doc_pass(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY_OUT
+        out = df.groupby("doc_id", as_index=False).agg(
+            n_grams=("n_grams", "first"), **{out_col: ("part", "sum")})
+        return out[["doc_id", "n_grams", out_col]]
+
+    rows = _read_docs(sf_dir).map_batches(explode, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+    return rows.groupby("b").map_groups(arrow_groups(bucket_pass),
+                                        batch_format="pandas") \
+               .groupby("dbk").map_groups(arrow_groups(doc_pass),
+                                          batch_format="pandas")
+
+
 def dup_spans(sf_dir: str, k: int = DUP_SPAN_K,
               num_buckets: int | None = None) -> ray.data.Dataset:
     """Exact substring-level duplication counter — the duplicated-span
@@ -377,23 +451,14 @@ def dup_spans(sf_dir: str, k: int = DUP_SPAN_K,
     exact/MinHash/SimHash dedup cannot see, because it lives INSIDE
     otherwise-unique documents.
 
-    Shape (linear at any scale — no pair generation anywhere): one
-    vectorized positional-k-gram explode (``_positional_kgrams``), a
-    gram-hash-bucket shuffle where each bucket counts distinct docs per
-    gram with ONE vectorized transform (a gram's rows all live in its
-    own bucket, so bucket-local nunique IS the corpus df), then a
-    doc-bucket shuffle summing each doc's duplicated-window partials.
-    Per-doc window totals ride the exploded rows (the jaccard_pairs
-    trick), so no second corpus pass and no join at any scale.  Docs
+    Shape (linear at any scale — no pair generation anywhere; the
+    ``_gram_doc_rollup`` scaffold): one vectorized positional-k-gram
+    explode, then bucket-local nunique per gram IS the corpus df.  Docs
     shorter than ``k`` tokens have no windows and emit nothing (the SQL
     twin excludes them identically)."""
     if docs_empty(sf_dir):
         return typed_empty({"doc_id": "int64", "n_grams": "int64", "n_dup_grams": "int64"})  # noqa: E501
-    import pyarrow.parquet as _pq
-
-    if num_buckets is None:
-        n = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-        num_buckets = max(16, -(-n // 25_000))
+    num_buckets = _gram_bucket_count(sf_dir, num_buckets)
 
     def explode(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -403,55 +468,20 @@ def dup_spans(sf_dir: str, k: int = DUP_SPAN_K,
             zero_copy_only=False).astype(np.int64)
         ng = np.bincount(d, minlength=len(batch)).astype(np.int64)
         codes = pc.dictionary_encode(grams)
-        dict_b = np.fromiter((zlib.crc32(s.encode()) % num_buckets
-                              for s in codes.dictionary.to_pylist()),
-                             np.int32, len(codes.dictionary))
+        dict_b = _crc_buckets(codes.dictionary, num_buckets)
         b = dict_b[codes.indices.to_numpy(zero_copy_only=False)] \
             if len(grams) else np.array([], np.int32)
         return pa.table({"gram": grams,
                          "doc_id": pa.array(doc_ids[d], pa.int64()),
-                         "ng": pa.array(ng[d], pa.int64()),
+                         "n_grams": pa.array(ng[d], pa.int64()),
                          "b": pa.array(b)})
 
-    _EMPTY_PART = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                "nd_part": pd.Series([], dtype="int64"),
-                                "n_grams": pd.Series([], dtype="int64"),
-                                "dbk": pd.Series([], dtype="int32")})
+    def flag(df: pd.DataFrame) -> np.ndarray:
+        return (df.groupby("gram", sort=False)["doc_id"]
+                  .transform("nunique") >= 2).to_numpy().astype(np.int64)
 
-    def bucket_pass(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return _EMPTY_PART
-        dup = (df.groupby("gram", sort=False)["doc_id"]
-                 .transform("nunique") >= 2).to_numpy().astype(np.int64)
-        g = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
-                          "dup": dup,
-                          "ng": df["ng"].to_numpy()})
-        out = g.groupby("doc_id", as_index=False).agg(
-            nd_part=("dup", "sum"), n_grams=("ng", "first"))
-        # doc-side buckets scale with the corpus like the gram side —
-        # a fixed count would grow each map_groups group linearly with
-        # the corpus (review finding, session 6)
-        out["dbk"] = ((out["doc_id"].to_numpy() * FP_BASE) % num_buckets) \
-            .astype(np.int32)
-        return out
-
-    _EMPTY_OUT = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                               "n_grams": pd.Series([], dtype="int64"),
-                               "n_dup_grams": pd.Series([], dtype="int64")})
-
-    def doc_pass(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return _EMPTY_OUT
-        out = df.groupby("doc_id", as_index=False).agg(
-            n_grams=("n_grams", "first"), n_dup_grams=("nd_part", "sum"))
-        return out[["doc_id", "n_grams", "n_dup_grams"]]
-
-    rows = _read_docs(sf_dir).map_batches(explode, batch_format="pyarrow",
-                                          zero_copy_batch=True)
-    return rows.groupby("b").map_groups(arrow_groups(bucket_pass),
-                                        batch_format="pandas") \
-               .groupby("dbk").map_groups(arrow_groups(doc_pass),
-                                          batch_format="pandas")
+    return _gram_doc_rollup(sf_dir, explode, flag, "n_dup_grams",
+                            num_buckets)
 
 
 def ngram_novelty(sf_dir: str, k: int = NOVELTY_K,
@@ -465,76 +495,35 @@ def ngram_novelty(sf_dir: str, k: int = NOVELTY_K,
     used to rank sources by marginal contribution when curating a
     training mix.
 
-    Shape (linear at any scale, the ``dup_spans`` twin): one vectorized
-    distinct-shingle explode (``_distinct_kgrams``), a gram-hash-bucket
-    shuffle where each bucket resolves every gram's corpus-wide first
-    doc with ONE vectorized min-transform (a gram's rows all live in its
-    own bucket, so the bucket-local min IS the corpus min), then a
-    doc-bucket shuffle summing each doc's novel-gram partials.  Per-doc
-    distinct-shingle totals ride the exploded rows, so no second corpus
-    pass and no join at any scale.  Docs shorter than ``k`` tokens have
-    no shingles and emit nothing (the SQL twin excludes them
-    identically)."""
+    Shape (linear at any scale; the ``_gram_doc_rollup`` scaffold shared
+    with ``dup_spans``): one vectorized distinct-shingle explode
+    (``_distinct_kgrams``), then each bucket resolves every gram's
+    corpus-wide first doc with ONE vectorized min-transform (bucket-local
+    min IS the corpus min).  Docs shorter than ``k`` tokens have no
+    shingles and emit nothing (the SQL twin excludes them identically)."""
     if docs_empty(sf_dir):
         return typed_empty({"doc_id": "int64", "n_grams": "int64",
                             "n_novel": "int64"})
-    import pyarrow.parquet as _pq
-
-    if num_buckets is None:
-        n = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-        num_buckets = max(16, -(-n // 25_000))
+    num_buckets = _gram_bucket_count(sf_dir, num_buckets)
 
     def explode(batch: pa.Table) -> pa.Table:
         d, g, n_sh, dic, u_code = _distinct_kgrams(batch.column("text"), k,
                                                    with_codes=True)
         doc_ids = batch.column("doc_id").to_numpy(
             zero_copy_only=False).astype(np.int64)
-        dict_b = np.fromiter((zlib.crc32(s.encode()) % num_buckets
-                              for s in dic.to_pylist()),
-                             np.int32, len(dic))
+        dict_b = _crc_buckets(dic, num_buckets)
         b = dict_b[u_code] if len(g) else np.array([], np.int32)
         return pa.table({"gram": g,
                          "doc_id": pa.array(doc_ids[d], pa.int64()),
-                         "n_sh": pa.array(n_sh[d], pa.int64()),
+                         "n_grams": pa.array(n_sh[d], pa.int64()),
                          "b": pa.array(b)})
 
-    _EMPTY_PART = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                "nv_part": pd.Series([], dtype="int64"),
-                                "n_grams": pd.Series([], dtype="int64"),
-                                "dbk": pd.Series([], dtype="int32")})
-
-    def bucket_pass(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return _EMPTY_PART
+    def flag(df: pd.DataFrame) -> np.ndarray:
         first = df.groupby("gram", sort=False)["doc_id"].transform("min")
-        novel = (first.to_numpy() == df["doc_id"].to_numpy()).astype(np.int64)
-        g = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
-                          "novel": novel,
-                          "n_sh": df["n_sh"].to_numpy()})
-        out = g.groupby("doc_id", as_index=False).agg(
-            nv_part=("novel", "sum"), n_grams=("n_sh", "first"))
-        # doc-side buckets scale with the corpus like the gram side
-        out["dbk"] = ((out["doc_id"].to_numpy() * FP_BASE) % num_buckets) \
-            .astype(np.int32)
-        return out
+        return (first.to_numpy() == df["doc_id"].to_numpy()) \
+            .astype(np.int64)
 
-    _EMPTY_OUT = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                               "n_grams": pd.Series([], dtype="int64"),
-                               "n_novel": pd.Series([], dtype="int64")})
-
-    def doc_pass(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return _EMPTY_OUT
-        out = df.groupby("doc_id", as_index=False).agg(
-            n_grams=("n_grams", "first"), n_novel=("nv_part", "sum"))
-        return out[["doc_id", "n_grams", "n_novel"]]
-
-    rows = _read_docs(sf_dir).map_batches(explode, batch_format="pyarrow",
-                                          zero_copy_batch=True)
-    return rows.groupby("b").map_groups(arrow_groups(bucket_pass),
-                                        batch_format="pandas") \
-               .groupby("dbk").map_groups(arrow_groups(doc_pass),
-                                          batch_format="pandas")
+    return _gram_doc_rollup(sf_dir, explode, flag, "n_novel", num_buckets)
 
 
 def pii_scrub(sf_dir: str) -> ray.data.Dataset:
@@ -617,9 +606,7 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
                                                    with_codes=True)
         doc_ids = batch.column("doc_id").to_numpy(
             zero_copy_only=False).astype(np.int64)
-        dict_b = np.fromiter((zlib.crc32(s.encode()) % JACCARD_BUCKETS
-                              for s in dic.to_pylist()),
-                             np.int32, len(dic))
+        dict_b = _crc_buckets(dic, JACCARD_BUCKETS)
         b = dict_b[u_code] if len(g) else np.array([], np.int32)
         return pa.table({"s": g,
                          "doc_id": pa.array(doc_ids[d], pa.int64()),

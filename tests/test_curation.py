@@ -220,3 +220,47 @@ def test_source_mix_planted(ray_session, tmp_path):
         .sort_values("doc_id").reset_index(drop=True)
     assert (got[["doc_id", "source", "n_tokens"]].astype(str).values
             == o[["doc_id", "source", "n_tokens"]].astype(str).values).all()
+
+
+def test_source_mix_binding_cap_non_divisible(ray_session, tmp_path):
+    """When W_s does not divide T_s*W_tot, the floor threshold formula
+    lands a hair under 2^32 and would silently drop the binding source's
+    top hash band; the explicit binding pin keeps ALL its docs, and the
+    DuckDB twin applies the identical pin (session-7 review finding).
+
+    Weights: src3 -> 4, src0 -> 1 (W_tot = 5).  Totals: src3 = 10 tokens,
+    src0 = 100.  B = min((10*5)//4, 100*5) = 12; 12*4 = 48 != 50, so the
+    unpinned threshold would be 2^32*48//50 = 0.96*2^32."""
+    import duckdb
+    import pyarrow as pa
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.curation import (HASH_MULT, _HASH_MOD,
+                                                  source_mix)
+
+    # pick five src3 doc_ids, at least one hashing into the top 4% band
+    # the unpinned threshold would drop
+    high = [i for i in range(1000)
+            if (i * HASH_MULT) % _HASH_MOD >= int(0.96 * _HASH_MOD)][:1]
+    assert high, "no high-hash id below 1000?"
+    src3_ids = sorted(set(high + [1, 2, 3, 4, 5]))[:5]
+    rows = [(i, "src3", "u v") for i in src3_ids]           # 5 x 2 = 10
+    rows += [(10_000 + i, "src0", "a b c d") for i in range(25)]  # 100
+    pq.write_table(
+        pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "source": pa.array([r[1] for r in rows], pa.string()),
+                  "text": pa.array([r[2] for r in rows], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    got = source_mix(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    kept = set(got["doc_id"])
+    assert set(src3_ids) <= kept, "binding source must keep ALL its docs"
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    o = con.execute(e.oracle_sql()["docs_source_mix"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (got[["doc_id", "source", "n_tokens"]].astype(str).values
+            == o[["doc_id", "source", "n_tokens"]].astype(str).values).all()

@@ -313,6 +313,10 @@ def test_pii_scrub_planted(ray_session, tmp_path):
         "alice@example.com 192.168.0.1 +1 555 123 4567",
         "no pii here at all",
         "",
+        # phone matches must not span line breaks: the two digit runs
+        # redact SEPARATELY, preserving the newline (session-7 review
+        # finding — a \s class would swallow both lines as one match)
+        "scores: 12 34 56\n78 90 12",
     ]
     want_clean = [
         "contact <EMAIL> or <EMAIL> today",
@@ -321,9 +325,10 @@ def test_pii_scrub_planted(ray_session, tmp_path):
         "<EMAIL> <IP> <PHONE>",
         "no pii here at all",
         "",
+        "scores: <PHONE>\n<PHONE>",
     ]
     want_counts = [(2, 0, 0), (0, 2, 0), (0, 0, 1), (1, 1, 1),
-                   (0, 0, 0), (0, 0, 0)]
+                   (0, 0, 0), (0, 0, 0), (0, 0, 2)]
     pqt.write_table(
         pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
                   "text": pa.array(texts, pa.string())}),
