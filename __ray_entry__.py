@@ -451,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (PII redaction, n-gram novelty, source mixing)
         "docs_pii_scrub": text.pii_scrub,
         "docs_ngram_novelty": text.ngram_novelty,
+        "docs_top_ngrams": text.top_ngrams,
         "docs_source_mix": curation.source_mix,
         # --- 1. SQL-checked, no r4 row: corpus curation
         "docs_sample_stratified": curation.stratified_sample,
@@ -666,6 +667,29 @@ def oracle_sql() -> dict[str, str]:
                        END)::BIGINT AS n_novel
             FROM g JOIN fd USING (gram)
             GROUP BY g.doc_id
+        """,
+        # same tokenize/shingle CTEs as the novelty twin; (df DESC,
+        # gram ASC) is a total order so LIMIT picks a unique row set
+        "docs_top_ngrams": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), g0 AS (
+                SELECT doc_id,
+                       UNNEST(list_transform(
+                           range(1, len(t) - {text.NOVELTY_K} + 2),
+                           i -> array_to_string(
+                               t[i:i+{text.NOVELTY_K}-1], ' '))) AS gram
+                FROM toks WHERE len(t) >= {text.NOVELTY_K}
+            ), g AS (
+                SELECT DISTINCT doc_id, gram FROM g0
+            )
+            SELECT gram, COUNT(*)::BIGINT AS df
+            FROM g GROUP BY gram
+            ORDER BY df DESC, gram ASC
+            LIMIT {text.TOP_NGRAMS_K}
         """,
         "transcripts_conv_rollup": f"""
             SELECT conv_id, COUNT(*) AS n_turns,

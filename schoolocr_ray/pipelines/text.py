@@ -45,6 +45,9 @@ DUP_SPAN_K = 8
 # n-gram novelty shingle width, shared with the generated DuckDB twin
 NOVELTY_K = 3
 
+# corpus-wide top-ngram count (boilerplate mining), shared with the twin
+TOP_NGRAMS_K = 20
+
 # PII redaction patterns — RE2 syntax, shared VERBATIM with the DuckDB
 # twin (both engines run RE2, so replace/count semantics agree by
 # construction; leftmost-first, non-overlapping).  Redaction order is
@@ -524,6 +527,78 @@ def ngram_novelty(sf_dir: str, k: int = NOVELTY_K,
             .astype(np.int64)
 
     return _gram_doc_rollup(sf_dir, explode, flag, "n_novel", num_buckets)
+
+
+def top_ngrams(sf_dir: str, k: int = NOVELTY_K, topk: int = TOP_NGRAMS_K,
+               num_buckets: int | None = None) -> pd.DataFrame:
+    """Corpus-wide top-``topk`` k-gram shingles by DOCUMENT frequency —
+    the boilerplate-mining step that seeds blocklists (headers, cookie
+    banners, license stubs recur across documents; their shingles float
+    to the top of the corpus df ranking).  Total tie order
+    (df DESC, gram ASC) makes the selected set unique, so the DuckDB
+    twin's ORDER BY ... LIMIT picks identical rows.
+
+    Shape (exact at any scale, no global gram table): distinct
+    (doc, gram) explode -> gram-bucket df count + bucket-local top-k (a
+    gram's rows all live in its own bucket, so the bucket df IS the
+    corpus df, and the global top-k is a subset of the union of
+    bucket-local top-ks over disjoint gram sets) -> one repartition(8)
+    pure-Arrow re-top-k level so the driver folds <= 8*topk rows —
+    domain-bounded, never buckets x topk (the capped-collect rule)."""
+    if docs_empty(sf_dir):
+        return pd.DataFrame({"gram": pd.Series([], dtype="object"),
+                             "df": pd.Series([], dtype="int64")})
+    num_buckets = _gram_bucket_count(sf_dir, num_buckets)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        d, g, _n_sh, dic, u_code = _distinct_kgrams(batch.column("text"),
+                                                    k, with_codes=True)
+        doc_ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dict_b = _crc_buckets(dic, num_buckets)
+        b = dict_b[u_code] if len(g) else np.array([], np.int32)
+        return pa.table({"gram": g,
+                         "doc_id": pa.array(doc_ids[d], pa.int64()),
+                         "b": pa.array(b)})
+
+    _EMPTY_TOP = pd.DataFrame({"gram": pd.Series([], dtype="object"),
+                               "df": pd.Series([], dtype="int64")})
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY_TOP
+        # rows are distinct (doc, gram) pairs by construction, so the
+        # per-gram group size IS the document frequency
+        cnt = df.groupby("gram", sort=False).size().reset_index(name="df")
+        cnt["df"] = cnt["df"].astype("int64")
+        cnt = cnt.sort_values(["df", "gram"], ascending=[False, True],
+                              kind="mergesort").head(topk)
+        return cnt[["gram", "df"]]
+
+    def re_topk(batch: pa.Table) -> pa.Table:
+        # pure Arrow: an empty repartition(8) partition round-tripped
+        # through pandas would re-infer the string column as NULL type
+        # (session-5 finding) — Arrow take/sort keeps the schema
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return batch
+        idx = pc.sort_indices(batch, sort_keys=[("df", "descending"),
+                                                ("gram", "ascending")])
+        return batch.take(idx[:topk])
+
+    tops = _read_docs(sf_dir) \
+        .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("b").map_groups(arrow_groups(bucket_topk),
+                                 batch_format="pandas") \
+        .repartition(8) \
+        .map_batches(re_topk, batch_format="pyarrow", batch_size=None)
+    out = tops.to_pandas()
+    if out.empty:
+        return _EMPTY_TOP
+    return out.sort_values(["df", "gram"], ascending=[False, True],
+                           kind="mergesort").head(topk) \
+              .reset_index(drop=True)
 
 
 def pii_scrub(sf_dir: str) -> ray.data.Dataset:

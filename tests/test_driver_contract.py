@@ -84,6 +84,8 @@ SQL_CHECKED = [
     "docs_ngram_novelty",
     # mixture construction over the source column
     "docs_source_mix",
+    # corpus-wide top-ngram boilerplate mining
+    "docs_top_ngrams",
     "docs_sample_stratified",
     "docs_token_shards",
     "docs_top_terms",

@@ -282,7 +282,7 @@ def test_oracle_twins_on_adversarial_whitespace(ray_session, tmp_path):
                  "docs_dedup_clusters", "docs_dup_spans",
                  "docs_token_shards", "docs_curation_pipeline",
                  "docs_ngram_novelty", "docs_pii_scrub",
-                 "docs_source_mix"):
+                 "docs_source_mix", "docs_top_ngrams"):
         r = qs[name](str(tmp_path))
         df = r.to_pandas() if hasattr(r, "to_pandas") else r
         o = con.execute(osql[name]).df()
@@ -381,3 +381,26 @@ def test_segment_sums_empty_segments():
     assert _segment_sums(vals, offs).tolist() == [0, 1, 0, 5, 0]
     # all-empty input
     assert _segment_sums(np.array([], np.int64), np.array([0])).tolist() == []
+
+
+def test_top_ngrams_planted(ray_session, tmp_path):
+    """Hand-computed corpus-wide df ranking: within-doc duplicates count
+    once, ties break gram-ascending, topk truncates deterministically."""
+    import pyarrow.parquet as pqt
+
+    from schoolocr_ray.pipelines.text import top_ngrams
+
+    texts = ["a b c d",        # {a b c, b c d}
+             "a b c x",        # {a b c, b c x}
+             "a b c a b c",    # distinct {a b c, b c a, c a b}
+             "a b"]            # < k tokens: nothing
+    pqt.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    got = top_ngrams(str(tmp_path))
+    want = [("a b c", 3), ("b c a", 1), ("b c d", 1),
+            ("b c x", 1), ("c a b", 1)]
+    assert [tuple(r) for r in got.to_numpy()] == want
+    got2 = top_ngrams(str(tmp_path), topk=2)
+    assert [tuple(r) for r in got2.to_numpy()] == want[:2]
