@@ -403,7 +403,18 @@ def _gram_doc_rollup(sf_dir: str, explode, flag, out_col: str,
     trick), so no second corpus pass and no join at any scale.
 
     ``explode(batch)`` returns a (gram, doc_id, n_grams, b) table;
-    ``flag(df)`` returns a 0/1 int64 ndarray per exploded row."""
+    ``flag(df)`` returns a 0/1 int64 ndarray per exploded row.
+
+    Skew note (the partitioning assumption this scaffold relies on):
+    per-doc attribution needs one row per (doc, gram), so a gram
+    present in x% of documents lands x%·n_docs rows in one gram
+    bucket.  Bounded in practice because buckets hold many grams and
+    ``_gram_bucket_count`` scales bucket count with the corpus, and
+    the bucket pass is one vectorized pandas transform — but a truly
+    universal boilerplate shingle is better handled UPSTREAM by
+    ``top_ngrams`` (whose local-df combiner is immune: one row per
+    gram per batch) feeding a blocklist filter, than by pushing it
+    through this per-doc rollup."""
     _EMPTY_PART = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                 "part": pd.Series([], dtype="int64"),
                                 "n_grams": pd.Series([], dtype="int64"),
@@ -539,27 +550,40 @@ def top_ngrams(sf_dir: str, k: int = NOVELTY_K, topk: int = TOP_NGRAMS_K,
     twin's ORDER BY ... LIMIT picks identical rows.
 
     Shape (exact at any scale, no global gram table): distinct
-    (doc, gram) explode -> gram-bucket df count + bucket-local top-k (a
-    gram's rows all live in its own bucket, so the bucket df IS the
-    corpus df, and the global top-k is a subset of the union of
-    bucket-local top-ks over disjoint gram sets) -> one repartition(8)
-    pure-Arrow re-top-k level so the driver folds <= 8*topk rows —
-    domain-bounded, never buckets x topk (the capped-collect rule)."""
+    (doc, gram) explode with a batch-local df COMBINER (one
+    (gram, local_df) row per gram per batch — a universally-hot
+    boilerplate gram ships one row per batch, never one per doc) ->
+    gram-bucket df sum + bucket-local top-k (a gram's partials all live
+    in its own bucket, so the bucket sum IS the corpus df, and the
+    global top-k is a subset of the union of bucket-local top-ks over
+    disjoint gram sets) -> one repartition(8) pure-Arrow re-top-k level
+    so the driver folds <= 8*topk rows — domain-bounded, never
+    buckets x topk (the capped-collect rule)."""
     if docs_empty(sf_dir):
         return pd.DataFrame({"gram": pd.Series([], dtype="object"),
                              "df": pd.Series([], dtype="int64")})
     num_buckets = _gram_bucket_count(sf_dir, num_buckets)
 
     def explode(batch: pa.Table) -> pa.Table:
-        d, g, _n_sh, dic, u_code = _distinct_kgrams(batch.column("text"),
-                                                    k, with_codes=True)
-        doc_ids = batch.column("doc_id").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        dict_b = _crc_buckets(dic, num_buckets)
-        b = dict_b[u_code] if len(g) else np.array([], np.int32)
-        return pa.table({"gram": g,
-                         "doc_id": pa.array(doc_ids[d], pa.int64()),
-                         "b": pa.array(b)})
+        _d, g, _n_sh, dic, u_code = _distinct_kgrams(batch.column("text"),
+                                                     k, with_codes=True)
+        # local-df combiner: docs never span batches, so the batch-local
+        # distinct-doc count per gram sums to the corpus df — ship ONE
+        # (gram, local_df) row per (gram, batch) instead of one per
+        # (gram, doc).  For any repeated gram (boilerplate — exactly
+        # what this operator mines) the exchange shrinks by its
+        # within-batch df; a gram present in every doc ships one row
+        # per batch instead of one per document.  The distinct
+        # (doc, gram) rows' dictionary codes give the count directly:
+        # bincount over u_code IS the per-unique-gram local df.
+        if not len(g):
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int32())})
+        ldf = np.bincount(u_code, minlength=len(dic)).astype(np.int64)
+        return pa.table({"gram": dic,
+                         "df": pa.array(ldf),
+                         "b": pa.array(_crc_buckets(dic, num_buckets))})
 
     _EMPTY_TOP = pd.DataFrame({"gram": pd.Series([], dtype="object"),
                                "df": pd.Series([], dtype="int64")})
@@ -567,9 +591,9 @@ def top_ngrams(sf_dir: str, k: int = NOVELTY_K, topk: int = TOP_NGRAMS_K,
     def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return _EMPTY_TOP
-        # rows are distinct (doc, gram) pairs by construction, so the
-        # per-gram group size IS the document frequency
-        cnt = df.groupby("gram", sort=False).size().reset_index(name="df")
+        # rows are (gram, batch-local df) partials; their sum is the
+        # corpus df because docs never span batches
+        cnt = df.groupby("gram", sort=False, as_index=False)["df"].sum()
         cnt["df"] = cnt["df"].astype("int64")
         cnt = cnt.sort_values(["df", "gram"], ascending=[False, True],
                               kind="mergesort").head(topk)
