@@ -452,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_scrub": text.pii_scrub,
         "docs_ngram_novelty": text.ngram_novelty,
         "docs_top_ngrams": text.top_ngrams,
+        "docs_boilerplate_flag": text.boilerplate_flag,
         "docs_source_mix": curation.source_mix,
         # --- 1. SQL-checked, no r4 row: corpus curation
         "docs_sample_stratified": curation.stratified_sample,
@@ -690,6 +691,35 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY gram
             ORDER BY df DESC, gram ASC
             LIMIT {text.TOP_NGRAMS_K}
+        """,
+        # blocklist = the top_ngrams result (same CTEs, same tie order);
+        # per-doc count of blocklisted distinct shingles
+        "docs_boilerplate_flag": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), g0 AS (
+                SELECT doc_id,
+                       UNNEST(list_transform(
+                           range(1, len(t) - {text.NOVELTY_K} + 2),
+                           i -> array_to_string(
+                               t[i:i+{text.NOVELTY_K}-1], ' '))) AS gram
+                FROM toks WHERE len(t) >= {text.NOVELTY_K}
+            ), g AS (
+                SELECT DISTINCT doc_id, gram FROM g0
+            ), top AS (
+                SELECT gram FROM (
+                    SELECT gram, COUNT(*) AS df
+                    FROM g GROUP BY gram
+                    ORDER BY df DESC, gram ASC
+                    LIMIT {text.TOP_NGRAMS_K})
+            )
+            SELECT g.doc_id, COUNT(*) AS n_grams,
+                   SUM(CASE WHEN g.gram IN (SELECT gram FROM top)
+                       THEN 1 ELSE 0 END)::BIGINT AS n_blocked
+            FROM g GROUP BY g.doc_id
         """,
         "transcripts_conv_rollup": f"""
             SELECT conv_id, COUNT(*) AS n_turns,

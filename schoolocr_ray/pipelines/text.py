@@ -625,6 +625,53 @@ def top_ngrams(sf_dir: str, k: int = NOVELTY_K, topk: int = TOP_NGRAMS_K,
               .reset_index(drop=True)
 
 
+def boilerplate_flag(sf_dir: str, k: int = NOVELTY_K,
+                     topk: int = TOP_NGRAMS_K) -> ray.data.Dataset:
+    """Blocklist filtering fed by the miner — the second half of the
+    boilerplate story: mine the corpus's ``topk`` highest-df shingles
+    with ``top_ngrams``, broadcast them once, and flag every document by
+    its count of blocklisted distinct shingles (curation thresholds
+    ``n_blocked / n_grams`` to drop boilerplate-dominated docs).  This
+    is also the scale path for universally-hot shingles that the per-doc
+    ``_gram_doc_rollup`` operators should not be fed (see its skew
+    note): the miner's combiner compresses them to one row per batch,
+    and this pass never shuffles at all.
+
+    Scale shape: the blocklist is ``topk`` rows (KB-scale) BY
+    CONSTRUCTION, so this is the broadcast-small-side pattern — one
+    ``ray.put``, per-worker-process memoized fetch (``cached_get``),
+    one vectorized ``is_in`` probe of each batch's distinct
+    (doc, shingle) rows, corpus streams with zero shuffle.  Docs
+    shorter than ``k`` tokens emit nothing (the SQL twin excludes them
+    identically)."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "n_grams": "int64",
+                            "n_blocked": "int64"})
+    top = top_ngrams(sf_dir, k=k, topk=topk)
+    ref = ray.put(pa.array(sorted(top["gram"]), pa.string()))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        block: pa.Array = cached_get(ref)
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        d, grams, n_sh = _distinct_kgrams(batch.column("text"), k)
+        hit = pc.is_in(grams, value_set=block).to_numpy(
+            zero_copy_only=False) if len(grams) else np.array([], bool)
+        n_blocked = np.bincount(d[hit], minlength=len(batch)) \
+            .astype(np.int64)
+        has = n_sh > 0
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids[has], pa.int64()),
+            "n_grams": pa.array(n_sh[has], pa.int64()),
+            "n_blocked": pa.array(n_blocked[has], pa.int64()),
+        })
+
+    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+
 def pii_scrub(sf_dir: str) -> ray.data.Dataset:
     """PII redaction — the scrubbing stage every production training-data
     pipeline runs before anything else sees the text: emails, IPv4

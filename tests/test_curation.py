@@ -146,7 +146,7 @@ def test_new_docs_ops_survive_empty_table(ray_session, tmp_path):
     for fn in (text.token_count, text.quality_features, text.lang_id,
                text.fingerprint, text.exact_dedup, text.jaccard_pairs,
                text.dup_spans, text.ngram_novelty, text.pii_scrub,
-               text.top_ngrams,
+               text.top_ngrams, text.boilerplate_flag,
                text.dedup_clusters, text.decontaminate,
                text.repetition_scores, text.chunk_documents,
                dedup.minhash_dedup, dedup.minhash_candidate_pairs,

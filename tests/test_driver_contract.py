@@ -84,8 +84,9 @@ SQL_CHECKED = [
     "docs_ngram_novelty",
     # mixture construction over the source column
     "docs_source_mix",
-    # corpus-wide top-ngram boilerplate mining
+    # corpus-wide top-ngram boilerplate mining + the blocklist filter
     "docs_top_ngrams",
+    "docs_boilerplate_flag",
     "docs_sample_stratified",
     "docs_token_shards",
     "docs_top_terms",

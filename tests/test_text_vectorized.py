@@ -282,7 +282,8 @@ def test_oracle_twins_on_adversarial_whitespace(ray_session, tmp_path):
                  "docs_dedup_clusters", "docs_dup_spans",
                  "docs_token_shards", "docs_curation_pipeline",
                  "docs_ngram_novelty", "docs_pii_scrub",
-                 "docs_source_mix", "docs_top_ngrams"):
+                 "docs_source_mix", "docs_top_ngrams",
+                 "docs_boilerplate_flag"):
         r = qs[name](str(tmp_path))
         df = r.to_pandas() if hasattr(r, "to_pandas") else r
         o = con.execute(osql[name]).df()
@@ -404,3 +405,25 @@ def test_top_ngrams_planted(ray_session, tmp_path):
     assert [tuple(r) for r in got.to_numpy()] == want
     got2 = top_ngrams(str(tmp_path), topk=2)
     assert [tuple(r) for r in got2.to_numpy()] == want[:2]
+
+
+def test_boilerplate_flag_planted(ray_session, tmp_path):
+    """The mine->filter composition on the top_ngrams planted corpus:
+    blocklist = top-2 by (df DESC, gram ASC) = {"a b c", "b c a"};
+    per-doc blocked counts follow, short docs emit nothing."""
+    import pyarrow.parquet as pqt
+
+    from schoolocr_ray.pipelines.text import boilerplate_flag
+
+    texts = ["a b c d",        # {a b c, b c d} -> 1 blocked
+             "a b c x",        # {a b c, b c x} -> 1
+             "a b c a b c",    # {a b c, b c a, c a b} -> 2
+             "a b"]            # < k: nothing
+    pqt.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    got = boilerplate_flag(str(tmp_path), topk=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert [tuple(r) for r in got.to_numpy()] == [
+        (0, 2, 1), (1, 2, 1), (2, 3, 2)]
