@@ -453,6 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_novelty": text.ngram_novelty,
         "docs_top_ngrams": text.top_ngrams,
         "docs_boilerplate_flag": text.boilerplate_flag,
+        "docs_semdedup": dedup.semdedup,
         "docs_source_mix": curation.source_mix,
         # --- 1. SQL-checked, no r4 row: corpus curation
         "docs_sample_stratified": curation.stratified_sample,
@@ -1132,6 +1133,27 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        # SemDeDup: the neardup pair predicate above + the dedup_clusters
+        # recursive-CTE component labeling, min-vec_id representative
+        "docs_semdedup": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS va, b.vec_id AS vb
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[]))
+                      >= 0.45
+            ),
+            edges AS (
+                SELECT va AS a, vb AS b FROM pairs
+                UNION ALL
+                SELECT vb, va FROM pairs),
+            nodes AS (SELECT DISTINCT a AS v FROM edges),
+            reach(v, lbl) AS (
+                SELECT v, v FROM nodes
+                UNION
+                SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.v = e.b)
+            SELECT v AS vec_id, MIN(lbl) AS cluster FROM reach GROUP BY v
         """,
         "docs_token_count": r"""
             SELECT doc_id,

@@ -498,3 +498,49 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.45) -> ray.data.Dataset:
     ds = read_embeddings(sf_dir)
     return ds.map_batches(task_stage(PairScan, ref, threshold),
                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def semdedup(sf_dir: str, threshold: float = 0.45, mode: str = "auto"):
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): semantic-duplicate
+    cluster assignment — connected components over the embedding-cosine
+    near-dup pairs, one (vec_id, cluster) row per clustered vector with
+    ``cluster`` = the component's minimum vec_id (the canonical
+    keep-representative; semantic dedup = drop rows where
+    ``vec_id != cluster``).
+
+    Composition, not new machinery: the pair stream is
+    ``embedding_neardup`` (the SQL-checked exact baseline; swap in the
+    ``_lsh`` variant at corpus scale) and the clustering is the shared
+    text-dedup CC path (``_cc_driver`` union-find when the pair list is
+    driver-sized, ``_cc_distributed`` min-label propagation otherwise,
+    auto-switched at ``CC_DRIVER_MAX_PAIRS`` exactly like
+    ``dedup_clusters``), so both halves keep the semantics their own
+    twins pin."""
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    if n == 0:
+        return empty_result(pa.schema([("vec_id", pa.int64()),
+                                       ("cluster", pa.int64())]))
+    from .text import CC_DRIVER_MAX_PAIRS, _cc_distributed, _cc_driver
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": b.column("vec_a"),
+                         "doc_b": b.column("vec_b")})
+
+    pairs_ds = embedding_neardup(sf_dir, threshold) \
+        .map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    if mode == "auto":
+        # materialize once: count() and the chosen path reuse the executed
+        # pair blocks instead of re-running the matmul scan
+        pairs_ds = pairs_ds.materialize()
+        mode = "driver" if pairs_ds.count() <= CC_DRIVER_MAX_PAIRS \
+            else "distributed"
+    if mode == "distributed":
+        return _cc_distributed(pairs_ds).map_batches(
+            lambda b: pa.table({"vec_id": b.column("doc_id"),
+                                "cluster": b.column("cluster")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return _cc_driver(pairs_ds.to_pandas()).rename_columns(
+        ["vec_id", "cluster"])

@@ -869,6 +869,12 @@ def _cc_distributed(pairs: ray.data.Dataset, num_partitions: int = 8,
 
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
+    # clamp join parallelism to the data: with fewer edge rows than
+    # partitions, the hash join's empty right-side partitions carry no
+    # schema and Acero's finalize fails ("no match for FieldRef doc_id")
+    # — seen with a handful of pairs; count() is free on the
+    # materialized edges
+    num_partitions = max(1, min(num_partitions, -(-edges.count() // 1024)))
 
     def init_labels(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict({"doc_id": batch.column("src"),

@@ -58,7 +58,7 @@ SQL_CHECKED = [
     "docs_repetition", "docs_chunks",
     "docs_jaccard_pairs", "docs_dup_spans", "docs_dedup_clusters",
     "docs_decontaminate",
-    "docs_embedding_neardup", "knn_bruteforce",
+    "docs_embedding_neardup", "docs_semdedup", "knn_bruteforce",
     "transcripts_conv_shape", "transcripts_tool_filter", "transcripts_dedup",
     "transcripts_fragments",
     # roll-ups: SQL over the engine's own checkpointed extraction output

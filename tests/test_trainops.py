@@ -280,10 +280,47 @@ def test_similarity_family_survives_empty_embeddings(ray_session, tmp_path):
                      (similarity.knn_ivf, {"qid", "vec_id", "sim"}),
                      (dedup.embedding_neardup, {"vec_a", "vec_b"}),
                      (dedup.embedding_neardup_lsh, {"vec_a", "vec_b"}),
-                     (dedup.embedding_neardup_ivf, {"vec_a", "vec_b"})]:
+                     (dedup.embedding_neardup_ivf, {"vec_a", "vec_b"}),
+                     (dedup.semdedup, {"vec_id", "cluster"})]:
         res = fn(str(d))
         # typed pandas empty (a zero-row Dataset would lose its columns
         # through to_pandas — the guard returns the surviving shape)
         df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
         assert len(df) == 0, fn.__name__
         assert set(df.columns) >= cols, (fn.__name__, df.columns)
+
+
+def test_semdedup_planted_chain(ray_session, tmp_path):
+    """Transitivity: a~b and b~c cluster together even when cos(a,c) is
+    below threshold; the representative is the component min; singletons
+    emit nothing; driver and distributed modes agree."""
+    import numpy as np
+    import pandas as pd
+
+    from schoolocr_ray.pipelines.dedup import semdedup
+
+    # unit vectors in the plane: angles chosen so adjacent pairs pass
+    # cos >= 0.45 (~63.3 deg) but the chain ends don't
+    def v(deg):
+        r = np.deg2rad(deg)
+        return [float(np.cos(r)), float(np.sin(r)), 0.0]
+
+    vecs = {0: v(0), 1: v(50), 2: v(100),      # chain: 0~1, 1~2, NOT 0~2
+            3: v(240), 4: v(250),              # tight pair
+            5: v(170)}                         # singleton: >63.3 deg from all
+    pq.write_table(
+        pa.table({"vec_id": pa.array(sorted(vecs), pa.int64()),
+                  "embedding": pa.array([vecs[i] for i in sorted(vecs)],
+                                        pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+
+    def got(mode):
+        r = semdedup(str(tmp_path), mode=mode)
+        df = r if isinstance(r, pd.DataFrame) else r.to_pandas()
+        return df.sort_values("vec_id").reset_index(drop=True)
+
+    a = got("driver")
+    assert [tuple(r) for r in a.to_numpy()] == [
+        (0, 0), (1, 0), (2, 0), (3, 3), (4, 3)]
+    b = got("distributed")
+    assert a.astype(str).equals(b.astype(str))
