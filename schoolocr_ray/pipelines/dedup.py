@@ -523,7 +523,7 @@ def semdedup(sf_dir: str, threshold: float = 0.45, mode: str = "auto"):
     if n == 0:
         return empty_result(pa.schema([("vec_id", pa.int64()),
                                        ("cluster", pa.int64())]))
-    from .text import CC_DRIVER_MAX_PAIRS, _cc_distributed, _cc_driver
+    from .text import cluster_pairs
 
     def to_edges(b: pa.Table) -> pa.Table:
         return pa.table({"doc_a": b.column("vec_a"),
@@ -531,16 +531,4 @@ def semdedup(sf_dir: str, threshold: float = 0.45, mode: str = "auto"):
 
     pairs_ds = embedding_neardup(sf_dir, threshold) \
         .map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
-    if mode == "auto":
-        # materialize once: count() and the chosen path reuse the executed
-        # pair blocks instead of re-running the matmul scan
-        pairs_ds = pairs_ds.materialize()
-        mode = "driver" if pairs_ds.count() <= CC_DRIVER_MAX_PAIRS \
-            else "distributed"
-    if mode == "distributed":
-        return _cc_distributed(pairs_ds).map_batches(
-            lambda b: pa.table({"vec_id": b.column("doc_id"),
-                                "cluster": b.column("cluster")}),
-            batch_format="pyarrow", zero_copy_batch=True)
-    return _cc_driver(pairs_ds.to_pandas()).rename_columns(
-        ["vec_id", "cluster"])
+    return cluster_pairs(pairs_ds, mode=mode, id_col="vec_id")

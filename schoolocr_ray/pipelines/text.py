@@ -934,16 +934,38 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, k: int = 3,
     Both paths produce identical clusters (equality-tested)."""
     if docs_empty(sf_dir):
         return typed_empty({"doc_id": "int64", "cluster": "int64"})
-    pairs_ds = jaccard_pairs(sf_dir, threshold, k)
+    return cluster_pairs(jaccard_pairs(sf_dir, threshold, k), mode=mode)
+
+
+def cluster_pairs(pairs_ds: ray.data.Dataset, mode: str = "auto",
+                  id_col: str = "doc_id"):
+    """Shared connected-components entry point (``dedup_clusters``,
+    ``semdedup``): a (doc_a, doc_b) pair Dataset -> one (``id_col``,
+    cluster) row per clustered id, cluster = the component minimum.
+    Always materializes and counts the pairs first — that one count
+    guards the zero-pair shard in BOTH paths (a zero-row Dataset loses
+    its columns through ``to_pandas`` before ``_cc_driver`` can index
+    them, and an empty edge dataset carries no schema into the hash
+    join — the session-7 review repro), and in auto mode it also picks
+    the path (driver union-find up to ``CC_DRIVER_MAX_PAIRS``, else
+    distributed min-label propagation)."""
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64())})
     if mode == "auto":
-        # materialize once: count() and the chosen path reuse the executed
-        # pair blocks instead of re-running the whole jaccard lineage
-        pairs_ds = pairs_ds.materialize()
-        n_pairs = pairs_ds.count()
-        mode = "driver" if n_pairs <= CC_DRIVER_MAX_PAIRS else "distributed"
+        mode = "driver" if pairs_ds.count() <= CC_DRIVER_MAX_PAIRS \
+            else "distributed"
     if mode == "distributed":
-        return _cc_distributed(pairs_ds)
-    return _cc_driver(pairs_ds.to_pandas())
+        out = _cc_distributed(pairs_ds)
+        if id_col == "doc_id":
+            return out
+        return out.map_batches(
+            lambda b: pa.table({id_col: b.column("doc_id"),
+                                "cluster": b.column("cluster")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return _cc_driver(pairs_ds.to_pandas()).rename_columns(
+        [id_col, "cluster"])
 
 
 def decontaminate(sf_dir: str, k: int = 3, eval_mod: int = 50) -> ray.data.Dataset:

@@ -324,3 +324,37 @@ def test_semdedup_planted_chain(ray_session, tmp_path):
         (0, 0), (1, 0), (2, 0), (3, 3), (4, 3)]
     b = got("distributed")
     assert a.astype(str).equals(b.astype(str))
+
+
+def test_cluster_ops_survive_zero_pairs(ray_session, tmp_path):
+    """A NON-empty shard that yields ZERO near-dup pairs (the common
+    all-singleton case) must degrade to a typed empty cluster table in
+    every mode — session-7 review repro: a zero-row pair Dataset loses
+    its columns through to_pandas (KeyError in the driver union-find)
+    and an empty edge dataset carries no schema into the hash join."""
+    import numpy as np
+    import pandas as pd
+
+    from schoolocr_ray.pipelines.dedup import semdedup
+    from schoolocr_ray.pipelines.text import dedup_clusters
+
+    # two orthogonal unit vectors: cosine 0 < 0.45 -> zero pairs
+    pq.write_table(
+        pa.table({"vec_id": pa.array([0, 1], pa.int64()),
+                  "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                                        pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+    # two documents sharing no shingle -> zero jaccard pairs
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["a b c d e", "v w x y z"],
+                                   pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    for fn, cols in [(semdedup, ["vec_id", "cluster"]),
+                     (dedup_clusters, ["doc_id", "cluster"])]:
+        for mode in ("auto", "driver", "distributed"):
+            res = fn(str(tmp_path), mode=mode)
+            df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+            assert len(df) == 0, (fn.__name__, mode)
+            assert list(df.columns) == cols, (fn.__name__, mode, df.columns)
