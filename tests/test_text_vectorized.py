@@ -427,3 +427,27 @@ def test_boilerplate_flag_planted(ray_session, tmp_path):
         .sort_values("doc_id").reset_index(drop=True)
     assert [tuple(r) for r in got.to_numpy()] == [
         (0, 2, 1), (1, 2, 1), (2, 3, 2)]
+
+
+def test_top_ngrams_universal_hot_gram(ray_session, tmp_path):
+    """A shingle present in EVERY document (the cookie-banner case the
+    combiner exists for): it must top the ranking with df == n_docs, and
+    boilerplate_flag must count it blocked in every doc."""
+    import pyarrow.parquet as pqt
+
+    from schoolocr_ray.pipelines.text import boilerplate_flag, top_ngrams
+
+    n = 400
+    texts = [f"u{i}a u{i}b banner cookie accept u{i}c" for i in range(n)]
+    pqt.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    top = top_ngrams(str(tmp_path), topk=3)
+    assert tuple(top.iloc[0]) == ("banner cookie accept", n)
+    # every doc: 4 distinct trigrams, exactly 1 blocked (only the shared
+    # gram clears the per-doc-unique fillers in the top-3)
+    flag = boilerplate_flag(str(tmp_path), topk=1).to_pandas()
+    assert len(flag) == n
+    assert (flag["n_grams"] == 4).all()
+    assert (flag["n_blocked"] == 1).all()
