@@ -53,9 +53,24 @@ for r in range(K):
 pq.write_table(pa.concat_tables(parts), f"{DST}/events.parquet",
                compression="zstd")
 
+# embeddings: verbatim replica vectors under remapped vec_ids — every
+# replica is cosine-1 to its original, so the 5x tier is ALSO a planted
+# near-dup/cluster stress for the embedding-space operators (each
+# original's cluster becomes a (K x original-cluster)-clique; pair and
+# component counts explode the way the replica-tagged text corpus does
+# for the shingle dedups)
+emb = pq.read_table(f"{SRC}/embeddings.parquet")
+parts = []
+for r in range(K):
+    parts.append(emb.set_column(
+        emb.schema.get_field_index("vec_id"), "vec_id",
+        pc.add(emb.column("vec_id"), r * 10_000_000)))
+pq.write_table(pa.concat_tables(parts), f"{DST}/embeddings.parquet",
+               compression="zstd")
+
 # copy the small untouched tables some queries also open
 for small in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "embeddings", "transcripts"):
+              "orders", "lineitem", "transcripts"):
     p = f"{SRC}/{small}.parquet"
     if os.path.exists(p):
         import shutil
