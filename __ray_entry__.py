@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_boilerplate_flag": text.boilerplate_flag,
         "docs_semdedup": dedup.semdedup,
         "docs_source_mix": curation.source_mix,
+        "docs_length_filter": curation.length_filter,
         # --- 1. SQL-checked, no r4 row: corpus curation
         "docs_sample_stratified": curation.stratified_sample,
         "docs_token_shards": curation.token_shards,
@@ -645,6 +646,22 @@ def oracle_sql() -> dict[str, str]:
     return {
         "docs_pii_scrub": pii_scrub_sql,
         "docs_source_mix": source_mix_sql,
+        # corpus-relative percentile band; quantile_disc's rank rule is
+        # the one the engine's histogram fold reproduces
+        "docs_length_filter": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '')) AS n_tokens
+                FROM documents
+            ), q AS (
+                SELECT quantile_disc(n_tokens, 0.05) AS lo,
+                       quantile_disc(n_tokens, 0.95) AS hi
+                FROM t
+            )
+            SELECT doc_id, n_tokens
+            FROM t, q WHERE n_tokens BETWEEN q.lo AND q.hi
+        """,
         "docs_ngram_novelty": f"""
             WITH toks AS (
                 SELECT doc_id,

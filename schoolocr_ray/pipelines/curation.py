@@ -214,6 +214,74 @@ def source_mix(sf_dir: str, weights: dict[str, int] | None = None,
         .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def length_filter(sf_dir: str, q_lo: float = 0.05,
+                  q_hi: float = 0.95) -> ray.data.Dataset:
+    """Corpus-relative length-outlier filter (the Gopher rule-1 family):
+    keep documents whose token count lies within the corpus's own
+    [q_lo, q_hi] percentile band.  Like ``source_mix`` (computed rates)
+    and unlike fixed-constant filters, the cutoffs are COMPUTED from the
+    corpus, so the same operator adapts to any mix of short chat and
+    long prose without retuning.
+
+    Exactness: the rank rule is DuckDB ``quantile_disc``'s — 0-based
+    rank = max(0, ceil(q*n) - 1) into the sorted values — the rule the
+    events_percentiles twin already pins empirically.
+
+    Shape (the value-histogram trick, zero sort): pass 1 streams
+    per-block (n_tokens -> count) Arrow partials, a ``repartition(8)``
+    re-combine caps what reaches the driver at 8 x |distinct lengths|
+    rows (domain-bounded, not row-bounded), the driver folds the
+    KB-scale histogram and picks the two rank values; pass 2 re-reads
+    the corpus and filters streaming against the two broadcast ints —
+    zero shuffle at any scale."""
+    import math
+
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "n_tokens": "int64"})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"n_tokens": _regex_count(batch.column("text"),
+                                               r"\S+")})
+        g = t.group_by(["n_tokens"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["n_tokens", "n"])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["n_tokens"], use_threads=False).aggregate(
+            [("n", "sum")])
+        return pa.table({"n_tokens": g.column("n_tokens"),
+                         "n": g.column("n_sum")})
+
+    hist = _read_docs(sf_dir, columns=("text",)) \
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None) \
+        .repartition(8) \
+        .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None) \
+        .to_pandas()
+    g = hist.groupby("n_tokens", sort=True)["n"].sum()
+    vals = g.index.to_numpy()
+    cum = g.to_numpy().cumsum()
+    n = int(cum[-1])
+
+    def pick(q: float) -> int:
+        r = max(0, math.ceil(q * n) - 1)          # duckdb quantile_disc rank
+        return int(vals[int(np.searchsorted(cum, r + 1))])
+
+    lo, hi = pick(q_lo), pick(q_hi)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        nt = _regex_count(batch.column("text"), r"\S+") \
+            .to_numpy(zero_copy_only=False)
+        mask = pa.array((nt >= lo) & (nt <= hi))
+        return pa.table({"doc_id": batch.column("doc_id").filter(mask),
+                         "n_tokens": pa.array(nt, pa.int64())
+                        .filter(mask)})
+
+    return _read_docs(sf_dir).map_batches(keep, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+
 def token_shards(sf_dir: str, capacity: int = SHARD_CAPACITY,
                  bucket_span: int = 10_000) -> ray.data.Dataset:
     """Token-budget sharding: assign every document (in doc_id order) a

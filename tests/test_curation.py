@@ -152,6 +152,7 @@ def test_new_docs_ops_survive_empty_table(ray_session, tmp_path):
                dedup.minhash_dedup, dedup.minhash_candidate_pairs,
                dedup.simhash, dedup.simhash_near_pairs,
                curation.stratified_sample, curation.source_mix,
+               curation.length_filter,
                curation.token_shards,
                curation.top_terms, curation.shuffle_shards,
                curation.corpus_tf_score, curation.train_val_test_split,
@@ -265,3 +266,31 @@ def test_source_mix_binding_cap_non_divisible(ray_session, tmp_path):
         .sort_values("doc_id").reset_index(drop=True)
     assert (got[["doc_id", "source", "n_tokens"]].astype(str).values
             == o[["doc_id", "source", "n_tokens"]].astype(str).values).all()
+
+
+def test_length_filter_quantile_rank_rule(ray_session, tmp_path):
+    """Boundary-exact percentile band on 1..20-token docs: quantile_disc's
+    rank rule gives lo = 1 (rank ceil(.05*20)-1 = 0) and hi = 19 (rank
+    ceil(.95*20)-1 = 18), so exactly the 20-token doc drops; the DuckDB
+    twin agrees bit-for-bit."""
+    import duckdb
+    import pyarrow as pa
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.curation import length_filter
+
+    texts = [" ".join(f"t{j}" for j in range(n)) for n in range(1, 21)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    got = length_filter(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["n_tokens"].tolist() == list(range(1, 20))
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    o = con.execute(e.oracle_sql()["docs_length_filter"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (got.astype(str).values == o.astype(str).values).all()

@@ -82,8 +82,10 @@ SQL_CHECKED = [
     # new text operators: PII redaction + n-gram novelty
     "docs_pii_scrub",
     "docs_ngram_novelty",
-    # mixture construction over the source column
+    # mixture construction over the source column + the corpus-relative
+    # length-percentile band
     "docs_source_mix",
+    "docs_length_filter",
     # corpus-wide top-ngram boilerplate mining + the blocklist filter
     "docs_top_ngrams",
     "docs_boilerplate_flag",
