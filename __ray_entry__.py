@@ -432,14 +432,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Dict order = the order the driver's correctness sweep executes,
         # and the sweep records exactly the FIRST 50 entries (both r3 and
         # r4 recorded exactly 50 rows under very different per-query times
-        # -> count cap, not time cap).  63 of the 70 entries are
-        # SQL-checked, so 13 can never fit; the ordering policy is:
+        # -> count cap, not time cap).  64 of the 71 entries are
+        # SQL-checked, so 14 can never fit; the ordering policy is:
         #   1. SQL-checked entries with NO r4 row yet (curation/multimodal/
         #      eval — green in r3, displaced in r4) come first,
         #   2. then entries whose only green row is r4 (transcript rollups,
         #      grouped top-k),
         #   3. then the remaining SQL-checked entries green in BOTH r3+r4,
-        #   4. the 13 demoted past slot 50 (trivial zero-shuffle text ops,
+        #   4. the 14 demoted past slot 50 (trivial zero-shuffle text ops,
         #      the simhash golden pair, the exact dedup/knn baselines) are
         #      green in both prior rounds AND pinned by pytest
         #      SQL-contract twins (weakest marginal evidence),

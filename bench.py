@@ -147,7 +147,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      "events_topk_per_group", "docs_dup_spans",
                      "docs_pii_scrub", "docs_ngram_novelty",
                      "docs_source_mix", "docs_top_ngrams",
-                     "docs_boilerplate_flag", "docs_semdedup"):
+                     "docs_boilerplate_flag", "docs_semdedup",
+                     "docs_length_filter"):
             t0 = time.monotonic()
             res = q[name](sf_dir)
             if hasattr(res, "to_pandas"):
