@@ -118,6 +118,28 @@ def stratified_sample(sf_dir: str,
                                           zero_copy_batch=True)
 
 
+def mix_thresholds(tok_tot: dict[str, int], weights: dict[str, int],
+                   default_weight: int = MIX_DEFAULT_WEIGHT) -> dict[str, int]:
+    """The pure integer threshold math behind ``source_mix`` (see its
+    docstring for the formula contract) — extracted so the invariants
+    can be property-tested directly: thresholds in [0, 2^32]; token-less
+    sources get 0; every binding source gets exactly 2^32; each source's
+    expected sampled tokens T_s*thr_s/2^32 never exceeds its target
+    share B*W_s/W_tot by more than one rounding unit.  Exact big-int
+    math on the driver (Python ints; 2^32*B*W overflows int64 at corpus
+    scale, which is why this never runs in numpy and the SQL twin casts
+    to HUGEINT)."""
+    w = {s: int(weights.get(s, default_weight)) for s in tok_tot}
+    w_tot = sum(w.values())
+    nonzero = [s for s, v in tok_tot.items() if v > 0]
+    budget = min((tok_tot[s] * w_tot) // w[s] for s in nonzero) \
+        if nonzero else 0
+    return {s: (0 if tok_tot[s] == 0
+                else _HASH_MOD if (tok_tot[s] * w_tot) // w[s] == budget
+                else (_HASH_MOD * budget * w[s]) // (w_tot * tok_tot[s]))
+            for s in tok_tot}
+
+
 def source_mix(sf_dir: str, weights: dict[str, int] | None = None,
                default_weight: int = MIX_DEFAULT_WEIGHT) -> ray.data.Dataset:
     """Mixture construction over the ``source`` column — the Pile/Dolma
@@ -179,18 +201,7 @@ def source_mix(sf_dir: str, weights: dict[str, int] | None = None,
         .to_pandas()
     totals = partials.groupby("source")["t"].sum()
     tok_tot = {str(s): int(v) for s, v in totals.items()}
-    w = {s: int(weights.get(s, default_weight)) for s in tok_tot}
-    w_tot = sum(w.values())
-    nonzero = [s for s, v in tok_tot.items() if v > 0]
-    budget = min((tok_tot[s] * w_tot) // w[s] for s in nonzero) \
-        if nonzero else 0
-    # exact big-int math on the driver (Python ints; 2^32 * B * W
-    # overflows int64 at corpus scale, which is why this never runs in
-    # numpy and the SQL twin casts to HUGEINT)
-    thr = {s: (0 if tok_tot[s] == 0
-               else _HASH_MOD if (tok_tot[s] * w_tot) // w[s] == budget
-               else (_HASH_MOD * budget * w[s]) // (w_tot * tok_tot[s]))
-           for s in tok_tot}
+    thr = mix_thresholds(tok_tot, weights, default_weight)
 
     def keep(batch: pa.Table) -> pa.Table:
         src = batch.column("source")

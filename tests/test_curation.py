@@ -294,3 +294,42 @@ def test_length_filter_quantile_rank_rule(ray_session, tmp_path):
     o = con.execute(e.oracle_sql()["docs_length_filter"]).df() \
         .sort_values("doc_id").reset_index(drop=True)
     assert (got.astype(str).values == o.astype(str).values).all()
+
+
+def test_mix_thresholds_properties():
+    """Property-test the pure mixture-threshold math over random
+    totals/weights: thresholds bounded by 2^32; token-less sources get 0;
+    every binding source is pinned to exactly 2^32; each source's
+    expected sampled tokens never exceed its target share by more than
+    one rounding unit (floors only ever under-sample)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from schoolocr_ray.pipelines.curation import _HASH_MOD, mix_thresholds
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.dictionaries(st.text("abcdef", min_size=1, max_size=4),
+                           st.tuples(st.integers(0, 10**13),
+                                     st.integers(1, 100)),
+                           min_size=1, max_size=12))
+    def check(spec):
+        tok_tot = {s: t for s, (t, _) in spec.items()}
+        weights = {s: w for s, (_, w) in spec.items()}
+        thr = mix_thresholds(tok_tot, weights)
+        w_tot = sum(weights.values())
+        nonzero = [s for s, t in tok_tot.items() if t > 0]
+        budget = min((tok_tot[s] * w_tot) // weights[s] for s in nonzero) \
+            if nonzero else 0
+        assert set(thr) == set(tok_tot)
+        for s, t in tok_tot.items():
+            assert 0 <= thr[s] <= _HASH_MOD, s
+            if t == 0:
+                assert thr[s] == 0, s
+                continue
+            if (t * w_tot) // weights[s] == budget:   # binding source
+                assert thr[s] == _HASH_MOD, s
+            # expected sampled tokens <= target share + 1 rounding unit
+            assert t * thr[s] <= _HASH_MOD * (
+                budget * weights[s] // w_tot + t // _HASH_MOD + 1), s
+
+    check()
