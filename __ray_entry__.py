@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      recall-floor/golden tests don't already say.
         # --- 1. SQL-checked, no prior row: new text/curation operators
         # (PII redaction, n-gram novelty, source mixing)
+        "docs_bm25_topk": text.bm25_topk,
         "docs_pii_scrub": text.pii_scrub,
         "docs_ngram_novelty": text.ngram_novelty,
         "docs_top_ngrams": text.top_ngrams,
@@ -1436,6 +1437,43 @@ def oracle_sql() -> dict[str, str]:
             FROM kept k
             JOIN clean c ON k.doc_id = c.doc_id
             JOIN quality q ON k.doc_id = q.doc_id
+        """,
+        # integer-exact BM25 core: w = N*1000//(df+1), tf saturated at 8,
+        # length-normalized raw*1000//(dl+1); constants injected from the
+        # pipeline module so Ray and SQL can never diverge
+        "docs_bm25_topk": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '[^a-zа-яё]+'),
+                                          x -> x <> '')) AS term
+                FROM documents),
+            dl AS (
+                SELECT doc_id, COUNT(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+            tf AS (
+                SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+                FROM tok
+                WHERE term IN (""" + ", ".join(
+                    "'" + t + "'" for t in text.BM25_TERMS) + r""")
+                GROUP BY doc_id, term),
+            dfx AS (
+                SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+            n AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+            sc AS (
+                SELECT tf.doc_id,
+                       SUM(LEAST(tf.tf, """ + str(text.BM25_TF_CAP) + r""")
+                           * ((n.n * """ + str(text.BM25_W_SCALE) + r""") // (dfx.df + 1)))::BIGINT AS raw
+                FROM tf JOIN dfx USING (term) CROSS JOIN n
+                GROUP BY tf.doc_id),
+            r AS (
+                SELECT sc.doc_id,
+                       ((sc.raw * """ + str(text.BM25_LEN_SCALE) + r""") // (dl.dl + 1))::BIGINT AS score,
+                       dl.dl
+                FROM sc JOIN dl USING (doc_id)
+                WHERE sc.raw > 0)
+            SELECT doc_id, score, dl FROM (
+                SELECT *, row_number() OVER (
+                    ORDER BY score DESC, doc_id) AS rn FROM r)
+            WHERE rn <= """ + str(text.BM25_TOPK) + r"""
         """,
         "docs_corpus_tf_score": r"""
             WITH tok AS (

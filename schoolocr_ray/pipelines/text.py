@@ -48,6 +48,17 @@ NOVELTY_K = 3
 # corpus-wide top-ngram count (boilerplate mining), shared with the twin
 TOP_NGRAMS_K = 20
 
+# lexical ranked-retrieval defaults (bm25_topk) — single source of truth
+# shared with the generated DuckDB twin, same contract as JACCARD_HOT_CAP.
+# Terms are tokens of the [^a-zа-яё]+ word tokenizer the TF-IDF family
+# shares; the mix spans a rare term ('dup', df≈25/500 at sf0.01) and
+# three common ones so rarity weighting is actually exercised.
+BM25_TERMS = ("dup", "scan", "window", "spark")
+BM25_TOPK = 20
+BM25_TF_CAP = 8
+BM25_W_SCALE = 1000
+BM25_LEN_SCALE = 1000
+
 # PII redaction patterns — RE2 syntax, shared VERBATIM with the DuckDB
 # twin (both engines run RE2, so replace/count semantics agree by
 # construction; leftmost-first, non-overlapping).  Redaction order is
@@ -1153,3 +1164,150 @@ def chunk_documents(sf_dir: str, size: int = 64,
 
     return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow",
                                           zero_copy_batch=True)
+
+
+def _word_hits(batch: pa.Table, term_arr: pa.Array
+               ) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+    """Shared tokenize-and-filter prologue for the lexical-retrieval
+    passes: lower + ``[^a-zа-яё]+`` split (the TF-IDF family tokenizer),
+    per-doc non-empty token counts ``dl``, and the (doc_row, token)
+    occurrence pairs restricted to the query vocabulary — all Arrow/numpy
+    kernels, no Python loop."""
+    import pyarrow.compute as pc
+
+    txt = batch.column("text")
+    toks = pc.split_pattern_regex(pc.utf8_lower(txt), "[^a-zа-яё]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offs = toks.offsets.to_numpy()
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    dl = _segment_sums(nonempty.astype(np.int64), offs)
+    rep = np.repeat(np.arange(len(txt), dtype=np.int64), np.diff(offs))
+    hit = pc.is_in(flat, value_set=term_arr).to_numpy(zero_copy_only=False)
+    return rep[hit], flat.filter(pa.array(hit)), dl
+
+
+_EMPTY_BM25 = {"doc_id": pa.int64(), "score": pa.int64(), "dl": pa.int64()}
+
+
+def bm25_topk(sf_dir: str, terms: tuple[str, ...] = BM25_TERMS,
+              k: int = BM25_TOPK) -> pd.DataFrame:
+    """Lexical ranked retrieval: top-``k`` documents for a fixed
+    bag-of-words query, scored by saturated term frequency × integer
+    rarity weight with a document-length penalty — the integer-exact core
+    of BM25 (idf → ``w_t = N*W_SCALE // (df_t+1)``; tf saturation →
+    ``min(tf, TF_CAP)``; length norm → ``score = raw*LEN_SCALE //
+    (dl+1)``).  Every step stays in 64-bit integer arithmetic so the
+    DuckDB twin is byte-exact (same reasoning as ``top_terms``: the float
+    idf/saturation curve would only reweight the same order and make the
+    oracle epsilon-sensitive).  This is the lexical sibling of the
+    ``knn_*`` embedding-retrieval family (reference analog: the doc-class
+    key lookup ``app.py:179-181`` selects a layout by lexical key match;
+    this is its corpus-scale ranked generalization).
+
+    Shape — two corpus scans, both shuffle-free:
+      pass A  per-block ``(term, local_df)`` partials over the tiny fixed
+        query vocabulary (docs never span batches, so batch-local
+        distinct-doc counts sum to the corpus df); the capped collect
+        (repartition(8) + Arrow combine) folds ≤ 8·|terms| rows on the
+        driver; N comes from the parquet footer (O(1)).
+      pass B  the |terms| integer weights ride the task closure
+        (KB-scale broadcast), each block scores vectorized and keeps a
+        per-block top-k partial, so the exchange carries blocks × k rows,
+        re-top-k'd once through the same capped collect.
+    A one-scan variant would have to ship every candidate document into a
+    global sort — data-scaled — so two cheap pruned scans is the 100 TB
+    shape (``columns=["doc_id","text"]`` both times).
+
+    Overflow budget: ``N * W_SCALE * |terms| * TF_CAP * LEN_SCALE`` must
+    stay under 2^63 — holds to N ≈ 3·10^10 at these defaults; a 10^12-doc
+    corpus drops W_SCALE/LEN_SCALE to 1, which only coarsens tie-breaking.
+    """
+    if docs_empty(sf_dir):
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in _EMPTY_BM25})
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    term_arr = pa.array(list(terms))
+
+    # --- pass A: corpus df per query term (domain = |terms|, bounded) ---
+    def df_partial(batch: pa.Table) -> pa.Table:
+        rep, hits, _dl = _word_hits(batch, term_arr)
+        if len(hits) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        d = pd.DataFrame({"r": rep, "term": hits.to_pandas()})
+        per = d.drop_duplicates().groupby("term", sort=False).size()
+        return pa.table({"term": pa.array(per.index, pa.string()),
+                         "df": pa.array(per.to_numpy().astype(np.int64))})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        g = batch.group_by(["term"], use_threads=False).aggregate(
+            [("df", "sum")])
+        return pa.table({"term": g.column("term"),
+                         "df": g.column("df_sum")})
+
+    parts = _read_docs(sf_dir).map_batches(df_partial,
+                                           batch_format="pyarrow",
+                                           zero_copy_batch=True) \
+                              .repartition(8) \
+                              .map_batches(combine, batch_format="pyarrow",
+                                           batch_size=None).to_pandas()
+    dfs = (parts.groupby("term")["df"].sum() if not parts.empty
+           else pd.Series(dtype="int64"))
+    weights = pd.Series(
+        {t: (n_docs * BM25_W_SCALE) // (int(dfs.get(t, 0)) + 1)
+         for t in terms}, dtype="int64")
+
+    # --- pass B: vectorized block scoring + per-block top-k partial ---
+    def score_block(batch: pa.Table) -> pa.Table:
+        rep, hits, dl = _word_hits(batch, term_arr)
+        if len(hits) == 0:
+            return pa.table({c: pa.array([], t)
+                             for c, t in _EMPTY_BM25.items()})
+        doc_ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        d = pd.DataFrame({"r": rep, "term": hits.to_pandas()})
+        tf = d.groupby(["r", "term"], sort=False).size().reset_index(
+            name="tf")
+        part = (np.minimum(tf["tf"].to_numpy(), BM25_TF_CAP)
+                * tf["term"].map(weights).to_numpy().astype(np.int64))
+        raw = pd.Series(part).groupby(tf["r"].to_numpy(), sort=False).sum()
+        rows = raw.index.to_numpy()
+        raw_v = raw.to_numpy().astype(np.int64)
+        keep = raw_v > 0
+        rows, raw_v = rows[keep], raw_v[keep]
+        score = (raw_v * BM25_LEN_SCALE) // (dl[rows] + 1)
+        out = pd.DataFrame({"doc_id": doc_ids[rows], "score": score,
+                            "dl": dl[rows]})
+        out = out.sort_values(["score", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(k)
+        return pa.table({"doc_id": pa.array(out["doc_id"].to_numpy()),
+                         "score": pa.array(out["score"].to_numpy()),
+                         "dl": pa.array(out["dl"].to_numpy())})
+
+    def re_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        idx = pc.sort_indices(batch, sort_keys=[("score", "descending"),
+                                                ("doc_id", "ascending")])
+        return batch.take(idx[:k])
+
+    tops = _read_docs(sf_dir).map_batches(score_block,
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True) \
+                             .repartition(8) \
+                             .map_batches(re_topk, batch_format="pyarrow",
+                                          batch_size=None).to_pandas()
+    if tops.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in _EMPTY_BM25})
+    return tops.sort_values(["score", "doc_id"],
+                            ascending=[False, True],
+                            kind="mergesort").head(k).reset_index(drop=True)

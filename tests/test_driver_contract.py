@@ -79,7 +79,8 @@ SQL_CHECKED = [
     "docs_minhash_pairs",
     # corpus-curation operators: integer-exact hash sampling, the
     # distributed prefix scan, per-doc top terms
-    # new text operators: PII redaction + n-gram novelty
+    # new text operators: PII redaction + n-gram novelty + lexical BM25
+    "docs_bm25_topk",
     "docs_pii_scrub",
     "docs_ngram_novelty",
     # mixture construction over the source column + the corpus-relative

@@ -451,3 +451,50 @@ def test_top_ngrams_universal_hot_gram(ray_session, tmp_path):
     assert len(flag) == n
     assert (flag["n_grams"] == 4).all()
     assert (flag["n_blocked"] == 1).all()
+
+
+def test_bm25_topk_planted(ray_session, tmp_path):
+    """Hand-computed integer-BM25 ranking: rarity weighting (the rare-term
+    doc outranks the common-only doc), tf saturation at the cap, the
+    length penalty, the raw>0 exclusion, and k-truncation."""
+    import pyarrow.parquet as pqt
+
+    from schoolocr_ray.pipelines.text import bm25_topk
+
+    texts = [
+        "rare common",                  # raw 1*1666+1*1250, dl 2
+        "common common common",         # raw 3*1250, dl 3
+        ("common " * 12).strip(),       # tf 12 saturates at 8, dl 12
+        "nothing here at all",          # no hits -> excluded
+        "rare " + ("pad " * 18).strip(),  # rare but long, dl 19
+    ]
+    pqt.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    # N=5, df(rare)=2, df(common)=3 -> w_rare=5000//3=1666, w_common=1250
+    got = bm25_topk(str(tmp_path), terms=("rare", "common"), k=3)
+    assert list(got.columns) == ["doc_id", "score", "dl"]
+    assert [tuple(r) for r in got.to_numpy()] == [
+        (0, 2916000 // 3, 2),       # 972000
+        (1, 3750000 // 4, 3),       # 937500
+        (2, 8 * 1250 * 1000 // 13, 12),  # 769230 — saturation bites
+    ]
+    # k wider than the hit set: doc 4 appears, doc 3 (no hits) never does
+    got_all = bm25_topk(str(tmp_path), terms=("rare", "common"), k=10)
+    assert got_all["doc_id"].tolist() == [0, 1, 2, 4]
+    assert got_all["score"].tolist()[-1] == 1666 * 1000 // 20
+
+
+def test_bm25_topk_empty_corpus(ray_session, tmp_path):
+    import pyarrow.parquet as pqt
+
+    from schoolocr_ray.pipelines.text import bm25_topk
+
+    pqt.write_table(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    got = bm25_topk(str(tmp_path))
+    assert list(got.columns) == ["doc_id", "score", "dl"]
+    assert len(got) == 0 and all(got[c].dtype == "int64" for c in got)
