@@ -432,8 +432,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Dict order = the order the driver's correctness sweep executes,
         # and the sweep records exactly the FIRST 50 entries (both r3 and
         # r4 recorded exactly 50 rows under very different per-query times
-        # -> count cap, not time cap).  64 of the 71 entries are
-        # SQL-checked, so 14 can never fit; the ordering policy is:
+        # -> count cap, not time cap).  66 of the 73 entries are
+        # SQL-checked, so 16 can never fit; the ordering policy is:
         #   1. SQL-checked entries with NO r4 row yet (curation/multimodal/
         #      eval — green in r3, displaced in r4) come first,
         #   2. then entries whose only green row is r4 (transcript rollups,
@@ -460,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- 1. SQL-checked, no r4 row: corpus curation
         "docs_sample_stratified": curation.stratified_sample,
         "docs_token_shards": curation.token_shards,
+        "docs_pack_sequences": curation.pack_sequences,
         "docs_top_terms": curation.top_terms,
         "docs_shuffle_shards": curation.shuffle_shards,
         "docs_corpus_tf_score": curation.corpus_tf_score,
@@ -1369,6 +1370,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, start_tok,
                    start_tok // """ + str(_curation.SHARD_CAPACITY) + r""" AS shard_id
             FROM s
+        """,
+        # fixed-window sequence packing: the token_shards prefix CTE +
+        # a generate_series lateral over each doc's spanned sequences
+        "docs_pack_sequences": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '')) AS n_tokens
+                FROM documents),
+            s AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0)::BIGINT AS start_tok
+                FROM t),
+            e AS (
+                SELECT doc_id, n_tokens, start_tok,
+                       unnest(generate_series(
+                           start_tok // """ + str(_curation.SEQ_WINDOW) + r""",
+                           (start_tok + n_tokens - 1) // """ + str(_curation.SEQ_WINDOW) + r"""))
+                           AS seq_id
+                FROM s WHERE n_tokens > 0)
+            SELECT doc_id, seq_id::BIGINT AS seq_id,
+                   (GREATEST(start_tok, seq_id * """ + str(_curation.SEQ_WINDOW) + r""") - start_tok)::BIGINT
+                       AS off_in_doc,
+                   (LEAST(start_tok + n_tokens, (seq_id + 1) * """ + str(_curation.SEQ_WINDOW) + r""")
+                    - GREATEST(start_tok, seq_id * """ + str(_curation.SEQ_WINDOW) + r"""))::BIGINT
+                       AS n_toks
+            FROM e
         """,
         # per-doc top-k terms by (tf DESC, df ASC, term ASC) — integer-exact
         # TF-IDF core: the idf log would only reweight the same order

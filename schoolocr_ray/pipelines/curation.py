@@ -52,6 +52,7 @@ MIX_DEFAULT_WEIGHT = 1
 
 SHARD_CAPACITY = 2048  # tokens per training shard
 TOP_TERMS_K = 3
+SEQ_WINDOW = 128  # tokens per packed training sequence (pack_sequences)
 
 
 def _explode_terms(batch: pa.Table, num_buckets: int) -> pa.Table:
@@ -374,6 +375,67 @@ def token_shards(sf_dir: str, capacity: int = SHARD_CAPACITY,
         })
 
     return tok.groupby("bucket").map_groups(arrow_groups(assign), batch_format="pandas")
+
+
+def pack_sequences(sf_dir: str, window: int = SEQ_WINDOW) -> ray.data.Dataset:
+    """Fixed-window sequence packing — the training-loader layout step
+    that follows token sharding: the corpus token stream (documents
+    concatenated in doc_id order, whitespace tokens) is cut into
+    back-to-back ``window``-token sequences, and each document maps to
+    the sequence(s) its tokens land in.  One output row per
+    (document, sequence) overlap: ``seq_id``, the document-local token
+    offset ``off_in_doc`` where that sequence's slice starts, and
+    ``n_toks`` in the slice — exactly what a packed-pretraining reader
+    needs to materialize example tensors without re-tokenizing
+    neighbours.  Greedy no-split packing is a sequential fold; this
+    fixed-boundary layout is the deterministic, coordination-free
+    variant (any worker can recompute any sequence's composition from
+    (doc_id, start_tok) alone), which is what makes it distributable.
+
+    Shape: reuses the ``token_shards`` distributed prefix scan verbatim
+    (capacity = window, so shard_id IS the first overlapped sequence),
+    then a vectorized flat-map expands each doc into its overlap rows —
+    rows out ≈ rows in + total_tokens/window, no further shuffle beyond
+    the scan's single narrow-table exchange.
+
+    DuckDB twin: the token_shards prefix CTE + ``generate_series``
+    lateral over the spanned sequence range — integer-exact.
+    """
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "seq_id": "int64",
+                            "off_in_doc": "int64", "n_toks": "int64"})
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_tokens").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        start = batch.column("start_tok").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = n > 0
+        n, start, doc = n[keep], start[keep], doc[keep]
+        empty = pa.table({c: pa.array([], pa.int64())
+                          for c in ("doc_id", "seq_id", "off_in_doc",
+                                    "n_toks")})
+        if not len(n):
+            return empty
+        w0 = start // window
+        cnt = (start + n - 1) // window - w0 + 1
+        total = int(cnt.sum())
+        rep = np.repeat(np.arange(len(n)), cnt)
+        c0 = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        seq = w0[rep] + (np.arange(total) - np.repeat(c0, cnt))
+        seg_start = np.maximum(start[rep], seq * window)
+        seg_end = np.minimum(start[rep] + n[rep], (seq + 1) * window)
+        return pa.table({
+            "doc_id": pa.array(doc[rep]),
+            "seq_id": pa.array(seq),
+            "off_in_doc": pa.array(seg_start - start[rep]),
+            "n_toks": pa.array(seg_end - seg_start),
+        })
+
+    return token_shards(sf_dir, capacity=window).map_batches(
+        expand, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def top_terms(sf_dir: str, k: int = TOP_TERMS_K,

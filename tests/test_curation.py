@@ -153,7 +153,8 @@ def test_new_docs_ops_survive_empty_table(ray_session, tmp_path):
                dedup.simhash, dedup.simhash_near_pairs,
                curation.stratified_sample, curation.source_mix,
                curation.length_filter,
-               curation.token_shards,
+               curation.token_shards, curation.pack_sequences,
+               text.bm25_topk,
                curation.top_terms, curation.shuffle_shards,
                curation.corpus_tf_score, curation.train_val_test_split,
                curation.curation_pipeline):
@@ -333,3 +334,31 @@ def test_mix_thresholds_properties():
                 budget * weights[s] // w_tot + t // _HASH_MOD + 1), s
 
     check()
+
+
+def test_pack_sequences_planted(ray_session, tmp_path):
+    """Hand-computed fixed-window packing at window=10: short docs pack
+    together, a long doc spans three sequences with correct in-doc
+    offsets, empty docs vanish, and slice lengths tile each doc exactly."""
+    import pyarrow as pa
+
+    from schoolocr_ray.pipelines.curation import pack_sequences
+
+    texts = [" ".join(f"t{i}" for i in range(n)) for n in (4, 8, 0, 25)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    got = pack_sequences(str(tmp_path), window=10).to_pandas() \
+        .sort_values(["doc_id", "seq_id"]).reset_index(drop=True)
+    want = [(0, 0, 0, 4),
+            (1, 0, 0, 6), (1, 1, 6, 2),
+            (3, 1, 0, 8), (3, 2, 8, 10), (3, 3, 18, 7)]
+    assert [tuple(r) for r in
+            got[["doc_id", "seq_id", "off_in_doc", "n_toks"]].to_numpy()] == want
+    # per-doc slices tile the document: offsets chain, lengths sum to n_tok
+    for doc, n in ((0, 4), (1, 8), (3, 25)):
+        part = got[got["doc_id"] == doc]
+        assert part["n_toks"].sum() == n
+        assert (part["off_in_doc"].to_numpy()
+                == np.concatenate([[0], np.cumsum(part["n_toks"])[:-1]])).all()

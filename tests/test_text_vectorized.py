@@ -283,7 +283,8 @@ def test_oracle_twins_on_adversarial_whitespace(ray_session, tmp_path):
                  "docs_token_shards", "docs_curation_pipeline",
                  "docs_ngram_novelty", "docs_pii_scrub",
                  "docs_source_mix", "docs_top_ngrams",
-                 "docs_boilerplate_flag", "docs_length_filter"):
+                 "docs_boilerplate_flag", "docs_length_filter",
+                 "docs_pack_sequences", "docs_bm25_topk"):
         r = qs[name](str(tmp_path))
         df = r.to_pandas() if hasattr(r, "to_pandas") else r
         o = con.execute(osql[name]).df()
