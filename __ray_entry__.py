@@ -432,8 +432,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Dict order = the order the driver's correctness sweep executes,
         # and the sweep records exactly the FIRST 50 entries (both r3 and
         # r4 recorded exactly 50 rows under very different per-query times
-        # -> count cap, not time cap).  66 of the 73 entries are
-        # SQL-checked, so 16 can never fit; the ordering policy is:
+        # -> count cap, not time cap).  67 of the 74 entries are
+        # SQL-checked, so 17 can never fit; the ordering policy is:
         #   1. SQL-checked entries with NO r4 row yet (curation/multimodal/
         #      eval — green in r3, displaced in r4) come first,
         #   2. then entries whose only green row is r4 (transcript rollups,
@@ -461,6 +461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_stratified": curation.stratified_sample,
         "docs_token_shards": curation.token_shards,
         "docs_pack_sequences": curation.pack_sequences,
+        "docs_source_cap": curation.source_cap,
         "docs_top_terms": curation.top_terms,
         "docs_shuffle_shards": curation.shuffle_shards,
         "docs_corpus_tf_score": curation.corpus_tf_score,
@@ -1370,6 +1371,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, start_tok,
                    start_tok // """ + str(_curation.SHARD_CAPACITY) + r""" AS shard_id
             FROM s
+        """,
+        # per-source frequency cap: seeded-hash rank within source
+        "docs_source_cap": r"""
+            WITH k AS (
+                SELECT doc_id, source,
+                       md5('""" + str(_curation.SOURCE_CAP_SEED) + r""":' || CAST(doc_id AS VARCHAR)) AS key
+                FROM documents)
+            SELECT doc_id, source, rk FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY key, doc_id)::BIGINT AS rk
+                FROM k)
+            WHERE rk <= """ + str(_curation.SOURCE_CAP) + r"""
         """,
         # fixed-window sequence packing: the token_shards prefix CTE +
         # a generate_series lateral over each doc's spanned sequences

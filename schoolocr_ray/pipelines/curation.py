@@ -53,6 +53,8 @@ MIX_DEFAULT_WEIGHT = 1
 SHARD_CAPACITY = 2048  # tokens per training shard
 TOP_TERMS_K = 3
 SEQ_WINDOW = 128  # tokens per packed training sequence (pack_sequences)
+SOURCE_CAP = 10   # max docs kept per source (source_cap)
+SOURCE_CAP_SEED = 13
 
 
 def _explode_terms(batch: pa.Table, num_buckets: int) -> pa.Table:
@@ -375,6 +377,78 @@ def token_shards(sf_dir: str, capacity: int = SHARD_CAPACITY,
         })
 
     return tok.groupby("bucket").map_groups(arrow_groups(assign), batch_format="pandas")
+
+
+def source_cap(sf_dir: str, cap: int = SOURCE_CAP,
+               seed: int = SOURCE_CAP_SEED) -> ray.data.Dataset:
+    """Per-source frequency capping — the domain-cap curation rule (no
+    single site/domain may contribute more than ``cap`` documents): keep
+    each source's first ``cap`` docs in seeded-hash order
+    (md5(seed ':' doc_id), ties by doc_id), emitting the kept doc's
+    within-source rank.  Hash order makes the kept subset a deterministic
+    uniform sample of the source — reruns and workers always agree, no
+    coordination (same contract as ``shuffle_shards`` / ``docs_split``).
+
+    Shape: pruned narrow read (doc_id, source only — text never moves);
+    a per-block partial keeps each source's block-local top-``cap`` by
+    (key, doc_id) — rank is monotone, so any globally-kept doc survives
+    its block partial — bounding the exchange at blocks × sources-per-
+    block × cap rows; the final rank is one vectorized sort + cumcount
+    per source-hash bucket.  Sources are data-scaled at web scale
+    (domains), so the final merge is a bucket groupby, NOT a driver fold
+    (the capped-collect rule only applies to dimension-bounded domains).
+
+    DuckDB twin: ``row_number() OVER (PARTITION BY source ORDER BY
+    md5(...), doc_id) <= cap`` — exact including md5 ties.
+    """
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "source": "object",
+                            "rk": "int64"})
+    import hashlib
+
+    docs = _read_docs(sf_dir, columns=("doc_id", "source"))
+
+    def keyed_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keys = [hashlib.md5(f"{seed}:{d}".encode()).hexdigest()
+                for d in ids]
+        df = pd.DataFrame({
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "source": batch.column("source").to_pandas(),
+            "key": keys,
+        })
+        df = df.sort_values(["source", "key", "doc_id"], kind="mergesort") \
+               .groupby("source", sort=False).head(cap)
+        sbk = (pd.util.hash_array(
+            df["source"].to_numpy(dtype=object)) % 64).astype(np.int32)
+        # explicit pa.table, not from_pandas: the pandas schema metadata
+        # (a dict) defeats Ray's schema-dedup hashing in the sort stage
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            "source": pa.array(df["source"].to_numpy(dtype=object),
+                               pa.string()),
+            "key": pa.array(df["key"].to_numpy(dtype=object), pa.string()),
+            "sbk": pa.array(sbk),
+        })
+
+    _EMPTY_CAP = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                               "source": pd.Series([], dtype="object"),
+                               "rk": pd.Series([], dtype="int64")})
+
+    def final_rank(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY_CAP
+        df = df.sort_values(["source", "key", "doc_id"], kind="mergesort")
+        rk = (df.groupby("source", sort=False).cumcount() + 1).to_numpy()
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                            "source": df["source"].to_numpy(),
+                            "rk": rk.astype(np.int64)})
+        return out[out["rk"] <= cap].reset_index(drop=True)
+
+    return docs.map_batches(keyed_partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+               .groupby("sbk").map_groups(arrow_groups(final_rank),
+                                          batch_format="pandas")
 
 
 def pack_sequences(sf_dir: str, window: int = SEQ_WINDOW) -> ray.data.Dataset:

@@ -154,7 +154,7 @@ def test_new_docs_ops_survive_empty_table(ray_session, tmp_path):
                curation.stratified_sample, curation.source_mix,
                curation.length_filter,
                curation.token_shards, curation.pack_sequences,
-               text.bm25_topk,
+               text.bm25_topk, curation.source_cap,
                curation.top_terms, curation.shuffle_shards,
                curation.corpus_tf_score, curation.train_val_test_split,
                curation.curation_pipeline):
@@ -362,3 +362,36 @@ def test_pack_sequences_planted(ray_session, tmp_path):
         assert part["n_toks"].sum() == n
         assert (part["off_in_doc"].to_numpy()
                 == np.concatenate([[0], np.cumsum(part["n_toks"])[:-1]])).all()
+
+
+def test_source_cap_planted(ray_session, tmp_path):
+    """Per-source cap against an independent hashlib recomputation: a
+    15-doc source keeps exactly cap docs in md5 order, a below-cap source
+    keeps everything, ranks are dense 1..n within each source."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from schoolocr_ray.pipelines.curation import SOURCE_CAP_SEED, source_cap
+
+    n_big, n_small = 15, 2
+    ids = list(range(n_big + n_small))
+    sources = ["big"] * n_big + ["small"] * n_small
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(["t"] * len(ids), pa.string()),
+                  "source": pa.array(sources, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    got = source_cap(str(tmp_path), cap=3).to_pandas() \
+        .sort_values(["source", "rk"]).reset_index(drop=True)
+
+    def key(d):
+        return hashlib.md5(f"{SOURCE_CAP_SEED}:{d}".encode()).hexdigest()
+
+    want_big = sorted(range(n_big), key=lambda d: (key(d), d))[:3]
+    want_small = sorted(range(n_big, n_big + n_small),
+                        key=lambda d: (key(d), d))
+    assert got[got["source"] == "big"]["doc_id"].tolist() == want_big
+    assert got[got["source"] == "big"]["rk"].tolist() == [1, 2, 3]
+    assert got[got["source"] == "small"]["doc_id"].tolist() == want_small
+    assert got[got["source"] == "small"]["rk"].tolist() == [1, 2]

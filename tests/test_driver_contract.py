@@ -93,6 +93,7 @@ SQL_CHECKED = [
     "docs_sample_stratified",
     "docs_token_shards",
     "docs_pack_sequences",
+    "docs_source_cap",
     "docs_top_terms",
     "docs_shuffle_shards",
     "docs_corpus_tf_score",

@@ -284,7 +284,8 @@ def test_oracle_twins_on_adversarial_whitespace(ray_session, tmp_path):
                  "docs_ngram_novelty", "docs_pii_scrub",
                  "docs_source_mix", "docs_top_ngrams",
                  "docs_boilerplate_flag", "docs_length_filter",
-                 "docs_pack_sequences", "docs_bm25_topk"):
+                 "docs_pack_sequences", "docs_bm25_topk",
+                 "docs_source_cap"):
         r = qs[name](str(tmp_path))
         df = r.to_pandas() if hasattr(r, "to_pandas") else r
         o = con.execute(osql[name]).df()
