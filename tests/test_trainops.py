@@ -358,3 +358,55 @@ def test_cluster_ops_survive_zero_pairs(ray_session, tmp_path):
             df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
             assert len(df) == 0, (fn.__name__, mode)
             assert list(df.columns) == cols, (fn.__name__, mode, df.columns)
+
+
+def test_kmeans_matches_serial_reference(ray_session, emb):
+    """Distributed Lloyd's == the serial single-process recursion on the
+    same corpus: identical assignments after n_iter epochs (the per-block
+    partial sums + driver fold reorder float additions, but the argmax
+    margins dwarf the 1e-15 reordering noise on this corpus), and the
+    one-pass assign operator equals epoch-0 of the reference."""
+    from schoolocr_ray.pipelines.similarity import (
+        KMEANS_ITER,
+        KMEANS_K,
+        kmeans,
+        kmeans_assign,
+    )
+
+    ids, m = emb
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    cent = m[:KMEANS_K].copy()
+
+    def ref_assign(c):
+        return (m @ c.T).argmax(axis=1).astype(np.int64)
+
+    got0 = kmeans_assign(SF_DIR).to_pandas().sort_values("vec_id")
+    assert (got0["vec_id"].to_numpy() == ids).all()
+    assert (got0["centroid_id"].to_numpy() == ref_assign(cent)).all()
+
+    for _ in range(KMEANS_ITER):
+        a = ref_assign(cent)
+        for c in range(KMEANS_K):
+            members = m[a == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    got = kmeans(SF_DIR).to_pandas().sort_values("vec_id")
+    assert (got["vec_id"].to_numpy() == ids).all()
+    assert (got["centroid_id"].to_numpy() == ref_assign(cent)).all()
+    # every cluster is non-degenerate on this corpus
+    assert got.groupby("centroid_id").size().min() > 0
+
+
+def test_kmeans_empty_embeddings(ray_session, tmp_path):
+    from schoolocr_ray.pipelines.similarity import kmeans, kmeans_assign
+
+    pq.write_table(pa.table({"vec_id": pa.array([], pa.int64()),
+                             "embedding": pa.array([], pa.list_(pa.float32()))}),
+                   str(tmp_path / "embeddings.parquet"))
+    for fn in (kmeans_assign, kmeans):
+        res = fn(str(tmp_path))
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        assert len(df) == 0
+        assert list(df.columns) == ["vec_id", "centroid_id"]
