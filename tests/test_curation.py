@@ -395,3 +395,33 @@ def test_source_cap_planted(ray_session, tmp_path):
     assert got[got["source"] == "big"]["rk"].tolist() == [1, 2, 3]
     assert got[got["source"] == "small"]["doc_id"].tolist() == want_small
     assert got[got["source"] == "small"]["rk"].tolist() == [1, 2]
+
+
+def test_source_cap_single_dominant_source(ray_session, tmp_path):
+    """The realistic web-corpus skew: ONE source owns (almost) the whole
+    shard.  The per-block partial must bound what reaches the final
+    bucket group at blocks x cap rows — and the globally-kept set must
+    still be the true hash-order top-cap across all blocks (a doc kept
+    globally is always in its block's local top-cap; a block-local
+    non-survivor can never re-enter)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from schoolocr_ray.pipelines.curation import SOURCE_CAP_SEED, source_cap
+
+    n = 20_000  # _read_docs splits this into the 32-block clamp
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(["t"] * n, pa.string()),
+                  "source": pa.array(["mega"] * n, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    got = source_cap(str(tmp_path), cap=5).to_pandas() \
+        .sort_values("rk").reset_index(drop=True)
+
+    def key(d):
+        return hashlib.md5(f"{SOURCE_CAP_SEED}:{d}".encode()).hexdigest()
+
+    want = sorted(range(n), key=lambda d: (key(d), d))[:5]
+    assert got["doc_id"].tolist() == want
+    assert got["rk"].tolist() == [1, 2, 3, 4, 5]

@@ -500,3 +500,25 @@ def test_bm25_topk_empty_corpus(ray_session, tmp_path):
     got = bm25_topk(str(tmp_path))
     assert list(got.columns) == ["doc_id", "score", "dl"]
     assert len(got) == 0 and all(got[c].dtype == "int64" for c in got)
+
+
+def test_bm25_no_hits_and_unseen_terms(ray_session, tmp_path):
+    """A corpus containing none of the query terms returns a typed empty
+    (never a crash on the empty df fold), and a query mixing seen with
+    never-seen terms scores only on the seen ones (df=0 terms get the
+    max rarity weight but contribute zero tf)."""
+    import pyarrow.parquet as pqt
+
+    from schoolocr_ray.pipelines.text import bm25_topk
+
+    pqt.write_table(
+        pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["alpha beta", "gamma delta"],
+                                   pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    got = bm25_topk(str(tmp_path), terms=("zeta", "omega"))
+    assert list(got.columns) == ["doc_id", "score", "dl"] and len(got) == 0
+    # N=2, df(alpha)=1 -> w=2000//2=1000; 'zeta' df=0 -> w=2000, tf=0
+    got2 = bm25_topk(str(tmp_path), terms=("alpha", "zeta"))
+    assert got2["doc_id"].tolist() == [0]
+    assert got2["score"].tolist() == [1 * 1000 * 1000 // 3]
