@@ -63,14 +63,18 @@ def _explode_terms(batch: pa.Table, num_buckets: int) -> pa.Table:
     ``group_by((doc_id, term))`` counts tf — no per-doc Python loop, no
     per-doc value_counts.  Docs never span batches, so the batch-local
     count IS the per-doc global tf and (doc, term) rows are globally
-    unique.  Shared by ``top_terms`` and ``corpus_tf_score`` so their
+    unique.  Shared by ``top_terms`` and ``corpus_tf_score``, and the
+    tokenizer itself is the family-shared ``text.WORD_RE`` (bm25 and the
+    stopword votes run the same regex), so the whole retrieval family's
     tokenization can never diverge.  ``tbk`` is the term-hash bucket for
     the df shuffle — within-run determinism is all bucketing needs (the
     bucket id never reaches any output)."""
     import pyarrow.compute as pc
 
+    from .text import WORD_RE
+
     toks = pc.split_pattern_regex(pc.utf8_lower(batch.column("text")),
-                                  "[^a-zа-яё]+")
+                                  WORD_RE)
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     offs = toks.offsets.to_numpy()

@@ -431,37 +431,45 @@ KMEANS_SCHEMA = pa.schema([("vec_id", pa.int64()),
                            ("centroid_id", pa.int64())])
 
 
-def _seed_centroids(sf_dir: str, k: int) -> np.ndarray:
-    """Deterministic seed centroids: the (normalized) embeddings of
-    vec_id 0..k-1, loaded with predicate pushdown — O(k) rows however big
-    the corpus, the same pruned-read shape as ``_load_queries``.  Seeding
-    from fixed corpus rows (not RNG) is what lets the single-pass
-    assignment have an exact DuckDB twin."""
+def _seed_centroids(sf_dir: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic seed centroids: the (normalized) embeddings of the
+    rows with vec_id < k, loaded with predicate pushdown — O(k) rows
+    however big the corpus, the same pruned-read shape as
+    ``_load_queries``.  Seeding from fixed corpus rows (not RNG) is what
+    lets the single-pass assignment have an exact DuckDB twin.  Returns
+    ``(seed_vec_ids, matrix)``: a shard whose low vec_ids were filtered
+    upstream (real at 100 TB — any id-range partition) may have GAPS
+    below k, and the emitted centroid label must be the seed row's
+    actual vec_id, exactly as the twin's ``cid`` is."""
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"],
                       filters=[("vec_id", "<", k)])
     df = t.to_pandas().sort_values("vec_id")
     if not len(df):
-        return np.zeros((0, 0))
+        return np.zeros(0, dtype=np.int64), np.zeros((0, 0))
     cm = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-    return cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    return (df["vec_id"].to_numpy().astype(np.int64),
+            cm / np.linalg.norm(cm, axis=1, keepdims=True))
 
 
-def _assign_batches(ds: ray.data.Dataset, cent: np.ndarray) -> ray.data.Dataset:
+def _assign_batches(ds: ray.data.Dataset, cids: np.ndarray,
+                    cent: np.ndarray) -> ray.data.Dataset:
     """One zero-shuffle assignment pass: per batch, normalize + one matmul
     against the broadcast centroid matrix; ``argmax`` breaks exact-sim
-    ties toward the lower centroid id (first maximum), matching the SQL
-    twin's ``ORDER BY sim DESC, cid`` row_number pick."""
-    cref = ray.put(cent)
+    ties toward the FIRST (lowest-vec_id) centroid, matching the SQL
+    twin's ``ORDER BY sim DESC, cid`` row_number pick, and the emitted
+    label is the seed row's vec_id (``cids`` gather), not the matrix row
+    index."""
+    cref = ray.put((cids, cent))
 
     def assign(batch: pa.Table) -> pa.Table:
-        c = ray.get(cref)
+        ids, c = ray.get(cref)
         em = embedding_matrix(batch.column("embedding"))
         em /= np.linalg.norm(em, axis=1, keepdims=True)
-        cid = (em @ c.T).argmax(axis=1).astype(np.int64)
+        cid = ids[(em @ c.T).argmax(axis=1)]
         return pa.table({
             "vec_id": batch.column("vec_id").cast(pa.int64()),
-            "centroid_id": pa.array(cid),
+            "centroid_id": pa.array(cid, pa.int64()),
         })
 
     return ds.map_batches(assign, batch_format="pyarrow",
@@ -482,11 +490,16 @@ def kmeans_assign(sf_dir: str, k: int = KMEANS_K) -> ray.data.Dataset:
 
     Shape: centroids load via predicate pushdown (O(k) rows) and
     broadcast once (`ray.put`); the corpus streams through one
-    `map_batches` matmul — zero shuffle, output is two int64 columns."""
+    `map_batches` matmul — zero shuffle, output is two int64 columns.
+    A nonempty shard with NO vec_id < k (an upstream id-range filter)
+    has no seeds, and the twin's cross join is empty — return the typed
+    empty, like the knn family's disjoint-query degradation."""
     if pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows == 0:
         return empty_result(KMEANS_SCHEMA)
-    cent = _seed_centroids(sf_dir, k)
-    return _assign_batches(read_embeddings(sf_dir), cent)
+    cids, cent = _seed_centroids(sf_dir, k)
+    if not len(cids):
+        return empty_result(KMEANS_SCHEMA)
+    return _assign_batches(read_embeddings(sf_dir), cids, cent)
 
 
 def kmeans(sf_dir: str, k: int = KMEANS_K,
@@ -509,18 +522,32 @@ def kmeans(sf_dir: str, k: int = KMEANS_K,
     exists as ``_ivf_centroids``."""
     if pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows == 0:
         return empty_result(KMEANS_SCHEMA)
-    cent = _seed_centroids(sf_dir, k)
-    dim = cent.shape[1]
+    cids, cent = _seed_centroids(sf_dir, k)
+    if not len(cids):
+        return empty_result(KMEANS_SCHEMA)
+    m, dim = cent.shape          # live seed count: <= k on gapped shards
     ds = read_embeddings(sf_dir)
+    # the per-epoch fold is keyed by matrix ROW index (0..m-1); the seed
+    # vec_id labels only enter at the final assignment pass
+    _sched = pa.schema([("ci", pa.int64()), ("n", pa.int64()),
+                        ("s", pa.list_(pa.float64(), dim))])
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("cid", sort=True)
-        return pd.DataFrame({
-            "cid": np.fromiter(g.groups.keys(), dtype=np.int64),
-            "n": g["n"].sum().to_numpy(),
-            "s": g["s"].apply(
-                lambda col: np.sum(np.stack(col.to_numpy()), axis=0)).to_numpy(),
-        })
+    def combine(batch: pa.Table) -> pa.Table:
+        # empty repartition blocks pass through with the SAME schema —
+        # a from_pandas on an empty frame would null-type the 's' column
+        # and ship a mixed-schema stream (the sibling capped-collect rule)
+        if batch.num_rows == 0:
+            return batch.cast(_sched) if batch.schema.names == _sched.names \
+                else pa.table({n: pa.array([], t)
+                               for n, t in zip(_sched.names, _sched.types)})
+        df = batch.to_pandas()
+        g = df.groupby("ci", sort=True)
+        ci = np.fromiter(g.groups.keys(), dtype=np.int64)
+        n = g["n"].sum().to_numpy().astype(np.int64)
+        s = np.stack(g["s"].apply(
+            lambda col: np.sum(np.stack(col.to_numpy()), axis=0)).to_numpy())
+        return pa.table({"ci": pa.array(ci), "n": pa.array(n),
+                         "s": pa.array(list(s), pa.list_(pa.float64(), dim))})
 
     for _ in range(n_iter):
         cref = ray.put(cent)
@@ -530,12 +557,12 @@ def kmeans(sf_dir: str, k: int = KMEANS_K,
             em = embedding_matrix(batch.column("embedding"))
             em /= np.linalg.norm(em, axis=1, keepdims=True)
             a = (em @ c.T).argmax(axis=1)
-            sums = np.zeros((k, dim))
+            sums = np.zeros((m, dim))
             np.add.at(sums, a, em)
-            counts = np.bincount(a, minlength=k).astype(np.int64)
+            counts = np.bincount(a, minlength=m).astype(np.int64)
             live = counts > 0
             return pa.table({
-                "cid": pa.array(np.arange(k, dtype=np.int64)[live]),
+                "ci": pa.array(np.arange(m, dtype=np.int64)[live]),
                 "n": pa.array(counts[live]),
                 "s": pa.array(list(sums[live]),
                               pa.list_(pa.float64(), dim)),
@@ -544,14 +571,14 @@ def kmeans(sf_dir: str, k: int = KMEANS_K,
         folded = ds.map_batches(partial, batch_format="pyarrow",
                                 zero_copy_batch=True) \
                    .repartition(8) \
-                   .map_batches(arrow_groups(combine), batch_format="pandas",
+                   .map_batches(combine, batch_format="pyarrow",
                                 batch_size=None) \
                    .to_pandas()
-        folded = combine(folded)
         new_cent = cent.copy()
-        for cid, n, s in folded.itertuples(index=False):
-            v = np.asarray(s, dtype=np.float64)
-            new_cent[int(cid)] = v / np.linalg.norm(v)
+        for _, row in folded.groupby("ci"):
+            ci = int(row["ci"].iloc[0])
+            v = np.sum(np.stack(row["s"].to_numpy()), axis=0)
+            new_cent[ci] = v / np.linalg.norm(v)
         cent = new_cent
 
-    return _assign_batches(ds, cent)
+    return _assign_batches(ds, cids, cent)

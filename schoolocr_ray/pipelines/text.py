@@ -150,22 +150,39 @@ def _flat_tokens(txt: pa.Array | pa.ChunkedArray
     return rep[mask], flat.filter(pa.array(mask))
 
 
+# the WORD tokenizer of the whole TF-IDF/retrieval family (top_terms,
+# corpus_tf_score, bm25, stopword voting): lower + split on non-letter
+# runs.  ONE definition — curation._explode_terms and every consumer
+# below import it, so the family's tokenization can never diverge (the
+# same contract _flat_tokens gives the whitespace-token family).
+WORD_RE = "[^a-zа-яё]+"
+
+
+def _word_tokens(txt: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarray]:
+    """Shared word-tokenize prologue: lower + ``WORD_RE`` split, chunks
+    combined; returns ``(flat_tokens, list_offsets)``.  Empty boundary
+    tokens are NOT stripped here — callers mask or filter as their
+    semantics need (counts vs occurrence pairs)."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern_regex(pc.utf8_lower(txt), WORD_RE)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    return toks.flatten(), toks.offsets.to_numpy()
+
+
 def _stop_votes(txt: pa.Array,
                 stops: tuple[tuple[str, ...], ...] = (EN_STOP, RU_STOP)
                 ) -> tuple[np.ndarray, ...]:
     """Per-document counts of stopword token occurrences, one array per
-    stop list in ``stops`` (tokens = ``[^a-zа-яё]+`` splits of the
-    lowered text, duplicates counted), fully in Arrow kernels: lower →
-    split_pattern_regex → flatten → is_in → segment sums over the list
+    stop list in ``stops`` (tokens = ``WORD_RE`` splits of the
+    lowered text, duplicates counted), fully in Arrow kernels: the
+    ``_word_tokens`` prologue → is_in → segment sums over the list
     offsets.  Callers that need only one list pass a 1-tuple and skip
     the second membership pass."""
     import pyarrow.compute as pc
 
-    toks = pc.split_pattern_regex(pc.utf8_lower(txt), "[^a-zа-яё]+")
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    flat = toks.flatten()
-    offs = toks.offsets.to_numpy()
+    flat, offs = _word_tokens(txt)
     return tuple(
         _segment_sums(
             pc.is_in(flat, value_set=pa.array(sl)).to_numpy(
@@ -1168,19 +1185,14 @@ def chunk_documents(sf_dir: str, size: int = 64,
 
 def _word_hits(batch: pa.Table, term_arr: pa.Array
                ) -> tuple[np.ndarray, pa.Array, np.ndarray]:
-    """Shared tokenize-and-filter prologue for the lexical-retrieval
-    passes: lower + ``[^a-zа-яё]+`` split (the TF-IDF family tokenizer),
-    per-doc non-empty token counts ``dl``, and the (doc_row, token)
-    occurrence pairs restricted to the query vocabulary — all Arrow/numpy
-    kernels, no Python loop."""
+    """Tokenize-and-filter prologue for the lexical-retrieval passes,
+    built on the family-shared ``_word_tokens``: per-doc non-empty token
+    counts ``dl``, and the (doc_row, token) occurrence pairs restricted
+    to the query vocabulary — all Arrow/numpy kernels, no Python loop."""
     import pyarrow.compute as pc
 
     txt = batch.column("text")
-    toks = pc.split_pattern_regex(pc.utf8_lower(txt), "[^a-zа-яё]+")
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    flat = toks.flatten()
-    offs = toks.offsets.to_numpy()
+    flat, offs = _word_tokens(txt)
     nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
     dl = _segment_sums(nonempty.astype(np.int64), offs)
     rep = np.repeat(np.arange(len(txt), dtype=np.int64), np.diff(offs))

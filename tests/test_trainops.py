@@ -395,8 +395,9 @@ def test_kmeans_matches_serial_reference(ray_session, emb):
     got = kmeans(SF_DIR).to_pandas().sort_values("vec_id")
     assert (got["vec_id"].to_numpy() == ids).all()
     assert (got["centroid_id"].to_numpy() == ref_assign(cent)).all()
-    # every cluster is non-degenerate on this corpus
-    assert got.groupby("centroid_id").size().min() > 0
+    # all k clusters survive on this corpus (a collapsed-centroid
+    # regression would shrink the label set, which groupby can't see)
+    assert got["centroid_id"].nunique() == KMEANS_K
 
 
 def test_kmeans_empty_embeddings(ray_session, tmp_path):
@@ -407,6 +408,50 @@ def test_kmeans_empty_embeddings(ray_session, tmp_path):
                    str(tmp_path / "embeddings.parquet"))
     for fn in (kmeans_assign, kmeans):
         res = fn(str(tmp_path))
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        assert len(df) == 0
+        assert list(df.columns) == ["vec_id", "centroid_id"]
+
+
+def test_kmeans_gapped_and_disjoint_id_shards(ray_session, tmp_path):
+    """Review regressions: (1) a shard whose vec_ids < k have GAPS must
+    label clusters by the seed rows' ACTUAL vec_ids (the SQL twin's cid),
+    not matrix row positions; (2) a nonempty shard with NO vec_id < k has
+    no seeds — typed empty, not a matmul shape crash."""
+    import duckdb
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.similarity import kmeans, kmeans_assign
+
+    rng = np.random.RandomState(3)
+    ids = np.array([0, 1, 5, 6] + list(range(20, 40)), dtype=np.int64)
+    m = rng.randn(len(ids), 16).astype(np.float32)
+    gapped = tmp_path / "gapped"
+    gapped.mkdir()
+    pq.write_table(pa.table({"vec_id": pa.array(ids),
+                             "embedding": pa.array(list(m),
+                                                   pa.list_(pa.float32()))}),
+                   str(gapped / "embeddings.parquet"))
+    got = kmeans_assign(str(gapped)).to_pandas()
+    assert set(got["centroid_id"]) <= {0, 1, 5, 6}
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{gapped}/embeddings.parquet')")
+    want = con.execute(e.oracle_sql()["embeddings_kmeans_assign"]).df()
+    g = got.sort_values("vec_id").reset_index(drop=True)
+    w = want.sort_values("vec_id").reset_index(drop=True)
+    assert (g.values == w.values).all()
+    km = kmeans(str(gapped)).to_pandas()
+    assert set(km["centroid_id"]) <= {0, 1, 5, 6} and len(km) == len(ids)
+
+    disjoint = tmp_path / "disjoint"
+    disjoint.mkdir()
+    pq.write_table(pa.table({"vec_id": pa.array(ids + 100),
+                             "embedding": pa.array(list(m),
+                                                   pa.list_(pa.float32()))}),
+                   str(disjoint / "embeddings.parquet"))
+    for fn in (kmeans_assign, kmeans):
+        res = fn(str(disjoint))
         df = res.to_pandas() if hasattr(res, "to_pandas") else res
         assert len(df) == 0
         assert list(df.columns) == ["vec_id", "centroid_id"]
