@@ -450,6 +450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- 1. SQL-checked, no prior row: new text/curation operators
         # (PII redaction, n-gram novelty, source mixing)
         "docs_bm25_topk": text.bm25_topk,
+        "embeddings_cluster_sample": similarity.cluster_sample,
+        "embeddings_outliers": similarity.cluster_outliers,
         "docs_pii_scrub": text.pii_scrub,
         "docs_ngram_novelty": text.ngram_novelty,
         "docs_top_ngrams": text.top_ngrams,
@@ -1580,6 +1582,59 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY sim DESC, cid) AS rn
                 FROM s)
             WHERE rn = 1
+        """,
+        # cluster-balanced sampling: the assignment CTE + one md5-rank
+        # window per cluster (the source_cap rank contract in embedding
+        # space)
+        "embeddings_cluster_sample": """
+            WITH c AS (
+                SELECT vec_id AS cid, embedding AS ce
+                FROM embeddings WHERE vec_id < """ + str(_similarity.KMEANS_K) + """),
+            s AS (
+                SELECT e.vec_id, c.cid,
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(c.ce AS DOUBLE[])) AS sim
+                FROM embeddings e CROSS JOIN c),
+            a AS (
+                SELECT vec_id, cid AS centroid_id FROM (
+                    SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY sim DESC, cid) AS rn
+                    FROM s)
+                WHERE rn = 1)
+            SELECT vec_id, centroid_id, rk FROM (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (
+                           PARTITION BY centroid_id
+                           ORDER BY md5('""" + str(_similarity.CLUSTER_SAMPLE_SEED) + """:' || CAST(vec_id AS VARCHAR)),
+                                    vec_id)::BIGINT AS rk
+                FROM a)
+            WHERE rk <= """ + str(_similarity.CLUSTER_SAMPLE_CAP) + """
+        """,
+        # per-cluster outliers: keep the rn=1 row's sim and rank ascending
+        # (sim orders, integers surface — the knn float discipline)
+        "embeddings_outliers": """
+            WITH c AS (
+                SELECT vec_id AS cid, embedding AS ce
+                FROM embeddings WHERE vec_id < """ + str(_similarity.KMEANS_K) + """),
+            s AS (
+                SELECT e.vec_id, c.cid,
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(c.ce AS DOUBLE[])) AS sim
+                FROM embeddings e CROSS JOIN c),
+            a AS (
+                SELECT vec_id, cid AS centroid_id, sim FROM (
+                    SELECT vec_id, cid, sim,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY sim DESC, cid) AS rn
+                    FROM s)
+                WHERE rn = 1)
+            SELECT vec_id, centroid_id, rk FROM (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (PARTITION BY centroid_id
+                                          ORDER BY sim ASC, vec_id)::BIGINT AS rk
+                FROM a)
+            WHERE rk <= """ + str(_similarity.OUTLIER_N) + """
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -149,7 +149,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      "docs_source_mix", "docs_top_ngrams",
                      "docs_boilerplate_flag", "docs_semdedup", "embeddings_kmeans_assign",
                      "docs_length_filter", "docs_bm25_topk",
-                     "docs_pack_sequences", "docs_source_cap"):
+                     "docs_pack_sequences", "docs_source_cap",
+                     "embeddings_cluster_sample", "embeddings_outliers"):
             t0 = time.monotonic()
             res = q[name](sf_dir)
             if hasattr(res, "to_pandas"):

@@ -582,3 +582,163 @@ def kmeans(sf_dir: str, k: int = KMEANS_K,
         cent = new_cent
 
     return _assign_batches(ds, cids, cent)
+
+
+# --- embedding-space corpus curation over the kmeans assignment --------
+#
+# Cluster-balanced sampling and per-cluster outlier pruning are the two
+# standard embedding-space selection moves of a training-data pipeline
+# (diversity sampling over kmeans buckets; dropping the least-prototypical
+# members of each bucket).  Both reuse the SQL-exact single-pass
+# assignment kernel (kmeans_assign) so their DuckDB twins compose the
+# assignment cross-join CTE with one row_number window.
+
+CLUSTER_SAMPLE_CAP = 20    # vecs kept per cluster (cluster_sample)
+CLUSTER_SAMPLE_SEED = 17   # md5 rank seed (same contract as SOURCE_CAP)
+OUTLIER_N = 15             # least-prototypical vecs surfaced per cluster
+
+CSAMPLE_SCHEMA = pa.schema([("vec_id", pa.int64()),
+                            ("centroid_id", pa.int64()),
+                            ("rk", pa.int64())])
+
+
+def _assign_with_sim(ds: ray.data.Dataset, cids: np.ndarray,
+                     cent: np.ndarray) -> ray.data.Dataset:
+    """``_assign_batches`` that also carries the winning cosine similarity
+    (the vec's prototypicality within its cluster).  Same zero-shuffle
+    shape; the sim column exists only to ORDER ranks downstream and never
+    surfaces in an operator's output (the knn family's float discipline —
+    floats order, integers surface)."""
+    cref = ray.put((cids, cent))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids, c = ray.get(cref)
+        em = embedding_matrix(batch.column("embedding"))
+        em /= np.linalg.norm(em, axis=1, keepdims=True)
+        sims = em @ c.T
+        a = sims.argmax(axis=1)
+        return pa.table({
+            "vec_id": batch.column("vec_id").cast(pa.int64()),
+            "centroid_id": pa.array(ids[a], pa.int64()),
+            "sim": pa.array(sims[np.arange(len(a)), a], pa.float64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def cluster_sample(sf_dir: str, k: int = KMEANS_K,
+                   cap: int = CLUSTER_SAMPLE_CAP,
+                   seed: int = CLUSTER_SAMPLE_SEED) -> ray.data.Dataset:
+    """Cluster-balanced sampling: assign every vector to its nearest seed
+    centroid (the ``kmeans_assign`` kernel), then keep each cluster's
+    first ``cap`` members in seeded-hash order (md5(seed ':' vec_id),
+    ties by vec_id) — a deterministic uniform sample per embedding-space
+    bucket, the diversity-sampling primitive that keeps a 100 TB corpus's
+    long-tail clusters represented instead of letting the head clusters
+    dominate a uniform sample.  Emits the kept vec's within-cluster rank.
+
+    Shape: the assignment is one zero-shuffle broadcast-matmul pass; a
+    per-block partial keeps each cluster's block-local top-``cap`` by
+    (key, vec_id) — hash rank is monotone, so any globally-kept vec
+    survives its block partial — bounding the exchange at
+    blocks x k x cap rows; the final rank is one vectorized sort +
+    head per cluster (k clusters, dimension-bounded groupby).
+
+    DuckDB twin: the ``embeddings_kmeans_assign`` cross-join CTE +
+    ``row_number() OVER (PARTITION BY centroid_id ORDER BY md5(...),
+    vec_id) <= cap`` — exact including md5 ties."""
+    import hashlib
+
+    if pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows == 0:
+        return empty_result(CSAMPLE_SCHEMA)
+    cids, cent = _seed_centroids(sf_dir, k)
+    if not len(cids):
+        return empty_result(CSAMPLE_SCHEMA)
+    assigned = _assign_batches(read_embeddings(sf_dir), cids, cent)
+
+    def keyed_partial(batch: pa.Table) -> pa.Table:
+        vids = batch.column("vec_id").to_numpy().astype(np.int64,
+                                                        copy=False)
+        keys = [hashlib.md5(f"{seed}:{v}".encode()).hexdigest()
+                for v in vids]
+        df = pd.DataFrame({
+            "vec_id": vids,
+            "centroid_id": batch.column("centroid_id").to_numpy(),
+            "key": keys,
+        })
+        df = df.sort_values(["centroid_id", "key", "vec_id"],
+                            kind="mergesort") \
+               .groupby("centroid_id", sort=False).head(cap)
+        return pa.table({
+            "vec_id": pa.array(df["vec_id"].to_numpy(), pa.int64()),
+            "centroid_id": pa.array(df["centroid_id"].to_numpy(),
+                                    pa.int64()),
+            "key": pa.array(df["key"].to_numpy(dtype=object), pa.string()),
+        })
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["key", "vec_id"], kind="mergesort").head(cap)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy(),
+            "centroid_id": df["centroid_id"].to_numpy(),
+            "rk": np.arange(1, len(df) + 1, dtype=np.int64),
+        })
+
+    return assigned.map_batches(keyed_partial, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+                   .groupby("centroid_id") \
+                   .map_groups(arrow_groups(finalize),
+                               batch_format="pandas")
+
+
+def cluster_outliers(sf_dir: str, k: int = KMEANS_K,
+                     n_out: int = OUTLIER_N) -> ray.data.Dataset:
+    """Per-cluster outlier surfacing: the ``n_out`` LEAST-prototypical
+    members of every kmeans cluster — lowest cosine similarity to the
+    assigned centroid, ties by vec_id — ranked 1 (worst) .. n_out.  The
+    prune-candidate list of embedding-space curation (mislabeled /
+    off-distribution docs sit far from every centroid), and the
+    complement of SemDeDup's near-centroid dedup.
+
+    Shape: one zero-shuffle assignment pass carrying the winning sim; a
+    per-block partial keeps each cluster's block-local bottom-``n_out``
+    by (sim, vec_id) — monotone rank, so the block partial is lossless —
+    then one vectorized sort + head per cluster.  The float sim orders
+    ranks but never surfaces (the knn family's float discipline).
+
+    DuckDB twin: the assignment CTE keeps the rn=1 row's sim and ranks
+    ``row_number() OVER (PARTITION BY centroid_id ORDER BY sim ASC,
+    vec_id) <= n_out``."""
+    if pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows == 0:
+        return empty_result(CSAMPLE_SCHEMA)
+    cids, cent = _seed_centroids(sf_dir, k)
+    if not len(cids):
+        return empty_result(CSAMPLE_SCHEMA)
+    assigned = _assign_with_sim(read_embeddings(sf_dir), cids, cent)
+
+    def bottom_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "vec_id": batch.column("vec_id").to_numpy(),
+            "centroid_id": batch.column("centroid_id").to_numpy(),
+            "sim": batch.column("sim").to_numpy(),
+        })
+        df = df.sort_values(["centroid_id", "sim", "vec_id"],
+                            kind="mergesort") \
+               .groupby("centroid_id", sort=False).head(n_out)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "vec_id"], kind="mergesort").head(n_out)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy(),
+            "centroid_id": df["centroid_id"].to_numpy(),
+            "rk": np.arange(1, len(df) + 1, dtype=np.int64),
+        })
+
+    return assigned.map_batches(bottom_partial, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+                   .groupby("centroid_id") \
+                   .map_groups(arrow_groups(finalize),
+                               batch_format="pandas")

@@ -60,6 +60,8 @@ SQL_CHECKED = [
     "docs_decontaminate",
     "docs_embedding_neardup", "docs_semdedup", "knn_bruteforce",
     "embeddings_kmeans_assign",
+    # embedding-space curation over the assignment kernel
+    "embeddings_cluster_sample", "embeddings_outliers",
     "transcripts_conv_shape", "transcripts_tool_filter", "transcripts_dedup",
     "transcripts_fragments",
     # roll-ups: SQL over the engine's own checkpointed extraction output

@@ -455,3 +455,100 @@ def test_kmeans_gapped_and_disjoint_id_shards(ray_session, tmp_path):
         df = res.to_pandas() if hasattr(res, "to_pandas") else res
         assert len(df) == 0
         assert list(df.columns) == ["vec_id", "centroid_id"]
+
+
+def test_cluster_sample_planted(ray_session, tmp_path):
+    """Hand-computed cluster-balanced sample: two obvious clusters around
+    the two seed vectors; md5 ranks recomputed independently in the test."""
+    import hashlib
+
+    import pandas as pd
+
+    from schoolocr_ray.pipelines.similarity import cluster_sample
+
+    # seeds: e0 = +x, e1 = +y; members planted unambiguously near each
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],   # seed / cluster 0
+        1: [0.0, 1.0, 0.0, 0.0],   # seed / cluster 1
+        10: [0.9, 0.1, 0.0, 0.0],  # -> 0
+        11: [0.8, 0.0, 0.2, 0.0],  # -> 0
+        12: [0.7, 0.1, 0.1, 0.0],  # -> 0
+        20: [0.1, 0.9, 0.0, 0.0],  # -> 1
+        21: [0.0, 0.8, 0.2, 0.0],  # -> 1
+    }
+    ids = sorted(vecs)
+    pq.write_table(
+        pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([vecs[i] for i in ids],
+                                        pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+    got = cluster_sample(str(tmp_path), k=2, cap=2, seed=17).to_pandas()
+    got = got.sort_values(["centroid_id", "rk"]).reset_index(drop=True)
+
+    want_rows = []
+    for cid, members in ((0, [0, 10, 11, 12]), (1, [1, 20, 21])):
+        ranked = sorted(members,
+                        key=lambda v: (hashlib.md5(f"17:{v}".encode())
+                                       .hexdigest(), v))[:2]
+        want_rows += [(v, cid, r + 1) for r, v in enumerate(ranked)]
+    want = pd.DataFrame(want_rows,
+                        columns=["vec_id", "centroid_id", "rk"]) \
+             .sort_values(["centroid_id", "rk"]).reset_index(drop=True)
+    assert (got.values == want.values).all(), (got, want)
+
+
+def test_cluster_outliers_planted(ray_session, tmp_path):
+    """Planted outlier: within cluster 0, vec 12 is the farthest from the
+    seed centroid and must rank 1 (worst); ranks ascend with sim."""
+    from schoolocr_ray.pipelines.similarity import cluster_outliers
+
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0],
+        10: [0.99, 0.01, 0.0, 0.0],   # nearly the seed
+        11: [0.9, 0.0, 0.1, 0.0],
+        12: [0.55, 0.0, 0.45, 0.0],   # planted outlier of cluster 0
+        20: [0.0, 0.99, 0.01, 0.0],
+        21: [0.2, 0.8, 0.0, 0.0],     # planted outlier of cluster 1
+    }
+    ids = sorted(vecs)
+    pq.write_table(
+        pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([vecs[i] for i in ids],
+                                        pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+    got = cluster_outliers(str(tmp_path), k=2, n_out=2).to_pandas()
+    by = {(int(r.centroid_id), int(r.rk)): int(r.vec_id)
+          for r in got.itertuples()}
+    assert len(got) == 4
+    assert by[(0, 1)] == 12 and by[(0, 2)] == 11
+    assert by[(1, 1)] == 21 and by[(1, 2)] == 20
+
+
+def test_cluster_sample_outliers_degradations(ray_session, tmp_path):
+    """Empty corpus and a shard with no vec_id < k both degrade to the
+    typed empty (the kmeans family contract)."""
+    from schoolocr_ray.pipelines.similarity import (
+        cluster_outliers,
+        cluster_sample,
+    )
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    pq.write_table(pa.table({"vec_id": pa.array([], pa.int64()),
+                             "embedding": pa.array([], pa.list_(pa.float32()))}),
+                   str(empty / "embeddings.parquet"))
+    disjoint = tmp_path / "disjoint"
+    disjoint.mkdir()
+    rng = np.random.RandomState(7)
+    pq.write_table(
+        pa.table({"vec_id": pa.array(np.arange(100, 120, dtype=np.int64)),
+                  "embedding": pa.array(list(rng.randn(20, 8).astype(np.float32)),
+                                        pa.list_(pa.float32()))}),
+        str(disjoint / "embeddings.parquet"))
+    for fn in (cluster_sample, cluster_outliers):
+        for d in (empty, disjoint):
+            res = fn(str(d))
+            df = res.to_pandas() if hasattr(res, "to_pandas") else res
+            assert len(df) == 0, (fn.__name__, d)
+            assert list(df.columns) == ["vec_id", "centroid_id", "rk"]
