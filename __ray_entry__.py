@@ -449,6 +449,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      recall-floor/golden tests don't already say.
         # --- 1. SQL-checked, no prior row: new text/curation operators
         # (PII redaction, n-gram novelty, source mixing)
+        "embeddings_knn_graph": similarity.knn_graph,
+        "docs_quality_buckets": curation.quality_buckets,
+        "events_rolling_sum": relational.events_rolling_sum,
         "docs_bm25_topk": text.bm25_topk,
         "embeddings_cluster_sample": similarity.cluster_sample,
         "embeddings_outliers": similarity.cluster_outliers,
@@ -669,6 +672,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_tokens
             FROM t, q WHERE n_tokens BETWEEN q.lo AND q.hi
+        """,
+        # CCNet-style per-language terciles; same tokenizer and
+        # quantile_disc rank rule as the length_filter twin
+        "docs_quality_buckets": r"""
+            WITH t AS (
+                SELECT doc_id, lang,
+                       len(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '')) AS nt
+                FROM documents
+            ), q AS (
+                SELECT lang, quantile_disc(nt, 0.33) AS t1,
+                             quantile_disc(nt, 0.66) AS t2
+                FROM t GROUP BY lang
+            )
+            SELECT t.doc_id, t.lang,
+                   CASE WHEN t.nt <= q.t1 THEN 'tail'
+                        WHEN t.nt <= q.t2 THEN 'middle'
+                        ELSE 'head' END AS bucket
+            FROM t JOIN q USING (lang)
         """,
         "docs_ngram_novelty": f"""
             WITH toks AS (
@@ -1099,6 +1121,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    COALESCE(LAG(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id), -1) AS prev_cents
+            FROM events
+        """,
+        "events_rolling_sum": """
+            SELECT event_id,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS roll_cents
             FROM events
         """,
         "events_hopping": """
@@ -1567,6 +1597,29 @@ def oracle_sql() -> dict[str, str]:
         # one Lloyd assignment step IS SQL: k-row cross join + row_number
         # argmax (ties to the lower centroid id), seed centroids = the
         # embeddings of vec_id < k
+        # exact kNN-graph degrees: the knn_bruteforce cross-join CTE over
+        # every vector as query, then in-degree = GROUP BY dst and mutual
+        # = a self-join on the reversed edge (floats order, ints surface)
+        "embeddings_knn_graph": """
+            WITH s AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst,
+                       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[])) AS sim
+                FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+            e AS (
+                SELECT src, dst FROM (
+                    SELECT src, dst,
+                           row_number() OVER (PARTITION BY src
+                                              ORDER BY sim DESC, dst) AS rn
+                    FROM s)
+                WHERE rn <= """ + str(_similarity.KNN_GRAPH_K) + """)
+            SELECT e.dst AS vec_id,
+                   COUNT(*)::BIGINT AS in_deg,
+                   SUM(CASE WHEN m.src IS NOT NULL THEN 1 ELSE 0
+                       END)::BIGINT AS mutual_deg
+            FROM e LEFT JOIN e m ON m.src = e.dst AND m.dst = e.src
+            GROUP BY e.dst
+        """,
         "embeddings_kmeans_assign": """
             WITH c AS (
                 SELECT vec_id AS cid, embedding AS ce

@@ -150,7 +150,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      "docs_boilerplate_flag", "docs_semdedup", "embeddings_kmeans_assign",
                      "docs_length_filter", "docs_bm25_topk",
                      "docs_pack_sequences", "docs_source_cap",
-                     "embeddings_cluster_sample", "embeddings_outliers"):
+                     "embeddings_cluster_sample", "embeddings_outliers",
+                     "embeddings_knn_graph", "docs_quality_buckets",
+                     "events_rolling_sum"):
             t0 = time.monotonic()
             res = q[name](sf_dir)
             if hasattr(res, "to_pandas"):

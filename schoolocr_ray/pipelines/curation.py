@@ -300,6 +300,87 @@ def length_filter(sf_dir: str, q_lo: float = 0.05,
                                           zero_copy_batch=True)
 
 
+QUALITY_BUCKET_Q = (0.33, 0.66)   # per-language tercile cut points
+
+
+def quality_buckets(sf_dir: str, q1: float = QUALITY_BUCKET_Q[0],
+                    q2: float = QUALITY_BUCKET_Q[1]) -> ray.data.Dataset:
+    """Per-language quality-tercile bucketing — the CCNet split (Wenzek et
+    al., "CCNet: Extracting high quality monolingual datasets from web
+    crawl data": each language's corpus is cut into head/middle/tail at
+    that LANGUAGE'S own score terciles, so high- and low-resource
+    languages are filtered against their own distribution rather than a
+    global cutoff).  The quality proxy here is the token count (the same
+    integer metric ``length_filter`` bands on); the bucket rule is
+    tail: nt <= t(q1), middle: nt <= t(q2), head above, with t() =
+    DuckDB ``quantile_disc`` computed PER LANGUAGE.  Output one
+    (doc_id, lang, bucket) row per document.
+
+    Shape: ``length_filter``'s zero-sort histogram trick, keyed by
+    (lang, n_tokens) — languages are a tiny dimension, token counts a
+    bounded value domain, so per-block Arrow partials + a repartition(8)
+    re-combine cap what reaches the driver at 8 x |domain| rows at any
+    corpus size; the driver folds the KB-scale histogram into a per-lang
+    threshold dict, broadcasts it, and pass 2 assigns buckets streaming —
+    zero shuffle end to end."""
+    import math
+
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "lang": "object",
+                            "bucket": "object"})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"lang": batch.column("lang"),
+                      "n_tokens": _regex_count(batch.column("text"),
+                                               r"\S+")})
+        g = t.group_by(["lang", "n_tokens"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["lang", "n_tokens", "n"])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "n_tokens"], use_threads=False) \
+                 .aggregate([("n", "sum")])
+        return pa.table({"lang": g.column("lang"),
+                         "n_tokens": g.column("n_tokens"),
+                         "n": g.column("n_sum")})
+
+    hist = _read_docs(sf_dir, columns=("lang", "text")) \
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None) \
+        .repartition(8) \
+        .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None) \
+        .to_pandas()
+
+    cuts: dict[str, tuple[int, int]] = {}
+    for lang, part in hist.groupby("lang"):
+        g = part.groupby("n_tokens", sort=True)["n"].sum()
+        vals = g.index.to_numpy()
+        cum = g.to_numpy().cumsum()
+        n = int(cum[-1])
+
+        def pick(q: float) -> int:
+            r = max(0, math.ceil(q * n) - 1)      # duckdb quantile_disc rank
+            return int(vals[int(np.searchsorted(cum, r + 1))])
+
+        cuts[str(lang)] = (pick(q1), pick(q2))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        nt = _regex_count(batch.column("text"), r"\S+") \
+            .to_numpy(zero_copy_only=False)
+        langs = batch.column("lang").to_pandas()
+        t1 = langs.map({k: v[0] for k, v in cuts.items()}).to_numpy()
+        t2 = langs.map({k: v[1] for k, v in cuts.items()}).to_numpy()
+        bucket = np.where(nt <= t1, "tail",
+                          np.where(nt <= t2, "middle", "head"))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "lang": batch.column("lang"),
+                         "bucket": pa.array(bucket, pa.string())})
+
+    return _read_docs(sf_dir, columns=("doc_id", "lang", "text")) \
+        .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def token_shards(sf_dir: str, capacity: int = SHARD_CAPACITY,
                  bucket_span: int = 10_000) -> ray.data.Dataset:
     """Token-budget sharding: assign every document (in doc_id order) a

@@ -570,6 +570,56 @@ def events_lag(sf_dir: str, num_buckets: int | None = None,
              .groupby("bk").map_groups(arrow_groups(lag_bucket), batch_format="pandas")
 
 
+def events_rolling_sum(sf_dir: str, frame_rows: int = 3,
+                       num_buckets: int | None = None,
+                       target_rows_per_bucket: int = 250_000) -> ray.data.Dataset:
+    """Window-FRAME analytic — the one window shape the family lacked next
+    to LAG (offset), tumbling/hopping (time bucket) and sessions (gap):
+    per event, the rolling sum of the user's last ``frame_rows`` event
+    values — SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN frame_rows-1 PRECEDING AND CURRENT ROW) — the
+    smoothing/trailing-aggregate primitive of behavioral feature
+    pipelines.  Integer cents keep the SQL twin exact (float running sums
+    would be addition-order-sensitive).
+
+    Shape: identical to ``events_lag`` — hash-bucket users so each bucket
+    holds whole histories (``num_buckets`` scales with the parquet
+    row-count footer), then ONE vectorized pandas pass per bucket: sort +
+    a shift-accumulate over ``frame_rows-1`` lags (a frame is a sum of
+    shifted columns — no per-row loop, no windowing library).  Same
+    documented co-location bound as every ordered operator here; the
+    time-chunked carry variant (``events_lag``'s ``chunk_hours`` shape,
+    carrying the last frame_rows-1 rows between chunks) lifts it for
+    mega-users."""
+    if _events_empty(sf_dir):
+        return _typed_empty({"event_id": "int64", "roll_cents": "int64"})
+    if num_buckets is None:
+        num_buckets = _scaled_buckets(sf_dir, target_rows_per_bucket)
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        return pa.Table.from_pydict({
+            "event_id": batch.column("event_id"),
+            "ts_us": batch.column("ts").cast(pa.int64()),
+            "user_id": batch.column("user_id"),
+            "cents": pa.array(_cents(batch.column("value").to_numpy()), pa.int64()),
+            "bk": pa.array((uid % num_buckets).astype(np.int32)),
+        })
+
+    def roll_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)["cents"]
+        total = df["cents"].to_numpy().copy()
+        for i in range(1, frame_rows):
+            total += g.shift(i).fillna(0).to_numpy().astype(np.int64)
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "roll_cents": total})
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True) \
+             .groupby("bk").map_groups(arrow_groups(roll_bucket), batch_format="pandas")
+
+
 def events_hopping(sf_dir: str, window_hours: int = 6,
                    hop_hours: int = 2) -> pd.DataFrame:
     """Hopping (sliding) window aggregate: each event contributes to every

@@ -742,3 +742,107 @@ def cluster_outliers(sf_dir: str, k: int = KMEANS_K,
                    .groupby("centroid_id") \
                    .map_groups(arrow_groups(finalize),
                                batch_format="pandas")
+
+
+# --- exact kNN-graph degree statistics (hubness / mutual-kNN) ----------
+KNN_GRAPH_K = 10
+KNN_GRAPH_BUCKETS = 64
+
+GRAPH_SCHEMA = pa.schema([("vec_id", pa.int64()), ("in_deg", pa.int64()),
+                          ("mutual_deg", pa.int64())])
+
+
+def knn_graph(sf_dir: str, k: int = KNN_GRAPH_K,
+              num_buckets: int = KNN_GRAPH_BUCKETS) -> ray.data.Dataset:
+    """Exact kNN-graph degree statistics over the embedding corpus: build
+    the directed graph src -> dst for every vector's cosine top-``k``
+    (ties sim desc then dst asc, self excluded), then per vector report
+    ``in_deg`` — how many other vectors count it among their top-k (the
+    hubness measure of Radovanovic et al., JMLR 2010: hub vectors distort
+    retrieval and are standard prune/repair candidates in embedding
+    curation) — and ``mutual_deg`` — how many of those edges are
+    reciprocated (the mutual-kNN graph that density-based dedup/cluster
+    methods build on).  One row per vector that appears in at least one
+    top-k list, exactly the group domain of the SQL twin's GROUP BY.
+
+    Shape: like ``embedding_neardup``, this is the EXACT all-pairs
+    baseline — the normalized corpus matrix broadcasts once (``ray.put``)
+    and each batch does one (batch x corpus) matmul + a stable argsort
+    (corpus ids sorted ascending, so numpy's stable sort on -sim breaks
+    ties by id exactly like the twin's row_number).  Everything after the
+    matmul is bounded by N x k int rows: edges shuffle ONCE by unordered
+    pair hash (both directions of a pair land in one bucket, making the
+    mutual test bucket-local and vectorized — the ``_pair_dedup`` shape),
+    then the per-vec partials combine under a vec-hash bucket.  At corpus
+    scale the matmul stage swaps for the bucketed LSH/IVF candidate
+    streams (``embedding_neardup_lsh/_ivf``), which these degree passes
+    consume unchanged."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    if t.num_rows < 2:
+        return empty_result(GRAPH_SCHEMA)
+    all_ids = t.column("vec_id").to_numpy().astype(np.int64, copy=False)
+    order = np.argsort(all_ids)
+    all_ids = all_ids[order]
+    all_m = embedding_matrix(t.column("embedding"))[order]
+    all_m /= np.linalg.norm(all_m, axis=1, keepdims=True)
+    k_eff = min(k, len(all_ids) - 1)
+    ref = ray.put((all_ids, all_m))
+
+    class EdgeStage:
+        def __init__(self, corpus_ref, k: int, num_buckets: int) -> None:
+            self.ids, self.m = ray.get(corpus_ref)
+            self.k = k
+            self.num_buckets = num_buckets
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids = batch.column("vec_id").to_numpy().astype(np.int64,
+                                                            copy=False)
+            em = embedding_matrix(batch.column("embedding"))
+            em /= np.linalg.norm(em, axis=1, keepdims=True)
+            sims = em @ self.m.T                    # (batch, corpus)
+            pos = np.searchsorted(self.ids, vids)   # self-exclusion
+            sims[np.arange(len(vids)), pos] = -np.inf
+            # stable argsort on -sim over the id-ascending corpus axis ==
+            # the twin's ORDER BY sim DESC, dst
+            top = np.argsort(-sims, axis=1, kind="stable")[:, : self.k]
+            src = np.repeat(vids, self.k)
+            dst = self.ids[top.reshape(-1)]
+            lo = np.minimum(src, dst)
+            hi = np.maximum(src, dst)
+            return pa.Table.from_pydict({
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+                "pb": pa.array(((lo * 1_000_003 + hi) % self.num_buckets)
+                               .astype(np.int32)),
+            })
+
+    def bucket_degrees(df: pd.DataFrame) -> pd.DataFrame:
+        # both directions of a pair share this bucket; per-src top-k emits
+        # distinct dsts, so a (lo, hi) group of size 2 IS a mutual pair
+        psize = df.groupby(["lo", "hi"], sort=False)["src"].transform("size")
+        ind = df.groupby("dst", sort=False).size()
+        out = pd.DataFrame({"vec_id": ind.index.to_numpy(),
+                            "in_part": ind.to_numpy().astype(np.int64)})
+        mut = df.loc[psize == 2].groupby("dst", sort=False).size()
+        out["mut_part"] = out["vec_id"].map(mut).fillna(0).astype(np.int64)
+        out["vbk"] = (out["vec_id"] % KNN_GRAPH_BUCKETS).astype(np.int32)
+        return out
+
+    def combine_degrees(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("vec_id", sort=False)[["in_part", "mut_part"]].sum()
+        return pd.DataFrame({"vec_id": g.index.to_numpy(),
+                             "in_deg": g["in_part"].to_numpy(),
+                             "mutual_deg": g["mut_part"].to_numpy()})
+
+    edges = read_embeddings(sf_dir).map_batches(
+        task_stage(EdgeStage, ref, k_eff, num_buckets),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return edges.groupby("pb") \
+                .map_groups(arrow_groups(bucket_degrees),
+                            batch_format="pandas") \
+                .groupby("vbk") \
+                .map_groups(arrow_groups(combine_degrees),
+                            batch_format="pandas")

@@ -152,7 +152,7 @@ def test_new_docs_ops_survive_empty_table(ray_session, tmp_path):
                dedup.minhash_dedup, dedup.minhash_candidate_pairs,
                dedup.simhash, dedup.simhash_near_pairs,
                curation.stratified_sample, curation.source_mix,
-               curation.length_filter,
+               curation.length_filter, curation.quality_buckets,
                curation.token_shards, curation.pack_sequences,
                text.bm25_topk, curation.source_cap,
                curation.top_terms, curation.shuffle_shards,
@@ -425,3 +425,40 @@ def test_source_cap_single_dominant_source(ray_session, tmp_path):
     want = sorted(range(n), key=lambda d: (key(d), d))[:5]
     assert got["doc_id"].tolist() == want
     assert got["rk"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_quality_buckets_planted(ray_session, tmp_path):
+    """Hand-computed per-language terciles (CCNet head/middle/tail): en has
+    token counts 1..6 (t1 = rank ceil(.33*6)-1 = 1 -> 2 tokens, t2 = rank
+    ceil(.66*6)-1 = 3 -> 4 tokens), ru has 10/20/30 (cuts 10 and 20) — the
+    per-LANGUAGE cuts differ by an order of magnitude, which a global
+    tercile would flatten; the DuckDB twin agrees bit-for-bit."""
+    import duckdb
+    import pyarrow as pa
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.curation import quality_buckets
+
+    rows = [(i, "en", " ".join(f"t{j}" for j in range(i))) for i in range(1, 7)]
+    rows += [(100 + n, "ru", " ".join(f"s{j}" for j in range(n)))
+             for n in (10, 20, 30)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "lang": pa.array([r[1] for r in rows], pa.string()),
+                  "text": pa.array([r[2] for r in rows], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    got = quality_buckets(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = {1: "tail", 2: "tail", 3: "middle", 4: "middle",
+            5: "head", 6: "head",
+            110: "tail", 120: "middle", 130: "head"}
+    assert dict(zip(got["doc_id"], got["bucket"])) == want
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    o = con.execute(e.oracle_sql()["docs_quality_buckets"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (got[["doc_id", "lang", "bucket"]].astype(str).values
+            == o[["doc_id", "lang", "bucket"]].astype(str).values).all()

@@ -102,6 +102,11 @@ SQL_CHECKED = [
     "docs_corpus_tf_score",
     "docs_curation_pipeline",
     "docs_split",
+    # session-9 operators: exact kNN-graph degrees, CCNet-style
+    # per-language quality terciles, the window-frame rolling sum
+    "embeddings_knn_graph",
+    "docs_quality_buckets",
+    "events_rolling_sum",
 ]
 
 
@@ -212,8 +217,8 @@ def test_new_events_ops_survive_empty_table(ray_session, tmp_path):
                r.events_stats, r.events_histogram, r.events_windowed,
                r.events_hopping,
                # the _events_empty-guarded family: footer short-circuit
-               r.events_lag, r.events_sessions, r.events_asof_purchase,
-               r.events_distinct_users):
+               r.events_lag, r.events_rolling_sum, r.events_sessions,
+               r.events_asof_purchase, r.events_distinct_users):
         df = _to_pandas(fn(str(d)))
         assert len(df) == 0 or set(df.get("n_users", [])) == {0}, fn
         assert len(df.columns) > 0, fn      # typed empty, not column-less
@@ -257,3 +262,43 @@ def test_events_range_join_never_sorts_the_stream(ray_session, monkeypatch):
     monkeypatch.setattr(ray.data.Dataset, "sort", _no_sort)
     ds = r.events_range_join(SF_DIR)
     assert ds.count() > 0
+
+
+def test_rolling_sum_planted(ray_session, tmp_path):
+    """Hand-computed window frame: user 1's four events (two sharing a
+    timestamp, ordered by the event_id tie-break) roll 100/300/600/900
+    cents over a 3-row frame; a single-event user rolls its own value; the
+    DuckDB window twin agrees bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.relational import events_rolling_sum
+
+    t0 = 1_700_000_000_000_000                      # us epoch
+    hour = 3_600_000_000
+    rows = [(1, t0,          1, 1.0), (2, t0 + hour, 1, 2.0),
+            (3, t0 + hour,   1, 3.0),                # ts tie with event 2
+            (4, t0 + 2 * hour, 1, 4.0), (5, t0, 2, 5.0)]
+    pq.write_table(
+        pa.table({"event_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "ts": pa.array(np.array([r[1] for r in rows], "int64"),
+                                 pa.timestamp("us")),
+                  "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                  "event_type": pa.array(["view"] * 5, pa.string()),
+                  "value": pa.array([r[3] for r in rows], pa.float64()),
+                  "props": pa.array(["{}"] * 5, pa.string())}),
+        str(tmp_path / "events.parquet"))
+
+    got = events_rolling_sum(str(tmp_path)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert got["roll_cents"].tolist() == [100, 300, 600, 900, 500]
+
+    c = duckdb.connect()
+    c.execute("CREATE VIEW events AS SELECT * FROM "
+              f"read_parquet('{tmp_path}/events.parquet')")
+    want = c.execute(e.oracle_sql()["events_rolling_sum"]).df() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert (got[["event_id", "roll_cents"]].values
+            == want[["event_id", "roll_cents"]].values).all()

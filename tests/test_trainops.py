@@ -281,7 +281,9 @@ def test_similarity_family_survives_empty_embeddings(ray_session, tmp_path):
                      (dedup.embedding_neardup, {"vec_a", "vec_b"}),
                      (dedup.embedding_neardup_lsh, {"vec_a", "vec_b"}),
                      (dedup.embedding_neardup_ivf, {"vec_a", "vec_b"}),
-                     (dedup.semdedup, {"vec_id", "cluster"})]:
+                     (dedup.semdedup, {"vec_id", "cluster"}),
+                     (similarity.knn_graph,
+                      {"vec_id", "in_deg", "mutual_deg"})]:
         res = fn(str(d))
         # typed pandas empty (a zero-row Dataset would lose its columns
         # through to_pandas — the guard returns the surviving shape)
@@ -552,3 +554,62 @@ def test_cluster_sample_outliers_degradations(ray_session, tmp_path):
             df = res.to_pandas() if hasattr(res, "to_pandas") else res
             assert len(df) == 0, (fn.__name__, d)
             assert list(df.columns) == ["vec_id", "centroid_id", "rk"]
+
+
+def test_knn_graph_planted(ray_session, tmp_path):
+    """Hand-computed k=1 graph on five 2-D unit vectors at known angles,
+    ids written UNSORTED and gapped (exercises the id-sort + searchsorted
+    self-exclusion): nearest-neighbor edges 7->3, 3->7, 11->5, 5->11,
+    20->3; so id 3 has in_deg 2, everyone else in the lists 1; the two
+    reciprocated pairs give mutual_deg 1 to ids 3/5/7/11; id 20 is
+    nobody's neighbor and must be absent."""
+    import pandas as pd
+
+    from schoolocr_ray.pipelines.similarity import knn_graph
+
+    ang = {7: 0.0, 3: 5.0, 11: 90.0, 5: 85.0, 20: 40.0}
+    ids = [7, 3, 11, 5, 20]          # deliberately unsorted on disk
+    vecs = [[float(np.cos(np.radians(ang[i]))),
+             float(np.sin(np.radians(ang[i])))] for i in ids]
+    pq.write_table(
+        pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(vecs, pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+
+    got = knn_graph(str(tmp_path), k=1).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    want = pd.DataFrame({"vec_id": [3, 5, 7, 11],
+                         "in_deg": [2, 1, 1, 1],
+                         "mutual_deg": [1, 1, 1, 1]})
+    assert (got[["vec_id", "in_deg", "mutual_deg"]].values
+            == want.values).all(), got
+
+
+def test_knn_graph_matches_twin_on_gapped_ids(ray_session, tmp_path):
+    """Default-k graph on a random gapped-id corpus equals the DuckDB twin
+    exactly (cross join + row_number + reverse-edge self-join) — the
+    stable-argsort tie-break over the id-ascending corpus axis is the
+    twin's ORDER BY sim DESC, dst."""
+    import duckdb
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.similarity import knn_graph
+
+    rng = np.random.RandomState(41)
+    ids = (np.arange(40, dtype=np.int64) * 3 + 11)
+    rng.shuffle(ids)
+    m = rng.randn(len(ids), 16).astype(np.float32)
+    pq.write_table(
+        pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(m), pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+
+    got = knn_graph(str(tmp_path)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/embeddings.parquet')")
+    want = con.execute(e.oracle_sql()["embeddings_knn_graph"]).df() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert (got[["vec_id", "in_deg", "mutual_deg"]].values
+            == want[["vec_id", "in_deg", "mutual_deg"]].values).all()
