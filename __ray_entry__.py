@@ -452,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_knn_graph": similarity.knn_graph,
         "docs_quality_buckets": curation.quality_buckets,
         "events_rolling_sum": relational.events_rolling_sum,
+        "docs_dsir_score": curation.dsir_score,
         "docs_bm25_topk": text.bm25_topk,
         "embeddings_cluster_sample": similarity.cluster_sample,
         "embeddings_outliers": similarity.cluster_outliers,
@@ -546,6 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": similarity.knn_lsh,
         "knn_ivf": similarity.knn_ivf,
         "embeddings_kmeans": similarity.kmeans,
+        "embeddings_pca": similarity.pca_project,
         "transcripts_extract": _transcripts_extract,
         "transcripts_wired_cells": _transcripts_wired_cells,
         "glyph_train_report": training.glyph_train_report,
@@ -716,6 +718,42 @@ def oracle_sql() -> dict[str, str]:
                        END)::BIGINT AS n_novel
             FROM g JOIN fd USING (gram)
             GROUP BY g.doc_id
+        """,
+        # DSIR hashed-ngram importance: the novelty twin's tokenize/gram
+        # CTEs WITHOUT distinct (bag of grams), bucketed by the first 3
+        # md5 hex digits (the strpos decode trick), then two KB-scale
+        # bucket-count CTEs joined back per occurrence
+        "docs_dsir_score": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       UNNEST(list_transform(
+                           range(1, len(t) - {_curation.DSIR_K} + 2),
+                           i -> array_to_string(
+                               t[i:i+{_curation.DSIR_K}-1], ' '))) AS gram
+                FROM toks WHERE len(t) >= {_curation.DSIR_K}
+            ), b AS (
+                SELECT doc_id,
+                       ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256
+                        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)) AS bk
+                FROM (SELECT doc_id, md5(gram) AS h FROM g)
+            ), raw_c AS (
+                SELECT bk, COUNT(*)::BIGINT AS n FROM b GROUP BY bk
+            ), tgt_c AS (
+                SELECT bk, COUNT(*)::BIGINT AS n FROM b
+                WHERE doc_id % {_curation.DSIR_TARGET_MOD} = 0 GROUP BY bk
+            )
+            SELECT b.doc_id, COUNT(*)::BIGINT AS n_grams,
+                   CAST(SUM(COALESCE(t.n, 0)) AS BIGINT) AS target_mass,
+                   CAST(SUM(r.n) AS BIGINT) AS raw_mass
+            FROM b JOIN raw_c r USING (bk)
+                   LEFT JOIN tgt_c t ON t.bk = b.bk
+            GROUP BY b.doc_id
         """,
         # same tokenize/shingle CTEs as the novelty twin; (df DESC,
         # gram ASC) is a total order so LIMIT picks a unique row set

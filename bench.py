@@ -152,7 +152,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      "docs_pack_sequences", "docs_source_cap",
                      "embeddings_cluster_sample", "embeddings_outliers",
                      "embeddings_knn_graph", "docs_quality_buckets",
-                     "events_rolling_sum"):
+                     "events_rolling_sum", "docs_dsir_score",
+                     "embeddings_pca"):
             t0 = time.monotonic()
             res = q[name](sf_dir)
             if hasattr(res, "to_pandas"):

@@ -925,3 +925,118 @@ def train_val_test_split(sf_dir: str, seed: int = 7,
 
     return _read_docs(sf_dir, columns=("doc_id",)).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- DSIR-style hashed-n-gram importance scoring -----------------------
+DSIR_K = 2            # token-gram order (bigrams, the DSIR paper default)
+DSIR_BUCKETS = 4096   # hashed feature dimension = 3 md5 hex digits
+DSIR_TARGET_MOD = 50  # target slice: doc_id % mod == 0 (decontaminate's
+                      # eval-set convention — a stand-in target corpus)
+
+
+def dsir_score(sf_dir: str, k: int = DSIR_K,
+               target_mod: int = DSIR_TARGET_MOD) -> ray.data.Dataset:
+    """DSIR-style importance scoring (Xie et al., "Data Selection for
+    Language Models via Importance Resampling"): model the target and raw
+    distributions as bag-of-HASHED-n-gram counts over a FIXED feature
+    dimension (here 4096 = the first 3 md5 hex digits of each k-token
+    gram), then score every document by how much target vs raw mass its
+    grams carry.  The hashing is the method's signature — the
+    distribution models stay KB-scale however large the target or the
+    corpus.  Output per doc (>= k tokens): ``n_grams`` (occurrences,
+    with multiplicity), ``target_mass`` / ``raw_mass`` (sums over the
+    doc's gram occurrences of the target/raw bucket counts) — all int64,
+    so the DuckDB twin is exact; consumers form the log-importance
+    ``log((target_mass/T) / (raw_mass/R))`` (a monotone rescale of the
+    same ordering).  The target slice is ``doc_id % target_mod == 0``,
+    the same stand-in convention as ``decontaminate``.
+
+    Shape: pass 1 streams per-block (bucket, n_raw, n_target) partials —
+    the value-histogram trick over a FIXED 4096-value domain — through a
+    ``repartition(8)`` re-combine to a KB-scale driver fold; the two
+    count vectors broadcast once (``ray.put``); pass 2 re-streams the
+    corpus and scores each doc with two vectorized gathers — zero
+    shuffle end to end, and md5 runs once per DISTINCT gram per block
+    (dictionary-encoded), not per occurrence."""
+    import hashlib
+
+    from .text import _positional_kgrams
+
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "n_grams": "int64",
+                            "target_mass": "int64", "raw_mass": "int64"})
+
+    def _gram_buckets(txt, k):
+        """(doc_idx, bucket) per gram OCCURRENCE; md5 per distinct gram."""
+        import pyarrow.compute as pc
+
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        gdoc, grams = _positional_kgrams(txt, k)
+        if not len(grams):
+            return gdoc, np.array([], np.int64)
+        codes = pc.dictionary_encode(grams)
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dic = codes.dictionary.to_pylist()
+        db = np.array([int(hashlib.md5(g.encode()).hexdigest()[:3], 16)
+                       for g in dic], dtype=np.int64)
+        return gdoc, db[idx]
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        gdoc, bk = _gram_buckets(batch.column("text"), k)
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_raw = np.bincount(bk, minlength=DSIR_BUCKETS).astype(np.int64)
+        tmask = (ids[gdoc] % target_mod) == 0 if len(bk) \
+            else np.array([], bool)
+        n_tgt = np.bincount(bk[tmask], minlength=DSIR_BUCKETS) \
+            .astype(np.int64)
+        live = (n_raw > 0) | (n_tgt > 0)
+        return pa.table({
+            "bk": pa.array(np.arange(DSIR_BUCKETS, dtype=np.int64)[live]),
+            "n_raw": pa.array(n_raw[live]),
+            "n_tgt": pa.array(n_tgt[live]),
+        })
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["bk"], use_threads=False).aggregate(
+            [("n_raw", "sum"), ("n_tgt", "sum")])
+        return g.rename_columns(["bk", "n_raw", "n_tgt"])
+
+    hist = _read_docs(sf_dir, columns=("doc_id", "text")) \
+        .map_batches(hist_partial, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None) \
+        .repartition(8) \
+        .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None) \
+        .to_pandas()
+    raw_v = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    tgt_v = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    g = hist.groupby("bk").sum()
+    raw_v[g.index.to_numpy()] = g["n_raw"].to_numpy()
+    tgt_v[g.index.to_numpy()] = g["n_tgt"].to_numpy()
+    import ray
+
+    vref = ray.put((raw_v, tgt_v))
+
+    def score(batch: pa.Table) -> pa.Table:
+        raw_c, tgt_c = cached_get(vref)
+        gdoc, bk = _gram_buckets(batch.column("text"), k)
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        n_grams = np.bincount(gdoc, minlength=n).astype(np.int64)
+        tm = np.zeros(n, dtype=np.int64)
+        rm = np.zeros(n, dtype=np.int64)
+        np.add.at(tm, gdoc, tgt_c[bk])
+        np.add.at(rm, gdoc, raw_c[bk])
+        keep = n_grams > 0                 # docs shorter than k emit nothing
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_grams": pa.array(n_grams[keep]),
+            "target_mass": pa.array(tm[keep]),
+            "raw_mass": pa.array(rm[keep]),
+        })
+
+    return _read_docs(sf_dir, columns=("doc_id", "text")).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True)

@@ -17,7 +17,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..util import arrow_groups, embedding_matrix, task_stage
+from ..util import arrow_groups, cached_get, embedding_matrix, task_stage
 
 DEFAULT_K = 10
 DEFAULT_QUERIES = (0, 1, 2, 3, 4)
@@ -846,3 +846,87 @@ def knn_graph(sf_dir: str, k: int = KNN_GRAPH_K,
                 .groupby("vbk") \
                 .map_groups(arrow_groups(combine_degrees),
                             batch_format="pandas")
+
+
+# --- distributed power-iteration PCA over the embedding column ---------
+PCA_ITER = 8
+
+PCA_SCHEMA = pa.schema([("vec_id", pa.int64()), ("proj", pa.float64())])
+
+
+def _pca_seed(dim: int) -> np.ndarray:
+    """Deterministic unit seed direction for the power iteration — seeded
+    RNG, no wall clock, shared verbatim by the pytest serial reference."""
+    w = np.random.RandomState(0).randn(dim)
+    return w / np.linalg.norm(w)
+
+
+def pca_project(sf_dir: str, n_iter: int = PCA_ITER) -> ray.data.Dataset:
+    """Top-principal-component projection of every embedding — distributed
+    power iteration on the (mean-centered) covariance, the
+    dimensionality/whitening primitive of embedding-space curation
+    (dominant-axis inspection, per-axis outlier pruning, the first step
+    of a PCA whitener).  Output (vec_id, proj) with proj = (x - mean)·w,
+    sign fixed so the largest-|w| component is positive (power iteration
+    is sign-ambiguous; the convention makes reruns and the serial
+    reference bit-comparable).
+
+    Shape (the training-loop partial pattern — an epoch is ONE streaming
+    corpus scan): the mean comes from per-block (count, sum) partials;
+    each power epoch broadcasts w (KB-scale ``ray.put``) and folds
+    per-block partials of Xc^T (Xc w), computed WITHOUT materializing the
+    centered matrix per block beyond the block itself — dim-sized rows
+    leave each block, never vectors-by-vectors; the final projection pass
+    is zero-shuffle.  No SQL twin — the float eigen-recursion is not
+    SQL-expressible (the ``embeddings_kmeans`` precedent); pinned by a
+    pytest serial-reference equality (same seed, same epoch count,
+    allclose) plus the analytic planted-axis test."""
+    if pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows == 0:
+        return empty_result(PCA_SCHEMA)
+    ds = read_embeddings(sf_dir)
+
+    def mean_partial(batch: pa.Table) -> pa.Table:
+        em = embedding_matrix(batch.column("embedding"))
+        return pa.table({"n": pa.array([len(em)], pa.int64()),
+                         "s": pa.array([em.sum(axis=0)],
+                                       pa.list_(pa.float64()))})
+
+    mp = ds.map_batches(mean_partial, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None).to_pandas()
+    n_total = int(mp["n"].sum())
+    mean = np.sum(np.stack(mp["s"].to_numpy()), axis=0) / n_total
+    dim = mean.shape[0]
+    w = _pca_seed(dim)
+
+    for _ in range(n_iter):
+        wref = ray.put((mean, w))
+
+        def step_partial(batch: pa.Table, wref=wref) -> pa.Table:
+            mu, wv = cached_get(wref)
+            em = embedding_matrix(batch.column("embedding")) - mu
+            v = em.T @ (em @ wv)                    # (dim,) per block
+            return pa.table({"v": pa.array([v], pa.list_(pa.float64()))})
+
+        vp = ds.map_batches(step_partial, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None) \
+               .to_pandas()
+        v = np.sum(np.stack(vp["v"].to_numpy()), axis=0)
+        nv = np.linalg.norm(v)
+        if nv == 0:                   # degenerate (rank-0 centered matrix)
+            break
+        w = v / nv
+
+    if w[np.abs(w).argmax()] < 0:     # deterministic sign convention
+        w = -w
+    pref = ray.put((mean, w))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu, wv = cached_get(pref)
+        em = embedding_matrix(batch.column("embedding")) - mu
+        return pa.table({
+            "vec_id": batch.column("vec_id").cast(pa.int64()),
+            "proj": pa.array(em @ wv, pa.float64()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -153,6 +153,7 @@ def test_new_docs_ops_survive_empty_table(ray_session, tmp_path):
                dedup.simhash, dedup.simhash_near_pairs,
                curation.stratified_sample, curation.source_mix,
                curation.length_filter, curation.quality_buckets,
+               curation.dsir_score,
                curation.token_shards, curation.pack_sequences,
                text.bm25_topk, curation.source_cap,
                curation.top_terms, curation.shuffle_shards,
@@ -462,3 +463,55 @@ def test_quality_buckets_planted(ray_session, tmp_path):
         .sort_values("doc_id").reset_index(drop=True)
     assert (got[["doc_id", "lang", "bucket"]].astype(str).values
             == o[["doc_id", "lang", "bucket"]].astype(str).values).all()
+
+
+def test_dsir_score_planted(ray_session, tmp_path):
+    """Hand-computed DSIR masses on a 3-doc corpus: doc 0 is the target
+    slice (0 % 50 == 0) with bigram bag {a b: 2, b a: 1}; doc 1 adds
+    {a b: 1, b c: 1}; doc 2 is shorter than k and must be absent.  The
+    expected bucket counts are recomputed in the test from the definition
+    (first 3 md5 hex digits), and the DuckDB twin agrees bit-for-bit."""
+    import hashlib
+    from collections import Counter
+
+    import duckdb
+    import pyarrow as pa
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.curation import dsir_score
+
+    texts = {0: "a b a b", 1: "a b c", 2: "x"}
+    pq.write_table(
+        pa.table({"doc_id": pa.array(sorted(texts), pa.int64()),
+                  "text": pa.array([texts[i] for i in sorted(texts)],
+                                   pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    def grams(t):
+        toks = t.split()
+        return [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:3], 16)
+
+    raw = Counter(bucket(g) for d in texts.values() for g in grams(d))
+    tgt = Counter(bucket(g) for g in grams(texts[0]))
+    want = {}
+    for d, t in texts.items():
+        gs = grams(t)
+        if gs:
+            want[d] = (len(gs), sum(tgt[bucket(g)] for g in gs),
+                       sum(raw[bucket(g)] for g in gs))
+
+    got = dsir_score(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert {int(r.doc_id): (int(r.n_grams), int(r.target_mass),
+                            int(r.raw_mass)) for r in got.itertuples()} == want
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    o = con.execute(e.oracle_sql()["docs_dsir_score"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (got[sorted(got.columns)].astype(str).values
+            == o[sorted(o.columns)].astype(str).values).all()

@@ -103,10 +103,12 @@ SQL_CHECKED = [
     "docs_curation_pipeline",
     "docs_split",
     # session-9 operators: exact kNN-graph degrees, CCNet-style
-    # per-language quality terciles, the window-frame rolling sum
+    # per-language quality terciles, the window-frame rolling sum,
+    # DSIR hashed-ngram importance masses
     "embeddings_knn_graph",
     "docs_quality_buckets",
     "events_rolling_sum",
+    "docs_dsir_score",
 ]
 
 
@@ -130,7 +132,7 @@ ROWS_ONLY = ["knn_lsh", "knn_ivf",
              "docs_embedding_neardup_lsh", "docs_embedding_neardup_ivf",
              "transcripts_wired_cells",
              "transcripts_extract", "glyph_train_report",
-             "embeddings_kmeans"]
+             "embeddings_kmeans", "embeddings_pca"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

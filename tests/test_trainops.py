@@ -283,7 +283,8 @@ def test_similarity_family_survives_empty_embeddings(ray_session, tmp_path):
                      (dedup.embedding_neardup_ivf, {"vec_a", "vec_b"}),
                      (dedup.semdedup, {"vec_id", "cluster"}),
                      (similarity.knn_graph,
-                      {"vec_id", "in_deg", "mutual_deg"})]:
+                      {"vec_id", "in_deg", "mutual_deg"}),
+                     (similarity.pca_project, {"vec_id", "proj"})]:
         res = fn(str(d))
         # typed pandas empty (a zero-row Dataset would lose its columns
         # through to_pandas — the guard returns the surviving shape)
@@ -613,3 +614,55 @@ def test_knn_graph_matches_twin_on_gapped_ids(ray_session, tmp_path):
         .sort_values("vec_id").reset_index(drop=True)
     assert (got[["vec_id", "in_deg", "mutual_deg"]].values
             == want[["vec_id", "in_deg", "mutual_deg"]].values).all()
+
+
+def test_pca_matches_serial_reference(ray_session):
+    """Distributed power iteration == the serial recursion with the same
+    seed, epoch count and sign rule (the kmeans-loop evidence pattern):
+    projections allclose, and the mean-centering makes them zero-mean."""
+    from schoolocr_ray.pipelines.similarity import (
+        PCA_ITER,
+        _pca_seed,
+        pca_project,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    order = np.argsort(ids)
+    mean = m.mean(axis=0)
+    xc = m - mean
+    w = _pca_seed(m.shape[1])
+    for _ in range(PCA_ITER):
+        v = xc.T @ (xc @ w)
+        w = v / np.linalg.norm(v)
+    if w[np.abs(w).argmax()] < 0:
+        w = -w
+    ref = (m[order] - mean) @ w
+
+    got = pca_project(SF_DIR).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert (got["vec_id"].to_numpy() == ids[order]).all()
+    assert np.allclose(got["proj"].to_numpy(), ref, rtol=1e-9, atol=1e-12)
+    assert abs(got["proj"].mean()) < 1e-9          # centered
+
+
+def test_pca_planted_dominant_axis(ray_session, tmp_path):
+    """Analytic pin: a corpus whose variance is overwhelmingly along e1
+    (positions -3..3 plus tiny e2 jitter) must project to the centered e1
+    coordinates up to the iteration tolerance — sign fixed positive by
+    the largest-|w| convention."""
+    from schoolocr_ray.pipelines.similarity import pca_project
+
+    pos = np.arange(-3.0, 4.0)
+    vecs = np.zeros((7, 4), dtype=np.float32)
+    vecs[:, 0] = pos
+    vecs[:, 1] = 0.01 * np.array([1, -1, 1, -1, 1, -1, 1])
+    pq.write_table(
+        pa.table({"vec_id": pa.array(np.arange(7, dtype=np.int64)),
+                  "embedding": pa.array(list(vecs), pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+    got = pca_project(str(tmp_path)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert np.allclose(got["proj"].to_numpy(), pos, atol=1e-3), got
