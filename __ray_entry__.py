@@ -453,6 +453,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_buckets": curation.quality_buckets,
         "events_rolling_sum": relational.events_rolling_sum,
         "docs_dsir_score": curation.dsir_score,
+        "docs_dsir_select": curation.dsir_select,
+        "embeddings_quantize": similarity.quantize,
         "docs_bm25_topk": text.bm25_topk,
         "embeddings_cluster_sample": similarity.cluster_sample,
         "embeddings_outliers": similarity.cluster_outliers,
@@ -593,6 +595,41 @@ def oracle_sql() -> dict[str, str]:
     assert eval_preds == EVAL_PREDS_PATH
     transcripts = f"read_parquet('{_SF01_CORPUS}/*.parquet')"
     extracted = f"read_parquet('{_EXTRACT_OUT_ROOT}/sf0.01/part_id=*/data.parquet')"
+    # DSIR shared CTE chain: tokenize -> bigram bag -> md5 bucket ->
+    # raw/target bucket counts -> per-doc masses (m); docs_dsir_score
+    # selects m verbatim, docs_dsir_select appends the threshold filter
+    _dsir_masses_sql = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       range(1, len(t) - {_curation.DSIR_K} + 2),
+                       i -> array_to_string(
+                           t[i:i+{_curation.DSIR_K}-1], ' '))) AS gram
+            FROM toks WHERE len(t) >= {_curation.DSIR_K}
+        ), b AS (
+            SELECT doc_id,
+                   ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256
+                    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)) AS bk
+            FROM (SELECT doc_id, md5(gram) AS h FROM g)
+        ), raw_c AS (
+            SELECT bk, COUNT(*)::BIGINT AS n FROM b GROUP BY bk
+        ), tgt_c AS (
+            SELECT bk, COUNT(*)::BIGINT AS n FROM b
+            WHERE doc_id % {_curation.DSIR_TARGET_MOD} = 0 GROUP BY bk
+        ), m AS (
+            SELECT b.doc_id, COUNT(*)::BIGINT AS n_grams,
+                   CAST(SUM(COALESCE(t.n, 0)) AS BIGINT) AS target_mass,
+                   CAST(SUM(r.n) AS BIGINT) AS raw_mass
+            FROM b JOIN raw_c r USING (bk)
+                   LEFT JOIN tgt_c t ON t.bk = b.bk
+            GROUP BY b.doc_id
+        )"""
     # the PII patterns contain regex quantifier braces ({2,} etc.), which
     # an f-string would parse as replacement fields — splice them with
     # .replace instead; DuckDB single-quoted literals keep backslashes
@@ -722,38 +759,21 @@ def oracle_sql() -> dict[str, str]:
         # DSIR hashed-ngram importance: the novelty twin's tokenize/gram
         # CTEs WITHOUT distinct (bag of grams), bucketed by the first 3
         # md5 hex digits (the strpos decode trick), then two KB-scale
-        # bucket-count CTEs joined back per occurrence
-        "docs_dsir_score": f"""
-            WITH toks AS (
-                SELECT doc_id,
-                       list_filter(string_split_regex(text, '\\s+'),
-                                   x -> x <> '') AS t
-                FROM documents
-            ), g AS (
-                SELECT doc_id,
-                       UNNEST(list_transform(
-                           range(1, len(t) - {_curation.DSIR_K} + 2),
-                           i -> array_to_string(
-                               t[i:i+{_curation.DSIR_K}-1], ' '))) AS gram
-                FROM toks WHERE len(t) >= {_curation.DSIR_K}
-            ), b AS (
-                SELECT doc_id,
-                       ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256
-                        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
-                        + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)) AS bk
-                FROM (SELECT doc_id, md5(gram) AS h FROM g)
-            ), raw_c AS (
-                SELECT bk, COUNT(*)::BIGINT AS n FROM b GROUP BY bk
-            ), tgt_c AS (
-                SELECT bk, COUNT(*)::BIGINT AS n FROM b
-                WHERE doc_id % {_curation.DSIR_TARGET_MOD} = 0 GROUP BY bk
-            )
-            SELECT b.doc_id, COUNT(*)::BIGINT AS n_grams,
-                   CAST(SUM(COALESCE(t.n, 0)) AS BIGINT) AS target_mass,
-                   CAST(SUM(r.n) AS BIGINT) AS raw_mass
-            FROM b JOIN raw_c r USING (bk)
-                   LEFT JOIN tgt_c t ON t.bk = b.bk
-            GROUP BY b.doc_id
+        # bucket-count CTEs joined back per occurrence (shared CTE text:
+        # _dsir_masses_sql above, also the base of docs_dsir_select)
+        "docs_dsir_score": _dsir_masses_sql + """
+            SELECT * FROM m
+        """,
+        # the selection step: cross-multiplied threshold against the
+        # corpus-total target/raw occurrences, HUGEINT so the int64
+        # engine rule is checked without overflow on the twin side
+        "docs_dsir_select": _dsir_masses_sql + """
+            , tot AS (
+                SELECT (SELECT SUM(n) FROM raw_c) AS r_tot,
+                       COALESCE((SELECT SUM(n) FROM tgt_c), 0) AS t_tot)
+            SELECT m.* FROM m, tot
+            WHERE CAST(m.target_mass AS HUGEINT) * CAST(tot.r_tot AS HUGEINT)
+                > CAST(m.raw_mass AS HUGEINT) * CAST(tot.t_tot AS HUGEINT)
         """,
         # same tokenize/shingle CTEs as the novelty twin; (df DESC,
         # gram ASC) is a total order so LIMIT picks a unique row set
@@ -1657,6 +1677,28 @@ def oracle_sql() -> dict[str, str]:
                        END)::BIGINT AS mutual_deg
             FROM e LEFT JOIN e m ON m.src = e.dst AND m.dst = e.src
             GROUP BY e.dst
+        """,
+        # int8 scalar quantization: per-dim corpus max-|x| scale, then
+        # the SAME left-to-right float64 op chain as the engine
+        # (((v/s)*127)+0.5 floored) — IEEE-deterministic, so the
+        # comma-joined code strings match byte-for-byte
+        "embeddings_quantize": f"""
+            WITH x AS (
+                SELECT vec_id,
+                       UNNEST(CAST(embedding AS DOUBLE[])) AS v,
+                       generate_subscripts(embedding, 1) AS d
+                FROM embeddings),
+            s AS (SELECT d, MAX(ABS(v)) AS sc FROM x GROUP BY d),
+            c AS (
+                SELECT x.vec_id, x.d,
+                       CAST(FLOOR(x.v / (CASE WHEN s.sc = 0 THEN 1.0
+                                               ELSE s.sc END)
+                                  * {_similarity.QUANT_LEVELS}.0 + 0.5)
+                            AS BIGINT) AS code
+                FROM x JOIN s USING (d))
+            SELECT vec_id,
+                   string_agg(CAST(code AS VARCHAR), ',' ORDER BY d) AS codes
+            FROM c GROUP BY vec_id
         """,
         "embeddings_kmeans_assign": """
             WITH c AS (

@@ -153,7 +153,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      "embeddings_cluster_sample", "embeddings_outliers",
                      "embeddings_knn_graph", "docs_quality_buckets",
                      "events_rolling_sum", "docs_dsir_score",
-                     "embeddings_pca"):
+                     "embeddings_pca", "docs_dsir_select",
+                     "embeddings_quantize"):
             t0 = time.monotonic()
             res = q[name](sf_dir)
             if hasattr(res, "to_pandas"):

@@ -958,32 +958,40 @@ def dsir_score(sf_dir: str, k: int = DSIR_K,
     corpus and scores each doc with two vectorized gathers — zero
     shuffle end to end, and md5 runs once per DISTINCT gram per block
     (dictionary-encoded), not per occurrence."""
-    import hashlib
-
-    from .text import _positional_kgrams
-
     if docs_empty(sf_dir):
         return typed_empty({"doc_id": "int64", "n_grams": "int64",
                             "target_mass": "int64", "raw_mass": "int64"})
+    raw_v, tgt_v = _dsir_hist(sf_dir, k, target_mod)
+    return _dsir_mass_ds(sf_dir, k, raw_v, tgt_v)
 
-    def _gram_buckets(txt, k):
-        """(doc_idx, bucket) per gram OCCURRENCE; md5 per distinct gram."""
-        import pyarrow.compute as pc
 
-        if isinstance(txt, pa.ChunkedArray):
-            txt = txt.combine_chunks()
-        gdoc, grams = _positional_kgrams(txt, k)
-        if not len(grams):
-            return gdoc, np.array([], np.int64)
-        codes = pc.dictionary_encode(grams)
-        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        dic = codes.dictionary.to_pylist()
-        db = np.array([int(hashlib.md5(g.encode()).hexdigest()[:3], 16)
-                       for g in dic], dtype=np.int64)
-        return gdoc, db[idx]
+def _dsir_gram_buckets(txt, k):
+    """(doc_idx, bucket) per gram OCCURRENCE; md5 per distinct gram."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from .text import _positional_kgrams
+
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    gdoc, grams = _positional_kgrams(txt, k)
+    if not len(grams):
+        return gdoc, np.array([], np.int64)
+    codes = pc.dictionary_encode(grams)
+    idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dic = codes.dictionary.to_pylist()
+    db = np.array([int(hashlib.md5(g.encode()).hexdigest()[:3], 16)
+                   for g in dic], dtype=np.int64)
+    return gdoc, db[idx]
+
+
+def _dsir_hist(sf_dir: str, k: int, target_mod: int):
+    """The raw/target hashed-gram count vectors (pass 1): per-block
+    bincount partials over the fixed DSIR_BUCKETS domain, KB driver fold."""
 
     def hist_partial(batch: pa.Table) -> pa.Table:
-        gdoc, bk = _gram_buckets(batch.column("text"), k)
+        gdoc, bk = _dsir_gram_buckets(batch.column("text"), k)
         ids = batch.column("doc_id").to_numpy(
             zero_copy_only=False).astype(np.int64)
         n_raw = np.bincount(bk, minlength=DSIR_BUCKETS).astype(np.int64)
@@ -1015,13 +1023,20 @@ def dsir_score(sf_dir: str, k: int = DSIR_K,
     g = hist.groupby("bk").sum()
     raw_v[g.index.to_numpy()] = g["n_raw"].to_numpy()
     tgt_v[g.index.to_numpy()] = g["n_tgt"].to_numpy()
+    return raw_v, tgt_v
+
+
+def _dsir_mass_ds(sf_dir: str, k: int, raw_v: np.ndarray,
+                  tgt_v: np.ndarray) -> ray.data.Dataset:
+    """Pass 2: the per-doc (n_grams, target_mass, raw_mass) int64 stream —
+    zero-shuffle, two vectorized gathers against the broadcast vectors."""
     import ray
 
     vref = ray.put((raw_v, tgt_v))
 
     def score(batch: pa.Table) -> pa.Table:
         raw_c, tgt_c = cached_get(vref)
-        gdoc, bk = _gram_buckets(batch.column("text"), k)
+        gdoc, bk = _dsir_gram_buckets(batch.column("text"), k)
         ids = batch.column("doc_id").to_numpy(
             zero_copy_only=False).astype(np.int64)
         n = len(ids)
@@ -1040,3 +1055,39 @@ def dsir_score(sf_dir: str, k: int = DSIR_K,
 
     return _read_docs(sf_dir, columns=("doc_id", "text")).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dsir_select(sf_dir: str, k: int = DSIR_K,
+                target_mod: int = DSIR_TARGET_MOD) -> ray.data.Dataset:
+    """The DSIR SELECTION step over ``dsir_score``'s masses: keep the
+    documents whose average per-gram target rate beats the corpus
+    average — ``target_mass * R > raw_mass * T`` with ``T``/``R`` the
+    corpus-total target/raw gram occurrences (equivalently
+    ``(target_mass/T)/(raw_mass/R) > 1``, the arithmetic-mean variant of
+    the paper's importance ratio; the linear form keeps every quantity
+    int64 so the DuckDB twin — which cross-multiplies in HUGEINT — is
+    exact).  The rule is a THRESHOLD, not a top-n: selection is a
+    zero-shuffle streaming filter, no global sort or rank however large
+    the corpus.  Output = the selected docs' full mass rows.
+
+    Int-range note: ``mass * total`` fits int64 up to ~3e9 gram
+    occurrences per side; past that, divide both totals by
+    ``gcd(T, R)`` (the comparison is scale-invariant) or fall back to
+    the float log-ratio — the integer rule is what the test tiers pin.
+
+    Edge: an empty target slice (T = 0) selects nothing — every
+    target_mass is 0 and the strict inequality fails."""
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64", "n_grams": "int64",
+                            "target_mass": "int64", "raw_mass": "int64"})
+    raw_v, tgt_v = _dsir_hist(sf_dir, k, target_mod)
+    r_total, t_total = int(raw_v.sum()), int(tgt_v.sum())
+    masses = _dsir_mass_ds(sf_dir, k, raw_v, tgt_v)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        tm = batch.column("target_mass").to_numpy(zero_copy_only=False)
+        rm = batch.column("raw_mass").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(tm * r_total > rm * t_total))
+
+    return masses.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)

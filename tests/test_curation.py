@@ -153,7 +153,7 @@ def test_new_docs_ops_survive_empty_table(ray_session, tmp_path):
                dedup.simhash, dedup.simhash_near_pairs,
                curation.stratified_sample, curation.source_mix,
                curation.length_filter, curation.quality_buckets,
-               curation.dsir_score,
+               curation.dsir_score, curation.dsir_select,
                curation.token_shards, curation.pack_sequences,
                text.bm25_topk, curation.source_cap,
                curation.top_terms, curation.shuffle_shards,
@@ -515,3 +515,71 @@ def test_dsir_score_planted(ray_session, tmp_path):
         .sort_values("doc_id").reset_index(drop=True)
     assert (got[sorted(got.columns)].astype(str).values
             == o[sorted(o.columns)].astype(str).values).all()
+
+
+def test_dsir_select_planted(ray_session, tmp_path):
+    """Hand-derived selection on a 4-doc corpus where doc 0 (the target
+    slice) is 'a b a b': every 'a b'/'b a' gram is target-heavy and every
+    'c d' gram carries zero target mass, so the rule must keep exactly
+    the docs whose gram bag leans into the target's buckets; the
+    threshold is recomputed in the test from the definition and the
+    DuckDB twin agrees bit-for-bit."""
+    import hashlib
+    from collections import Counter
+
+    import duckdb
+    import pyarrow as pa
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.curation import dsir_select
+
+    texts = {0: "a b a b", 1: "a b c", 2: "c d c d c", 3: "x"}
+    pq.write_table(
+        pa.table({"doc_id": pa.array(sorted(texts), pa.int64()),
+                  "text": pa.array([texts[i] for i in sorted(texts)],
+                                   pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    def grams(t):
+        toks = t.split()
+        return [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:3], 16)
+
+    raw = Counter(bucket(g) for d in texts.values() for g in grams(d))
+    tgt = Counter(bucket(g) for g in grams(texts[0]))
+    r_tot, t_tot = sum(raw.values()), sum(tgt.values())
+    want = sorted(
+        d for d, t in texts.items() if grams(t)
+        and sum(tgt[bucket(g)] for g in grams(t)) * r_tot
+        > sum(raw[bucket(g)] for g in grams(t)) * t_tot)
+    assert want and len(want) < 3      # a real split, not all-or-nothing
+
+    got = dsir_select(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == want
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    o = con.execute(e.oracle_sql()["docs_dsir_select"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (got[sorted(got.columns)].astype(str).values
+            == o[sorted(o.columns)].astype(str).values).all()
+
+
+def test_dsir_select_empty_target_slice(ray_session, tmp_path):
+    """T = 0 (no doc_id hits the target slice) must select nothing: the
+    strict cross-multiplied inequality degenerates to tm * R > 0 with
+    every tm = 0."""
+    import pyarrow as pa
+
+    from schoolocr_ray.pipelines.curation import dsir_select
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 3], pa.int64()),
+                  "text": pa.array(["a b c", "b c d"], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    got = dsir_select(str(tmp_path)).to_pandas()
+    assert len(got) == 0

@@ -109,6 +109,9 @@ SQL_CHECKED = [
     "docs_quality_buckets",
     "events_rolling_sum",
     "docs_dsir_score",
+    # session-12 operators: the DSIR selection step, int8 quantization
+    "docs_dsir_select",
+    "embeddings_quantize",
 ]
 
 

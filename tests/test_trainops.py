@@ -284,7 +284,8 @@ def test_similarity_family_survives_empty_embeddings(ray_session, tmp_path):
                      (dedup.semdedup, {"vec_id", "cluster"}),
                      (similarity.knn_graph,
                       {"vec_id", "in_deg", "mutual_deg"}),
-                     (similarity.pca_project, {"vec_id", "proj"})]:
+                     (similarity.pca_project, {"vec_id", "proj"}),
+                     (similarity.quantize, {"vec_id", "codes"})]:
         res = fn(str(d))
         # typed pandas empty (a zero-row Dataset would lose its columns
         # through to_pandas — the guard returns the surviving shape)
@@ -666,3 +667,76 @@ def test_pca_planted_dominant_axis(ray_session, tmp_path):
     got = pca_project(str(tmp_path)).to_pandas() \
         .sort_values("vec_id").reset_index(drop=True)
     assert np.allclose(got["proj"].to_numpy(), pos, atol=1e-3), got
+
+
+def test_quantize_planted(ray_session, tmp_path):
+    """Hand-computed int8 codes with the adversarial boundary cases: a
+    component equal to +scale (must code 127, not 128 — floor(127.5)),
+    equal to -scale (-127), an all-zero dimension (scale-0 guard, code
+    0), negatives rounding toward +inf (floor(x+0.5)), and the DuckDB
+    twin byte-equal on the joined strings."""
+    import duckdb
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.similarity import quantize
+
+    vecs = np.array([
+        [2.0, -1.0, 0.0, 0.25],
+        [-2.0, 0.5, 0.0, -0.25],
+        [1.0, 1.0, 0.0, 0.5],
+    ], dtype=np.float32)
+    # scales per dim: 2, 1, 0->1, 0.5
+    want = {
+        0: "127,-127,0,63",     # 0.25/0.5*127+0.5 = 64.0 -> floor 64? see below
+        1: "-127,63,0,-63",
+        2: "63,127,0,127",
+    }
+    # recompute from the definition instead of trusting the comment
+    s = np.abs(vecs.astype(np.float64)).max(axis=0)
+    s[s == 0] = 1.0
+    codes = np.floor(vecs.astype(np.float64) / s * 127.0 + 0.5).astype(int)
+    want = {i: ",".join(map(str, codes[i])) for i in range(3)}
+    assert want[0].split(",")[0] == "127"          # +scale boundary
+    assert want[1].split(",")[0] == "-127"         # -scale boundary
+    assert all(w.split(",")[2] == "0" for w in want.values())  # zero dim
+
+    pq.write_table(
+        pa.table({"vec_id": pa.array([0, 1, 2], pa.int64()),
+                  "embedding": pa.array(list(vecs), pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+    got = quantize(str(tmp_path)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert {int(r.vec_id): r.codes for r in got.itertuples()} == want
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/embeddings.parquet')")
+    o = con.execute(e.oracle_sql()["embeddings_quantize"]).df() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert (got[["vec_id", "codes"]].astype(str).values
+            == o[["vec_id", "codes"]].astype(str).values).all()
+
+
+def test_quantize_roundtrip_error_bound(ray_session):
+    """Dequantized codes reconstruct every component within half a
+    quantization step (scale/254 per unit code... i.e. |x - c*s/127| <=
+    s/254 + eps) on the real test embeddings — the invariant an IVF-SQ
+    consumer relies on."""
+    from schoolocr_ray.pipelines.similarity import quantize
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    s = np.abs(m).max(axis=0)
+    s[s == 0] = 1.0
+
+    got = quantize(SF_DIR).to_pandas().sort_values("vec_id") \
+        .reset_index(drop=True)
+    codes = np.array([list(map(int, c.split(","))) for c in got["codes"]],
+                     dtype=np.float64)
+    order = np.argsort(ids)
+    recon = codes * s / 127.0
+    err = np.abs(recon - m[order])
+    assert (err <= s / 254.0 + 1e-12).all()
+    assert np.abs(codes).max() <= 127
