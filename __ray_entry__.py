@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dsir_score": curation.dsir_score,
         "docs_dsir_select": curation.dsir_select,
         "embeddings_quantize": similarity.quantize,
+        "customers_without_orders": relational.customers_without_orders,
         "docs_bm25_topk": text.bm25_topk,
         "embeddings_cluster_sample": similarity.cluster_sample,
         "embeddings_outliers": similarity.cluster_outliers,
@@ -550,6 +551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": similarity.knn_ivf,
         "embeddings_kmeans": similarity.kmeans,
         "embeddings_pca": similarity.pca_project,
+        "docs_bpe_merges": curation.bpe_merges,
         "transcripts_extract": _transcripts_extract,
         "transcripts_wired_cells": _transcripts_wired_cells,
         "glyph_train_report": training.glyph_train_report,
@@ -1134,6 +1136,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        # anti-join: per-nation rollup of customers with no urgent order
+        # (Q22 shape — the filtered orders side keeps the anti set
+        # non-degenerate on this data)
+        "customers_without_orders": """
+            SELECT c_nationkey,
+                   COUNT(*)::BIGINT AS n_customers,
+                   CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS acct_cents
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey
         """,
         "lineitem_semi_join": """
             SELECT l_suppkey, COUNT(*) AS n

@@ -154,7 +154,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      "embeddings_knn_graph", "docs_quality_buckets",
                      "events_rolling_sum", "docs_dsir_score",
                      "embeddings_pca", "docs_dsir_select",
-                     "embeddings_quantize"):
+                     "embeddings_quantize", "customers_without_orders",
+                     "docs_bpe_merges"):
             t0 = time.monotonic()
             res = q[name](sf_dir)
             if hasattr(res, "to_pandas"):

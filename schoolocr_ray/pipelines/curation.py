@@ -1091,3 +1091,122 @@ def dsir_select(sf_dir: str, k: int = DSIR_K,
 
     return masses.map_batches(keep, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+# --- BPE merge induction (tokenizer training) ---------------------------
+BPE_MERGES = 12
+
+
+def _bpe_apply(word: str, merges) -> list[str]:
+    """Apply learned merges to one word, in rank order — left-to-right,
+    non-overlapping, the classic BPE segmenter.  Shared verbatim by the
+    pytest serial reference so the distributed loop is pinned against
+    the exact same recursion."""
+    syms = list(word)
+    for a, b in merges:
+        i, out = 0, []
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_merges(sf_dir: str, n_merges: int = BPE_MERGES) -> pd.DataFrame:
+    """Learn the corpus's top-``n_merges`` BPE merges — the
+    tokenizer-TRAINING analog (Sennrich et al., the subword vocabulary
+    every LLM pipeline induces before tokenizing): start from characters,
+    repeatedly merge the highest-frequency adjacent symbol pair, weighted
+    by word frequency; ties break (count DESC, left ASC, right ASC) so
+    the output is deterministic.  Output one row per learned merge:
+    (merge_rank, left, right, pair_count) — all counts int64.
+
+    Shape (the kmeans-loop pattern on text): the corpus is scanned ONCE
+    to build the word-frequency vocab (batch-local pure-Arrow counts,
+    then one vocab-keyed groupby-Sum — the only corpus-sized exchange);
+    the merge loop runs over the MATERIALIZED vocab (the small derived
+    table — words, not occurrences), each epoch broadcasting the merges
+    learned so far and folding per-block weighted pair-count partials on
+    the driver (pair cardinality is bounded by the vocab's distinct
+    adjacent pairs, never by corpus size).  Re-deriving each word's
+    segmentation from the broadcast merge list keeps the vocab dataset
+    immutable across epochs — no per-epoch rewrite shuffle, O(rank)
+    re-application per word exactly like kmeans re-broadcasting
+    centroids.  No SQL twin — the iterative argmax recursion is not
+    SQL-expressible (the kmeans/pca precedent); pinned by a serial
+    reference equality plus a hand-computed planted corpus."""
+    from ray.data.aggregate import Sum
+
+    from .text import _word_tokens
+
+    out_cols = {"merge_rank": "int64", "left": "object",
+                "right": "object", "pair_count": "int64"}
+    if docs_empty(sf_dir):
+        return typed_empty(out_cols)
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, _ = _word_tokens(txt)
+        words = flat.filter(pc.not_equal(flat, ""))
+        g = pa.table({"word": words}).group_by(
+            ["word"], use_threads=False).aggregate([([], "count_all")])
+        return pa.table({"word": g.column("word"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    vocab = _read_docs(sf_dir, columns=("text",)) \
+        .map_batches(vocab_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("word").aggregate(Sum("n", alias_name="n")) \
+        .materialize()
+
+    import ray
+
+    merges: list[tuple[str, str]] = []
+    rows = []
+    for rank in range(1, n_merges + 1):
+        mref = ray.put(tuple(merges))
+
+        def pair_partial(batch: pa.Table, mref=mref) -> pa.Table:
+            from collections import Counter
+
+            ms = cached_get(mref)
+            ws = batch.column("word").to_pylist()
+            ns = batch.column("n").to_numpy(zero_copy_only=False)
+            cnt: Counter = Counter()
+            for w, n in zip(ws, ns):
+                syms = _bpe_apply(w, ms)
+                n = int(n)
+                for i in range(len(syms) - 1):
+                    cnt[(syms[i], syms[i + 1])] += n
+            if not cnt:
+                return pa.table({"left": pa.array([], pa.string()),
+                                 "right": pa.array([], pa.string()),
+                                 "cnt": pa.array([], pa.int64())})
+            ls, rs = zip(*cnt.keys())
+            return pa.table({"left": pa.array(ls, pa.string()),
+                             "right": pa.array(rs, pa.string()),
+                             "cnt": pa.array(list(cnt.values()), pa.int64())})
+
+        pp = vocab.map_batches(pair_partial, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None) \
+                  .to_pandas()
+        if pp.empty:
+            break
+        g = pp.groupby(["left", "right"], as_index=False)["cnt"].sum()
+        g = g.sort_values(["cnt", "left", "right"],
+                          ascending=[False, True, True], kind="mergesort")
+        top = g.iloc[0]
+        merges.append((str(top["left"]), str(top["right"])))
+        rows.append((rank, str(top["left"]), str(top["right"]),
+                     int(top["cnt"])))
+    if not rows:
+        return typed_empty(out_cols)
+    return pd.DataFrame(rows, columns=list(out_cols))

@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.dataset as pyarrow_ds
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -1549,3 +1550,83 @@ def events_cohorts(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
     # by the corpus time span, so the driver fold applies
     return _fold_partials(parts, ["cohort_week", "week"], ["n_users"],
                           {"cohort_week": "int64", "week": "int64"})
+
+
+def customers_without_orders(sf_dir: str,
+                              priority: str = "1-URGENT") -> pd.DataFrame:
+    """Anti-join (the join family's complement to the J2 semi-join):
+    per-nation count and acctbal-cents total of customers with NO
+    ``priority``-class order — the TPC-H Q22 shape (Q22 likewise
+    anti-joins a filtered orders side; on this synthetic data the
+    unfiltered variant is degenerate — nearly every customer has SOME
+    order).  Unlike the semi-join, NEITHER side is broadcastable:
+    custkeys are data-scaled on both sides, so the anti test runs inside
+    ONE custkey-hash bucket shuffle — union the tagged customer rows
+    with the orders side's per-block DISTINCT custkeys (the priority
+    predicate pushed into the parquet read, then pure-Arrow dedup before
+    the exchange, so the orders stream contributes at most one narrow
+    row per (block, custkey), not one per order), resolve membership
+    bucket-locally with a vectorized isin, and emit per-bucket NATION
+    partials (dimension-bounded) that fold on the driver.  Bucket count
+    scales with the customer table so bucket size stays bounded at any
+    SF."""
+    from ..util import read_parquet_clean
+
+    out_cols = {"c_nationkey": "int64", "n_customers": "int64",
+                "acct_cents": "int64"}
+    n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    if n_cust == 0:
+        return _typed_empty(out_cols)
+    nbk = max(32, -(-n_cust // 65536))
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    # the filter must bind against the projected schema, so the priority
+    # column rides the (already ~5x-filtered) read and stops at order_keys
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+        filter=(pyarrow_ds.field("o_orderpriority") == priority))
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "bk": pa.array(ck % nbk),
+            "ck": pa.array(ck),
+            "nat": batch.column("c_nationkey").cast(pa.int64()),
+            "cents": pa.array(_cents(batch.column("c_acctbal").to_numpy())),
+            "has_order": pa.array(np.zeros(len(ck), np.int64)),
+        })
+
+    def order_keys(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["o_custkey"], use_threads=False).aggregate([])
+        ck = g.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "bk": pa.array(ck % nbk),
+            "ck": pa.array(ck),
+            "nat": pa.array(np.zeros(len(ck), np.int64)),
+            "cents": pa.array(np.zeros(len(ck), np.int64)),
+            "has_order": pa.array(np.ones(len(ck), np.int64)),
+        })
+
+    tagged = cust.map_batches(cust_rows, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .union(orders.map_batches(order_keys, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        matched = df.loc[df["has_order"] == 1, "ck"].unique()
+        c = df[df["has_order"] == 0]
+        c = c[~c["ck"].isin(matched)]
+        g = c.groupby("nat", as_index=False).agg(
+            n_customers=("ck", "size"), acct_cents=("cents", "sum"))
+        return pd.DataFrame({"c_nationkey": g["nat"].astype(np.int64),
+                             "n_customers": g["n_customers"].astype(np.int64),
+                             "acct_cents": g["acct_cents"].astype(np.int64)})
+
+    parts = tagged.groupby("bk").map_groups(arrow_groups(anti),
+                                            batch_format="pandas")
+    df = _fold_partials(parts, ["c_nationkey"],
+                        ["n_customers", "acct_cents"],
+                        {"c_nationkey": "int64"})
+    return df.sort_values("c_nationkey").reset_index(drop=True)

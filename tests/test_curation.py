@@ -154,6 +154,7 @@ def test_new_docs_ops_survive_empty_table(ray_session, tmp_path):
                curation.stratified_sample, curation.source_mix,
                curation.length_filter, curation.quality_buckets,
                curation.dsir_score, curation.dsir_select,
+               curation.bpe_merges,
                curation.token_shards, curation.pack_sequences,
                text.bm25_topk, curation.source_cap,
                curation.top_terms, curation.shuffle_shards,
@@ -583,3 +584,79 @@ def test_dsir_select_empty_target_slice(ray_session, tmp_path):
         str(tmp_path / "documents.parquet"))
     got = dsir_select(str(tmp_path)).to_pandas()
     assert len(got) == 0
+
+
+def test_bpe_merges_planted(ray_session, tmp_path):
+    """Hand-computed BPE on 'banana banana band' (case/word split via the
+    family tokenizer): initial weighted pairs ba:3 an:5 na:4 nd:1 ->
+    merge 1 = (a, n, 5); after it banana = b,an,an,a and band = b,an,d
+    -> pairs b-an:3, an-an:2, an-a:2, an-d:1 -> merge 2 = (b, an, 3);
+    then ban-an:2, an-a... recomputed exactly below via the shared
+    serial segmenter so the expectation can't drift from the rule."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from schoolocr_ray.pipelines.curation import _bpe_apply, bpe_merges
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["banana banana", "band"], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    vocab = {"banana": 2, "band": 1}
+    merges, want = [], []
+    for rank in range(1, 4):
+        cnt = Counter()
+        for w, n in vocab.items():
+            syms = _bpe_apply(w, merges)
+            for i in range(len(syms) - 1):
+                cnt[(syms[i], syms[i + 1])] += n
+        (left, right), c = sorted(cnt.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((left, right))
+        want.append((rank, left, right, c))
+    assert want[0] == (1, "a", "n", 5) and want[1] == (2, "b", "an", 3)
+
+    got = bpe_merges(str(tmp_path), n_merges=3)
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_bpe_merges_matches_serial_reference(ray_session):
+    """Distributed loop == the serial recursion over the same
+    word-frequency table (the kmeans/pca evidence pattern): identical
+    merge sequence, ranks, and counts on the real sf0.01 corpus."""
+    import re
+    from collections import Counter
+
+    from schoolocr_ray.pipelines.curation import (
+        BPE_MERGES,
+        _bpe_apply,
+        bpe_merges,
+    )
+    from schoolocr_ray.pipelines.text import WORD_RE
+
+    src = pq.read_table(f"{SF_DIR}/documents.parquet",
+                        columns=["text"]).column("text").to_pylist()
+    vocab = Counter()
+    splitter = re.compile(WORD_RE)
+    for t in src:
+        vocab.update(w for w in splitter.split(t.lower()) if w)
+
+    merges, want = [], []
+    for rank in range(1, BPE_MERGES + 1):
+        cnt = Counter()
+        for w, n in vocab.items():
+            syms = _bpe_apply(w, merges)
+            for i in range(len(syms) - 1):
+                cnt[(syms[i], syms[i + 1])] += n
+        if not cnt:
+            break
+        (left, right), c = sorted(cnt.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((left, right))
+        want.append((rank, left, right, c))
+
+    got = bpe_merges(SF_DIR)
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    assert len(got) == BPE_MERGES       # the corpus supports a full run

@@ -109,9 +109,11 @@ SQL_CHECKED = [
     "docs_quality_buckets",
     "events_rolling_sum",
     "docs_dsir_score",
-    # session-12 operators: the DSIR selection step, int8 quantization
+    # session-12 operators: the DSIR selection step, int8 quantization,
+    # the anti-join
     "docs_dsir_select",
     "embeddings_quantize",
+    "customers_without_orders",
 ]
 
 
@@ -135,7 +137,7 @@ ROWS_ONLY = ["knn_lsh", "knn_ivf",
              "docs_embedding_neardup_lsh", "docs_embedding_neardup_ivf",
              "transcripts_wired_cells",
              "transcripts_extract", "glyph_train_report",
-             "embeddings_kmeans", "embeddings_pca"]
+             "embeddings_kmeans", "embeddings_pca", "docs_bpe_merges"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
@@ -307,3 +309,68 @@ def test_rolling_sum_planted(ray_session, tmp_path):
         .sort_values("event_id").reset_index(drop=True)
     assert (got[["event_id", "roll_cents"]].values
             == want[["event_id", "roll_cents"]].values).all()
+
+
+def test_customers_without_orders_planted(ray_session, tmp_path):
+    """Hand-built anti-join: customers 1/3 have orders, 2/4/5 do not;
+    nation rollups are computed by hand (nation 10: customers 2+4,
+    150+250 cents; nation 20: customer 5, -100 cents — a negative
+    acctbal pins the signed cents math); empty-orders and
+    empty-customers degenerate cases; DuckDB NOT EXISTS twin agrees."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.relational import customers_without_orders
+
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                  "c_name": pa.array([f"c{i}" for i in range(5)]),
+                  "c_nationkey": pa.array([10, 10, 20, 10, 20], pa.int64()),
+                  "c_acctbal": pa.array([9.0, 1.5, 9.0, 2.5, -1.0],
+                                        pa.float64()),
+                  "c_mktsegment": pa.array(["A"] * 5)}),
+        str(tmp_path / "customer.parquet"))
+    # customer 1 has two urgent orders, 3 only a LOW one -> 3 joins the
+    # anti set despite having SOME order (the filtered-side semantics)
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([100, 101, 102], pa.int64()),
+                  "o_custkey": pa.array([1, 1, 3], pa.int64()),
+                  "o_orderpriority": pa.array(
+                      ["1-URGENT", "1-URGENT", "5-LOW"], pa.string()),
+                  "o_totalprice": pa.array([5.0, 6.0, 7.0], pa.float64())}),
+        str(tmp_path / "orders.parquet"))
+
+    got = customers_without_orders(str(tmp_path))
+    assert got.values.tolist() == [[10, 2, 400], [20, 2, 800]]
+
+    c = duckdb.connect()
+    for t in ("customer", "orders"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{tmp_path}/{t}.parquet')")
+    want = c.execute(e.oracle_sql()["customers_without_orders"]).df() \
+        .sort_values("c_nationkey").reset_index(drop=True)
+    assert (got.astype(str).values == want.astype(str).values).all()
+
+    # no orders at all -> every customer is order-less
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([], pa.int64()),
+                  "o_custkey": pa.array([], pa.int64()),
+                  "o_orderpriority": pa.array([], pa.string()),
+                  "o_totalprice": pa.array([], pa.float64())}),
+        str(tmp_path / "orders.parquet"))
+    all_out = customers_without_orders(str(tmp_path))
+    assert int(all_out["n_customers"].sum()) == 5
+
+    # no customers -> typed empty
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([], pa.int64()),
+                  "c_name": pa.array([], pa.string()),
+                  "c_nationkey": pa.array([], pa.int64()),
+                  "c_acctbal": pa.array([], pa.float64()),
+                  "c_mktsegment": pa.array([], pa.string())}),
+        str(tmp_path / "customer.parquet"))
+    empty = customers_without_orders(str(tmp_path))
+    assert len(empty) == 0 and list(empty.columns) == [
+        "c_nationkey", "n_customers", "acct_cents"]
