@@ -456,6 +456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dsir_select": curation.dsir_select,
         "embeddings_quantize": similarity.quantize,
         "customers_without_orders": relational.customers_without_orders,
+        "events_rollup_cube": relational.events_rollup_cube,
+        "docs_dedup_keep": text.dedup_keep,
         "docs_bm25_topk": text.bm25_topk,
         "embeddings_cluster_sample": similarity.cluster_sample,
         "embeddings_outliers": similarity.cluster_outliers,
@@ -597,6 +599,43 @@ def oracle_sql() -> dict[str, str]:
     assert eval_preds == EVAL_PREDS_PATH
     transcripts = f"read_parquet('{_SF01_CORPUS}/*.parquet')"
     extracted = f"read_parquet('{_EXTRACT_OUT_ROOT}/sf0.01/part_id=*/data.parquet')"
+    # near-dup connected components (jaccard pairs -> min-label CC):
+    # shared verbatim between docs_dedup_clusters and docs_dedup_keep
+    _dedup_clusters_sql = r"""
+            WITH RECURSIVE pairs AS (
+            WITH tok AS (
+                SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS ts
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+                FROM (SELECT doc_id, ts,
+                             unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+                      FROM tok)),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            cold AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= """ + str(_JACCARD_HOT_CAP) + r"""),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                WHERE a.s IN (SELECT s FROM cold)
+                GROUP BY 1, 2)
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = doc_a
+            JOIN cnt cb ON cb.doc_id = doc_b
+            WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+        ),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS doc FROM edges),
+            reach(doc, lbl) AS (
+                SELECT doc, doc FROM nodes
+                UNION
+                SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.doc = e.b)
+            SELECT doc AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY doc
+        """
     # DSIR shared CTE chain: tokenize -> bigram bag -> md5 bucket ->
     # raw/target bucket counts -> per-doc masses (m); docs_dsir_score
     # selects m verbatim, docs_dsir_select appends the threshold filter
@@ -1184,6 +1223,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
         """,
+        # multi-level rollup in one pass: GROUPING SETS with the engine's
+        # 'ALL'/-1 sentinels and lvl disambiguator
+        "events_rollup_cube": """
+            SELECT CASE WHEN GROUPING(event_type) = 0 AND GROUPING(day) = 0
+                        THEN 0
+                        WHEN GROUPING(event_type) = 0 THEN 1
+                        ELSE 2 END AS lvl,
+                   COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(day, -1) AS day,
+                   COUNT(*)::BIGINT AS n,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM (SELECT event_type,
+                         epoch_us(ts) // CAST(86400000000 AS BIGINT) AS day,
+                         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+        """,
         "events_windowed": """
             SELECT event_type,
                    epoch_us(ts) // CAST(21600000000 AS BIGINT) AS win,
@@ -1409,40 +1465,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
             WHERE d.doc_id % 50 <> 0
         """,
-        "docs_dedup_clusters": r"""
-            WITH RECURSIVE pairs AS (
-            WITH tok AS (
-                SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
-                                   x -> x <> '') AS ts
-                FROM documents),
-            sh AS (
-                SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
-                FROM (SELECT doc_id, ts,
-                             unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
-                      FROM tok)),
-            cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-            cold AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= """ + str(_JACCARD_HOT_CAP) + r"""),
-            inter AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                WHERE a.s IN (SELECT s FROM cold)
-                GROUP BY 1, 2)
-            SELECT doc_a, doc_b
-            FROM inter
-            JOIN cnt ca ON ca.doc_id = doc_a
-            JOIN cnt cb ON cb.doc_id = doc_b
-            WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
-        ),
-            edges AS (
-                SELECT doc_a AS a, doc_b AS b FROM pairs
-                UNION ALL
-                SELECT doc_b, doc_a FROM pairs),
-            nodes AS (SELECT DISTINCT a AS doc FROM edges),
-            reach(doc, lbl) AS (
-                SELECT doc, doc FROM nodes
-                UNION
-                SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.doc = e.b)
-            SELECT doc AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY doc
+        "docs_dedup_clusters": _dedup_clusters_sql,
+        # the survivor corpus: every doc that is unclustered or its
+        # cluster's canonical (minimum-id) representative — the clusters
+        # CTE is the dedup_clusters twin verbatim
+        "docs_dedup_keep": "WITH clusters AS (" + _dedup_clusters_sql + r""")
+            SELECT d.doc_id
+            FROM documents d
+            LEFT JOIN clusters c ON c.doc_id = d.doc_id
+            WHERE c.doc_id IS NULL OR c.cluster = c.doc_id
         """,
         # stratified sampling: Knuth multiplicative hash mod 2^32 vs the
         # per-language integer threshold (HUGEINT keeps the product exact;

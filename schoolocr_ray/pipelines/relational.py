@@ -1630,3 +1630,69 @@ def customers_without_orders(sf_dir: str,
                         ["n_customers", "acct_cents"],
                         {"c_nationkey": "int64"})
     return df.sort_values("c_nationkey").reset_index(drop=True)
+
+
+ROLLUP_ALL = "ALL"  # sentinel for rolled-up dimensions (twin COALESCEs)
+
+
+def events_rollup_cube(sf_dir: str) -> pd.DataFrame:
+    """Multi-level aggregate in ONE pass — the GROUPING SETS / ROLLUP
+    shape Ray Data has no native operator for: (event_type, day),
+    (event_type) and grand-total counts + cents sums computed together,
+    so a reporting consumer gets every drill-down level without three
+    scans.  Rolled-up dimensions surface as sentinels (``'ALL'`` /
+    ``-1``) and a ``lvl`` column disambiguates, matching the twin's
+    GROUPING SETS + COALESCE exactly.  Shape: each batch emits all three
+    levels' partials from its one local group_by pass (the finest level
+    dominates: types x days + types + 1 rows, dimension-bounded — days
+    are bounded by the corpus time span), then the `_fold_partials`
+    driver fold merges; no shuffle beyond the 8-block repartition."""
+    out_cols = {"lvl": "int64", "event_type": "object", "day": "int64",
+                "n": "int64", "sum_cents": "int64"}
+    if _events_empty(sf_dir):
+        return _typed_empty(out_cols)
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column("value").to_numpy())
+        ts_us = batch.column("ts").cast(pa.int64()).to_numpy()
+        day = ts_us // 86_400_000_000
+        fine = pa.table({
+            "event_type": batch.column("event_type"),
+            "day": pa.array(day, pa.int64()),
+            "cents": pa.array(cents),
+        }).group_by(["event_type", "day"], use_threads=False).aggregate(
+            [([], "count_all"), ("cents", "sum")])
+        et = fine.column("event_type")
+        d = fine.column("day")
+        n = fine.column("count_all").cast(pa.int64())
+        s = fine.column("cents_sum").cast(pa.int64())
+        # levels 1 (per type) and 2 (grand total) re-fold the fine rows —
+        # KB-scale arrays, pure numpy
+        df = pd.DataFrame({"et": et.to_pylist(),
+                           "n": n.to_numpy(zero_copy_only=False),
+                           "s": s.to_numpy(zero_copy_only=False)})
+        g1 = df.groupby("et", as_index=False)[["n", "s"]].sum()
+        return pa.table({
+            "lvl": pa.array([0] * len(df) + [1] * len(g1) + [2], pa.int64()),
+            "event_type": pa.array(
+                df["et"].tolist() + g1["et"].tolist() + [ROLLUP_ALL],
+                pa.string()),
+            "day": pa.array(
+                d.to_pylist() + [-1] * (len(g1) + 1), pa.int64()),
+            "n": pa.array(
+                df["n"].tolist() + g1["n"].tolist() + [int(df["n"].sum())],
+                pa.int64()),
+            "sum_cents": pa.array(
+                df["s"].tolist() + g1["s"].tolist() + [int(df["s"].sum())],
+                pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    df = _fold_partials(parts, ["lvl", "event_type", "day"],
+                        ["n", "sum_cents"],
+                        {"lvl": "int64", "event_type": "object",
+                         "day": "int64"})
+    return df.sort_values(["lvl", "event_type", "day"]) \
+             .reset_index(drop=True)[list(out_cols)]

@@ -1323,3 +1323,58 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = BM25_TERMS,
     return tops.sort_values(["score", "doc_id"],
                             ascending=[False, True],
                             kind="mergesort").head(k).reset_index(drop=True)
+
+
+def dedup_keep(sf_dir: str, threshold: float = 0.5, k: int = 3,
+               mode: str = "auto") -> ray.data.Dataset:
+    """The near-dup SURVIVOR corpus — the artifact a dedup pipeline
+    actually ships: every document that is either unclustered or its
+    cluster's canonical representative (the component-minimum doc_id
+    ``dedup_clusters`` assigns).  Output one (doc_id, canonical) row per
+    KEPT doc, canonical = its own id (so downstream lineage can tell
+    representatives from never-clustered docs only by joining back to
+    the clusters table — the kept list itself is uniform).
+
+    Scale shape: the drop set is O(duplicate docs) — at real web dedup
+    rates a third of the corpus — so it is NOT broadcastable; instead
+    the keep test runs inside ONE doc_id-hash bucket shuffle of narrow
+    id rows (the anti-join machinery): union the corpus's id stream with
+    the clusters table, resolve per bucket with a vectorized map, emit
+    survivors.  The clusters input reuses ``dedup_clusters`` unchanged
+    (driver union-find or distributed label propagation, auto-switched)."""
+    import pyarrow.parquet as pq
+
+    if docs_empty(sf_dir):
+        return typed_empty({"doc_id": "int64"})
+    cl = dedup_clusters(sf_dir, threshold, k, mode)
+    cl_ds = ray.data.from_arrow(cl) if isinstance(cl, pa.Table) else cl
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nbk = max(32, -(-n_docs // 65536))
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({"bk": pa.array(ids % nbk), "doc_id": pa.array(ids),
+                         "cluster": pa.array(np.full(len(ids), -1, np.int64))})
+
+    def cl_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"bk": pa.array(ids % nbk), "doc_id": pa.array(ids),
+                         "cluster": batch.column("cluster").cast(pa.int64())})
+
+    tagged = _read_docs(sf_dir, columns=("doc_id",)) \
+        .map_batches(doc_rows, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .union(cl_ds.map_batches(cl_rows, batch_format="pyarrow",
+                                 zero_copy_batch=True))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        cmap = df.loc[df["cluster"] >= 0].set_index("doc_id")["cluster"]
+        docs = df.loc[df["cluster"] < 0, "doc_id"]
+        rep = docs.map(cmap)                     # NaN = never clustered
+        kept = docs[rep.isna() | (rep == docs)]
+        return pd.DataFrame({"doc_id": kept.to_numpy(np.int64)})
+
+    return tagged.groupby("bk").map_groups(arrow_groups(keep),
+                                           batch_format="pandas")

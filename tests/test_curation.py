@@ -147,7 +147,7 @@ def test_new_docs_ops_survive_empty_table(ray_session, tmp_path):
                text.fingerprint, text.exact_dedup, text.jaccard_pairs,
                text.dup_spans, text.ngram_novelty, text.pii_scrub,
                text.top_ngrams, text.boilerplate_flag,
-               text.dedup_clusters, text.decontaminate,
+               text.dedup_clusters, text.dedup_keep, text.decontaminate,
                text.repetition_scores, text.chunk_documents,
                dedup.minhash_dedup, dedup.minhash_candidate_pairs,
                dedup.simhash, dedup.simhash_near_pairs,

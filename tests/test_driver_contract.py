@@ -114,6 +114,8 @@ SQL_CHECKED = [
     "docs_dsir_select",
     "embeddings_quantize",
     "customers_without_orders",
+    "events_rollup_cube",
+    "docs_dedup_keep",
 ]
 
 
@@ -225,7 +227,8 @@ def test_new_events_ops_survive_empty_table(ray_session, tmp_path):
                r.events_hopping,
                # the _events_empty-guarded family: footer short-circuit
                r.events_lag, r.events_rolling_sum, r.events_sessions,
-               r.events_asof_purchase, r.events_distinct_users):
+               r.events_asof_purchase, r.events_distinct_users,
+               r.events_rollup_cube):
         df = _to_pandas(fn(str(d)))
         assert len(df) == 0 or set(df.get("n_users", [])) == {0}, fn
         assert len(df.columns) > 0, fn      # typed empty, not column-less
@@ -374,3 +377,74 @@ def test_customers_without_orders_planted(ray_session, tmp_path):
     empty = customers_without_orders(str(tmp_path))
     assert len(empty) == 0 and list(empty.columns) == [
         "c_nationkey", "n_customers", "acct_cents"]
+
+
+def test_events_rollup_cube_planted(ray_session, tmp_path):
+    """Hand-computed three-level rollup: 2 types x 2 days, one type
+    spanning both days — level 0 has 3 (type, day) cells, level 1 folds
+    them to 2 type rows, level 2 is the single grand total; sentinels
+    'ALL'/-1 and the GROUPING SETS twin agree bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.relational import events_rollup_cube
+
+    day_us = 86_400_000_000
+    rows = [("view", 0, 1.0), ("view", 0, 2.0), ("view", 1, 4.0),
+            ("buy", 1, 8.0)]
+    pq.write_table(
+        pa.table({"event_id": pa.array(range(4), pa.int64()),
+                  "ts": pa.array(np.array([r[1] * day_us for r in rows],
+                                          "int64"), pa.timestamp("us")),
+                  "user_id": pa.array([1] * 4, pa.int64()),
+                  "event_type": pa.array([r[0] for r in rows], pa.string()),
+                  "value": pa.array([r[2] for r in rows], pa.float64()),
+                  "props": pa.array(["{}"] * 4, pa.string())}),
+        str(tmp_path / "events.parquet"))
+
+    got = events_rollup_cube(str(tmp_path))
+    want = [
+        [0, "buy", 1, 1, 800], [0, "view", 0, 2, 300], [0, "view", 1, 1, 400],
+        [1, "buy", -1, 1, 800], [1, "view", -1, 3, 700],
+        [2, "ALL", -1, 4, 1500],
+    ]
+    assert got.values.tolist() == want
+
+    c = duckdb.connect()
+    c.execute("CREATE VIEW events AS SELECT * FROM "
+              f"read_parquet('{tmp_path}/events.parquet')")
+    o = c.execute(e.oracle_sql()["events_rollup_cube"]).df() \
+        .sort_values(["lvl", "event_type", "day"]).reset_index(drop=True)
+    assert (got.astype(str).values == o.astype(str).values).all()
+
+
+def test_dedup_keep_planted(ray_session, tmp_path):
+    """Survivor semantics on a planted cluster: docs 5 and 9 are
+    identical (jaccard 1), doc 2 unique — keep = {2, 5} (the cluster's
+    minimum id + the unclustered doc); twin agrees."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.text import dedup_keep
+
+    dup = "alpha beta gamma delta epsilon zeta"
+    pq.write_table(
+        pa.table({"doc_id": pa.array([2, 5, 9], pa.int64()),
+                  "text": pa.array(
+                      ["one two three four five six", dup, dup],
+                      pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    got = dedup_keep(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == [2, 5]
+
+    c = duckdb.connect()
+    c.execute("CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{tmp_path}/documents.parquet')")
+    o = c.execute(e.oracle_sql()["docs_dedup_keep"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == o["doc_id"].tolist()
