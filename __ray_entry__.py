@@ -458,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": relational.customers_without_orders,
         "events_rollup_cube": relational.events_rollup_cube,
         "docs_dedup_keep": text.dedup_keep,
+        "events_heavy_users": relational.events_heavy_users,
         "docs_bm25_topk": text.bm25_topk,
         "embeddings_cluster_sample": similarity.cluster_sample,
         "embeddings_outliers": similarity.cluster_outliers,
@@ -575,6 +576,7 @@ def oracle_sql() -> dict[str, str]:
 
     from schoolocr_ray.pipelines import curation as _curation
     from schoolocr_ray.pipelines import dedup as _dedup
+    from schoolocr_ray.pipelines import relational
     from schoolocr_ray.pipelines import similarity as _similarity
     from schoolocr_ray.pipelines import text
     from schoolocr_ray.pipelines.evaluation import (
@@ -1222,6 +1224,17 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        # threshold heavy hitters: T = ceil(1.2 x mean events per active
+        # user), ceil via negated floor division on both engines
+        "events_heavy_users": f"""
+            SELECT user_id, COUNT(*)::BIGINT AS n_events
+            FROM events
+            GROUP BY user_id
+            HAVING COUNT(*) >= (
+                SELECT -((-{relational.HH_NUM} * COUNT(*))
+                         // ({relational.HH_DEN} * COUNT(DISTINCT user_id)))
+                FROM events)
         """,
         # multi-level rollup in one pass: GROUPING SETS with the engine's
         # 'ALL'/-1 sentinels and lvl disambiguator

@@ -1696,3 +1696,81 @@ def events_rollup_cube(sf_dir: str) -> pd.DataFrame:
                          "day": "int64"})
     return df.sort_values(["lvl", "event_type", "day"]) \
              .reset_index(drop=True)[list(out_cols)]
+
+
+HH_NUM, HH_DEN = 6, 5  # heavy threshold = ceil(1.2 x mean events/user)
+
+
+def events_heavy_users(sf_dir: str) -> pd.DataFrame:
+    """Threshold heavy hitters over a DATA-SCALED key (user_id) — the
+    sibling of ``events_topk_per_group`` (fixed k, dimension key) for
+    the "every key above T" question a naive global groupby would answer
+    with a full user shuffle.  T = ceil(1.2 x the mean events per active
+    user), integer-exact on both engines (ceil by negated floor
+    division).
+
+    Three passes, none user-shuffle-sized: (A) the exact distinct-user
+    count that anchors T — at 100 TB this pass swaps for the
+    ``events_hll_users`` register fold (same broadcastable size) with a
+    conservatively lowered T, the documented estimate-then-verify
+    composition; (B) candidate discovery by the WEIGHTED PIGEONHOLE
+    bound — a key with global count >= T must have a local count >=
+    T x n_b / n in at least one block (otherwise summing the per-block
+    shares bounds its global count below T), so each block emits only
+    keys passing the integer cross-multiplied share test
+    ``local_cnt * n >= T * n_b`` (a superset of the true heavy set,
+    O(near-heavy keys); worst case — a distribution sitting exactly at
+    the threshold — degrades to the plain shuffle, disclosed not
+    hidden); (C) exact verification — the candidate ids broadcast once,
+    every block counts ONLY candidates, the dimension-bounded partials
+    fold on the driver, and the final ``>= T`` filter emits exact
+    counts, so the output is EXACTLY the true heavy set (the twin is a
+    plain HAVING)."""
+    out_cols = {"user_id": "int64", "n_events": "int64"}
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    if n == 0:
+        return _typed_empty(out_cols)
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["user_id"], use_threads=False).aggregate([])
+
+    u = ds.map_batches(distinct_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None) \
+        .groupby("user_id").count().count()
+    t = -((-HH_NUM * n) // (HH_DEN * u))
+
+    def candidate_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id"], use_threads=False).aggregate(
+            [([], "count_all")])
+        cnt = g.column("count_all").to_numpy().astype(np.int64)
+        keep = cnt * n >= t * batch.num_rows      # local share test
+        return pa.table({"user_id": g.column("user_id").filter(
+            pa.array(keep))})
+
+    cands = ds.map_batches(candidate_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None) \
+        .to_pandas()["user_id"].unique()
+    if not len(cands):
+        return _typed_empty(out_cols)
+    cref = ray.put(np.sort(cands.astype(np.int64)))
+
+    def verify_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..util import cached_get
+
+        cs = cached_get(cref)
+        hit = batch.filter(pc.is_in(batch.column("user_id"),
+                                    value_set=pa.array(cs)))
+        g = hit.group_by(["user_id"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "n_events": g.column("count_all").cast(pa.int64())})
+
+    parts = ds.map_batches(verify_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    df = _fold_partials(parts, ["user_id"], ["n_events"],
+                        {"user_id": "int64"})
+    df = df[df["n_events"] >= t]
+    return df.sort_values("user_id").reset_index(drop=True)[list(out_cols)]

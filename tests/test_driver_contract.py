@@ -116,6 +116,7 @@ SQL_CHECKED = [
     "customers_without_orders",
     "events_rollup_cube",
     "docs_dedup_keep",
+    "events_heavy_users",
 ]
 
 
@@ -228,7 +229,7 @@ def test_new_events_ops_survive_empty_table(ray_session, tmp_path):
                # the _events_empty-guarded family: footer short-circuit
                r.events_lag, r.events_rolling_sum, r.events_sessions,
                r.events_asof_purchase, r.events_distinct_users,
-               r.events_rollup_cube):
+               r.events_rollup_cube, r.events_heavy_users):
         df = _to_pandas(fn(str(d)))
         assert len(df) == 0 or set(df.get("n_users", [])) == {0}, fn
         assert len(df.columns) > 0, fn      # typed empty, not column-less
@@ -448,3 +449,40 @@ def test_dedup_keep_planted(ray_session, tmp_path):
     o = c.execute(e.oracle_sql()["docs_dedup_keep"]).df() \
         .sort_values("doc_id").reset_index(drop=True)
     assert got["doc_id"].tolist() == o["doc_id"].tolist()
+
+
+def test_events_heavy_users_planted(ray_session, tmp_path):
+    """Hand-built skew: user 7 has 12 events, user 8 has 6, eight other
+    users (10..17) 1 each -> n=26, u=10, mean 2.6,
+    T=ceil(1.2*2.6)=ceil(3.12)=4; exactly users 7 and 8 are heavy.  The
+    events interleave so no single block naturally isolates the heavy
+    users; the HAVING twin agrees bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.relational import events_heavy_users
+
+    users = [7] * 12 + [8] * 6 + list(range(10, 18))
+    users = [users[i] for i in np.random.RandomState(3).permutation(len(users))]
+    n = len(users)
+    pq.write_table(
+        pa.table({"event_id": pa.array(range(n), pa.int64()),
+                  "ts": pa.array(np.arange(n, dtype="int64") * 10**6,
+                                 pa.timestamp("us")),
+                  "user_id": pa.array(users, pa.int64()),
+                  "event_type": pa.array(["view"] * n, pa.string()),
+                  "value": pa.array([1.0] * n, pa.float64()),
+                  "props": pa.array(["{}"] * n, pa.string())}),
+        str(tmp_path / "events.parquet"))
+
+    got = events_heavy_users(str(tmp_path))
+    assert got.values.tolist() == [[7, 12], [8, 6]]
+
+    c = duckdb.connect()
+    c.execute("CREATE VIEW events AS SELECT * FROM "
+              f"read_parquet('{tmp_path}/events.parquet')")
+    o = c.execute(e.oracle_sql()["events_heavy_users"]).df() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert (got.astype(str).values == o.astype(str).values).all()
