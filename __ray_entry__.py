@@ -1226,14 +1226,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         # threshold heavy hitters: T = ceil(1.2 x mean events per active
-        # user), ceil via negated floor division on both engines
+        # user).  Ceil as (a + b - 1) // b on NON-NEGATIVE ints only:
+        # DuckDB's // truncates toward zero (NOT floor), so the negated
+        # -((-a)//b) idiom silently yields floor here (caught by the
+        # session-13 review with a 7-event counterexample)
         "events_heavy_users": f"""
             SELECT user_id, COUNT(*)::BIGINT AS n_events
             FROM events
             GROUP BY user_id
             HAVING COUNT(*) >= (
-                SELECT -((-{relational.HH_NUM} * COUNT(*))
-                         // ({relational.HH_DEN} * COUNT(DISTINCT user_id)))
+                SELECT ({relational.HH_NUM} * COUNT(*)
+                        + {relational.HH_DEN} * COUNT(DISTINCT user_id) - 1)
+                       // ({relational.HH_DEN} * COUNT(DISTINCT user_id))
                 FROM events)
         """,
         # multi-level rollup in one pass: GROUPING SETS with the engine's
@@ -1248,7 +1252,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n,
                    CAST(SUM(cents) AS BIGINT) AS sum_cents
             FROM (SELECT event_type,
-                         epoch_us(ts) // CAST(86400000000 AS BIGINT) AS day,
+                         -- FLOOR division (numpy semantics), not DuckDB's
+                         -- truncate-toward-zero //: pre-epoch timestamps
+                         -- must land in day -1, not day 0
+                         CASE WHEN epoch_us(ts) >= 0
+                              THEN epoch_us(ts)
+                                   // CAST(86400000000 AS BIGINT)
+                              ELSE -((-epoch_us(ts)
+                                      + CAST(86399999999 AS BIGINT))
+                                     // CAST(86400000000 AS BIGINT))
+                         END AS day,
                          CAST(FLOOR(value * 100) AS BIGINT) AS cents
                   FROM events)
             GROUP BY GROUPING SETS ((event_type, day), (event_type), ())

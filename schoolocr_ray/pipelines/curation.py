@@ -1070,23 +1070,37 @@ def dsir_select(sf_dir: str, k: int = DSIR_K,
     zero-shuffle streaming filter, no global sort or rank however large
     the corpus.  Output = the selected docs' full mass rows.
 
-    Int-range note: ``mass * total`` fits int64 up to ~3e9 gram
-    occurrences per side; past that, divide both totals by
-    ``gcd(T, R)`` (the comparison is scale-invariant) or fall back to
-    the float log-ratio — the integer rule is what the test tiers pin.
+    Int-range note: the comparison is scale-invariant, so the totals are
+    reduced by their gcd before multiplying; a residual range guard then
+    RAISES (never wraps) if ``mass * reduced_total`` could still exceed
+    int64 — past that point fall back to the float log-ratio.  The
+    integer rule is what the test tiers pin (the twin cross-multiplies
+    the RAW totals in HUGEINT — same outcome, the reduction only
+    rescales both sides).
 
     Edge: an empty target slice (T = 0) selects nothing — every
     target_mass is 0 and the strict inequality fails."""
+    import math
+
     if docs_empty(sf_dir):
         return typed_empty({"doc_id": "int64", "n_grams": "int64",
                             "target_mass": "int64", "raw_mass": "int64"})
     raw_v, tgt_v = _dsir_hist(sf_dir, k, target_mod)
     r_total, t_total = int(raw_v.sum()), int(tgt_v.sum())
+    g = math.gcd(r_total, t_total)
+    if g:                      # tm*R > rm*T  <=>  tm*(R/g) > rm*(T/g)
+        r_total, t_total = r_total // g, t_total // g
+    cap = (2**63 - 1) // max(1, max(r_total, t_total))
     masses = _dsir_mass_ds(sf_dir, k, raw_v, tgt_v)
 
     def keep(batch: pa.Table) -> pa.Table:
         tm = batch.column("target_mass").to_numpy(zero_copy_only=False)
         rm = batch.column("raw_mass").to_numpy(zero_copy_only=False)
+        if len(tm) and max(int(tm.max()), int(rm.max())) > cap:
+            raise OverflowError(
+                "dsir_select: mass x total would exceed int64 even after "
+                "gcd reduction — use the float log-ratio path at this "
+                "corpus scale")
         return batch.filter(pa.array(tm * r_total > rm * t_total))
 
     return masses.map_batches(keep, batch_format="pyarrow",

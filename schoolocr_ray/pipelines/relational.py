@@ -1738,7 +1738,10 @@ def events_heavy_users(sf_dir: str) -> pd.DataFrame:
     u = ds.map_batches(distinct_partial, batch_format="pyarrow",
                        zero_copy_batch=True, batch_size=None) \
         .groupby("user_id").count().count()
-    t = -((-HH_NUM * n) // (HH_DEN * u))
+    # ceil over non-negative ints as (a + b - 1) // b — the same form the
+    # twin runs, where DuckDB's // truncates toward zero rather than
+    # flooring (so the negated-floor ceil idiom would diverge)
+    t = (HH_NUM * n + HH_DEN * u - 1) // (HH_DEN * u)
 
     def candidate_partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["user_id"], use_threads=False).aggregate(

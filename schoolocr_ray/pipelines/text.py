@@ -1330,10 +1330,10 @@ def dedup_keep(sf_dir: str, threshold: float = 0.5, k: int = 3,
     """The near-dup SURVIVOR corpus — the artifact a dedup pipeline
     actually ships: every document that is either unclustered or its
     cluster's canonical representative (the component-minimum doc_id
-    ``dedup_clusters`` assigns).  Output one (doc_id, canonical) row per
-    KEPT doc, canonical = its own id (so downstream lineage can tell
-    representatives from never-clustered docs only by joining back to
-    the clusters table — the kept list itself is uniform).
+    ``dedup_clusters`` assigns).  Output ONE ``doc_id`` column — one row
+    per kept doc; representatives and never-clustered docs look the same
+    in the kept list (downstream lineage joins back to the clusters
+    table to tell them apart).
 
     Scale shape: the drop set is O(duplicate docs) — at real web dedup
     rates a third of the corpus — so it is NOT broadcastable; instead

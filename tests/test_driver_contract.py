@@ -486,3 +486,71 @@ def test_events_heavy_users_planted(ray_session, tmp_path):
     o = c.execute(e.oracle_sql()["events_heavy_users"]).df() \
         .sort_values("user_id").reset_index(drop=True)
     assert (got.astype(str).values == o.astype(str).values).all()
+
+
+def test_events_heavy_users_truncation_counterexample(ray_session, tmp_path):
+    """The session-13 review counterexample: user 1 has 4 events, user 2
+    has 3 -> n=7, u=2, T=ceil(4.2)=5, NOBODY is heavy.  A twin written
+    with the negated-floor ceil idiom (-((-a)//b)) returns [(1, 4)]
+    because DuckDB's // truncates toward zero — this pins the corrected
+    (a+b-1)//b form on both engines."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.relational import events_heavy_users
+
+    users = [1, 2, 1, 2, 1, 2, 1]
+    n = len(users)
+    pq.write_table(
+        pa.table({"event_id": pa.array(range(n), pa.int64()),
+                  "ts": pa.array(np.arange(n, dtype="int64") * 10**6,
+                                 pa.timestamp("us")),
+                  "user_id": pa.array(users, pa.int64()),
+                  "event_type": pa.array(["view"] * n, pa.string()),
+                  "value": pa.array([1.0] * n, pa.float64()),
+                  "props": pa.array(["{}"] * n, pa.string())}),
+        str(tmp_path / "events.parquet"))
+
+    got = events_heavy_users(str(tmp_path))
+    assert len(got) == 0
+
+    c = duckdb.connect()
+    c.execute("CREATE VIEW events AS SELECT * FROM "
+              f"read_parquet('{tmp_path}/events.parquet')")
+    o = c.execute(e.oracle_sql()["events_heavy_users"]).df()
+    assert len(o) == 0
+
+
+def test_events_rollup_cube_pre_epoch_day(ray_session, tmp_path):
+    """Pre-epoch timestamps must land in day -1 on BOTH engines: numpy
+    floors, DuckDB's // truncates toward zero — the twin carries an
+    explicit floor-division CASE (session-13 review finding)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.relational import events_rollup_cube
+
+    pq.write_table(
+        pa.table({"event_id": pa.array([0, 1], pa.int64()),
+                  "ts": pa.array(np.array([-1, 1], "int64"),
+                                 pa.timestamp("us")),
+                  "user_id": pa.array([1, 1], pa.int64()),
+                  "event_type": pa.array(["view", "view"], pa.string()),
+                  "value": pa.array([1.0, 2.0], pa.float64()),
+                  "props": pa.array(["{}", "{}"], pa.string())}),
+        str(tmp_path / "events.parquet"))
+
+    got = events_rollup_cube(str(tmp_path))
+    fine = got[got["lvl"] == 0]
+    assert sorted(fine["day"].tolist()) == [-1, 0]
+
+    c = duckdb.connect()
+    c.execute("CREATE VIEW events AS SELECT * FROM "
+              f"read_parquet('{tmp_path}/events.parquet')")
+    o = c.execute(e.oracle_sql()["events_rollup_cube"]).df() \
+        .sort_values(["lvl", "event_type", "day"]).reset_index(drop=True)
+    assert (got.astype(str).values == o.astype(str).values).all()

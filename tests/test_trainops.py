@@ -685,13 +685,8 @@ def test_quantize_planted(ray_session, tmp_path):
         [-2.0, 0.5, 0.0, -0.25],
         [1.0, 1.0, 0.0, 0.5],
     ], dtype=np.float32)
-    # scales per dim: 2, 1, 0->1, 0.5
-    want = {
-        0: "127,-127,0,63",     # 0.25/0.5*127+0.5 = 64.0 -> floor 64? see below
-        1: "-127,63,0,-63",
-        2: "63,127,0,127",
-    }
-    # recompute from the definition instead of trusting the comment
+    # scales per dim: 2, 1, 0->1, 0.5; expectations recomputed from the
+    # definition (no hand literals to drift from the rule)
     s = np.abs(vecs.astype(np.float64)).max(axis=0)
     s[s == 0] = 1.0
     codes = np.floor(vecs.astype(np.float64) / s * 127.0 + 0.5).astype(int)
