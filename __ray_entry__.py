@@ -459,6 +459,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_cube": relational.events_rollup_cube,
         "docs_dedup_keep": text.dedup_keep,
         "events_heavy_users": relational.events_heavy_users,
+        "docs_sample_k": curation.sample_k,
+        "docs_chunk_dedup": text.chunk_dedup,
         "docs_bm25_topk": text.bm25_topk,
         "embeddings_cluster_sample": similarity.cluster_sample,
         "embeddings_outliers": similarity.cluster_outliers,
@@ -1438,6 +1440,49 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(ts[s + 1 : least(s + 64, n)], ' ') AS chunk_text,
                    CAST(least(s + 64, n) - s AS BIGINT) AS n_chunk_tokens
             FROM starts
+        """,
+        # exactly-k seeded sample: the shuffle_shards md5 key, LIMIT k
+        "docs_sample_k": f"""
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY md5('{_curation.SAMPLE_K_SEED}:'
+                                    || CAST(doc_id AS VARCHAR)),
+                                doc_id)::BIGINT AS rk
+            FROM documents
+            ORDER BY rk LIMIT {_curation.SAMPLE_K}
+        """,
+        # sub-document dedup over the chunker windows: the chunks twin's
+        # CTEs, first occurrence by packed (doc_id, chunk_idx), winner
+        # counts folded back per doc
+        "docs_chunk_dedup": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS ts,
+                       len(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '')) AS n
+                FROM documents),
+            ch AS (
+                SELECT doc_id,
+                       CAST(s / 48 AS BIGINT) AS chunk_idx,
+                       array_to_string(ts[s + 1 : least(s + 64, n)], ' ')
+                           AS chunk_text
+                FROM (SELECT doc_id, ts, n,
+                             unnest(generate_series(0, n - 1, 48)) AS s
+                      FROM tok)),
+            w AS (
+                SELECT chunk_text,
+                       MIN(doc_id * 1048576 + chunk_idx) AS packed
+                FROM ch GROUP BY chunk_text),
+            nc AS (SELECT doc_id, COUNT(*)::BIGINT AS n_chunks
+                   FROM ch GROUP BY doc_id),
+            nw AS (SELECT packed // 1048576 AS doc_id,
+                          COUNT(*)::BIGINT AS n_win
+                   FROM w GROUP BY 1)
+            SELECT nc.doc_id, nc.n_chunks,
+                   CAST(nc.n_chunks - COALESCE(nw.n_win, 0) AS BIGINT)
+                       AS n_dup_chunks
+            FROM nc LEFT JOIN nw USING (doc_id)
         """,
         "docs_repetition": r"""
             WITH l AS (

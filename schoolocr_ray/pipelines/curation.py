@@ -1224,3 +1224,48 @@ def bpe_merges(sf_dir: str, n_merges: int = BPE_MERGES) -> pd.DataFrame:
     if not rows:
         return typed_empty(out_cols)
     return pd.DataFrame(rows, columns=list(out_cols))
+
+
+# --- exact-size seeded uniform sample -----------------------------------
+SAMPLE_K = 100
+SAMPLE_K_SEED = 23
+
+
+def sample_k(sf_dir: str, k: int = SAMPLE_K,
+             seed: int = SAMPLE_K_SEED) -> pd.DataFrame:
+    """Exactly-k seeded uniform sample without replacement — the
+    fixed-size eval-subset / spot-check primitive (`stratified_sample`
+    keeps a RATE, this keeps a COUNT): rank every doc by
+    ``md5(seed ':' doc_id)`` hex (ties by doc_id — the `shuffle_shards`
+    key convention) and keep the k smallest, with their 1-based rank.
+    A pure function of (seed, doc_id): re-runs, resumes and re-shards
+    sample identically, and growing the corpus only displaces ranks
+    (no reshuffling of survivors' relative order).
+
+    Shape: the classic bottom-k fold — each block emits only its local
+    k smallest (key, doc_id) rows, so the exchange is blocks x k narrow
+    rows and the final sort+head runs on a k-bounded frame on the
+    driver.  Twin: ``ORDER BY md5(...), doc_id LIMIT k``."""
+    import hashlib
+
+    if docs_empty(sf_dir):
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "rk": pd.Series(dtype="int64")})
+
+    def bottom_k(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        keys = np.array([hashlib.md5(f"{seed}:{d}".encode()).hexdigest()
+                         for d in ids])
+        order = np.lexsort((ids, keys))[:k]
+        return pa.table({"key": pa.array(keys[order]),
+                         "doc_id": pa.array(ids[order])})
+
+    parts = _read_docs(sf_dir, columns=("doc_id",)) \
+        .map_batches(bottom_k, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None) \
+        .to_pandas()
+    parts = parts.sort_values(["key", "doc_id"]).head(k)
+    return pd.DataFrame({
+        "doc_id": parts["doc_id"].to_numpy(np.int64),
+        "rk": np.arange(1, len(parts) + 1, dtype=np.int64),
+    })

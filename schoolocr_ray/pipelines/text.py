@@ -1378,3 +1378,81 @@ def dedup_keep(sf_dir: str, threshold: float = 0.5, k: int = 3,
 
     return tagged.groupby("bk").map_groups(arrow_groups(keep),
                                            batch_format="pandas")
+
+
+CHUNK_PACK_BITS = 20  # chunk_idx < 2^20 — docs are windowed, never huge
+
+
+def chunk_dedup(sf_dir: str, size: int = 64,
+                stride: int = 48) -> ray.data.Dataset:
+    """Cross-document SUB-document dedup — the C4/RefinedWeb granularity
+    between whole-doc ``exact_dedup`` and shingle-level ``dup_spans``:
+    over the ``chunk_documents`` windows, a chunk is a DUP iff an
+    identical chunk text occurs earlier in the corpus (smaller packed
+    (doc_id, chunk_idx)); output per doc (n_chunks, n_dup_chunks) — the
+    span-duplication fraction consumers threshold on.
+
+    Shape: chunks never re-shuffle as text — each chunk leaves its block
+    as a (sha1, packed-key) pair; ONE hash groupby-Min finds each text's
+    first occurrence; winner counts fold back per doc WITHOUT a join by
+    unioning two summable partial streams ((doc_id, n_chunks, 0) from
+    the chunk pass, (doc_id, 0, 1) per winner) into a single doc
+    groupby-Sum — n_dup = n_chunks - n_winners.  The packed key needs
+    chunk_idx < 2^CHUNK_PACK_BITS (window count per doc, asserted);
+    the twin packs the same way and groups the raw chunk text."""
+    from ray.data.aggregate import Sum
+
+    out_schema = {"doc_id": "int64", "n_chunks": "int64",
+                  "n_dup_chunks": "int64"}
+    if docs_empty(sf_dir):
+        return typed_empty(out_schema)
+    chunks = chunk_documents(sf_dir, size=size, stride=stride)
+
+    def hash_pack(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        idx = batch.column("chunk_idx").to_numpy().astype(np.int64)
+        if len(idx) and int(idx.max()) >= (1 << CHUNK_PACK_BITS):
+            raise ValueError("chunk_idx exceeds the packed-key range")
+        hs = [hashlib.sha1(t.encode()).hexdigest()
+              for t in batch.column("chunk_text").to_pylist()]
+        return pa.table({"h": pa.array(hs, pa.string()),
+                         "packed": pa.array((ids << CHUNK_PACK_BITS) | idx)})
+
+    winners = chunks.map_batches(hash_pack, batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+        .groupby("h").aggregate(Min("packed", alias_name="packed"))
+
+    def win_partial(batch: pa.Table) -> pa.Table:
+        doc = batch.column("packed").to_numpy() >> CHUNK_PACK_BITS
+        t = pa.table({"doc_id": pa.array(doc.astype(np.int64))})
+        g = t.group_by(["doc_id"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"doc_id": g.column("doc_id"),
+                         "n_chunks": pa.array(
+                             np.zeros(len(g), np.int64)),
+                         "n_win": g.column("count_all").cast(pa.int64())})
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["doc_id"]).group_by(
+            ["doc_id"], use_threads=False).aggregate([([], "count_all")])
+        return pa.table({"doc_id": g.column("doc_id"),
+                         "n_chunks": g.column("count_all").cast(pa.int64()),
+                         "n_win": pa.array(np.zeros(len(g), np.int64))})
+
+    both = chunks.map_batches(count_partial, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .union(winners.map_batches(win_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+    agg = both.groupby("doc_id").aggregate(
+        Sum("n_chunks", alias_name="n_chunks"),
+        Sum("n_win", alias_name="n_win"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_chunks").to_numpy()
+        w = batch.column("n_win").to_numpy()
+        return pa.table({"doc_id": batch.column("doc_id").cast(pa.int64()),
+                         "n_chunks": pa.array(n.astype(np.int64)),
+                         "n_dup_chunks": pa.array((n - w).astype(np.int64))})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -154,7 +154,7 @@ def test_new_docs_ops_survive_empty_table(ray_session, tmp_path):
                curation.stratified_sample, curation.source_mix,
                curation.length_filter, curation.quality_buckets,
                curation.dsir_score, curation.dsir_select,
-               curation.bpe_merges,
+               curation.bpe_merges, curation.sample_k, text.chunk_dedup,
                curation.token_shards, curation.pack_sequences,
                text.bm25_topk, curation.source_cap,
                curation.top_terms, curation.shuffle_shards,
@@ -660,3 +660,81 @@ def test_bpe_merges_matches_serial_reference(ray_session):
     got = bpe_merges(SF_DIR)
     assert [tuple(r) for r in got.itertuples(index=False)] == want
     assert len(got) == BPE_MERGES       # the corpus supports a full run
+
+
+def test_sample_k_planted(ray_session, tmp_path):
+    """Exactly-k semantics recomputed from the definition: 6 docs, k=4 —
+    the kept set is the 4 smallest md5('23:'||id) keys with doc_id ties,
+    ranks dense 1..4; a corpus smaller than k returns everything ranked;
+    the twin agrees."""
+    import hashlib
+
+    import duckdb
+    import pyarrow as pa
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.curation import SAMPLE_K_SEED, sample_k
+
+    ids = [3, 11, 42, 77, 100, 256]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array([f"t{i}" for i in ids], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    keys = sorted((hashlib.md5(f"{SAMPLE_K_SEED}:{d}".encode()).hexdigest(),
+                   d) for d in ids)
+    want = [d for _, d in keys[:4]]
+
+    got = sample_k(str(tmp_path), k=4)
+    assert got["doc_id"].tolist() == want
+    assert got["rk"].tolist() == [1, 2, 3, 4]
+
+    # corpus smaller than k: everything, ranked — and twin-equal at the
+    # default k the contract uses
+    all_got = sample_k(str(tmp_path))
+    assert len(all_got) == len(ids)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    o = con.execute(e.oracle_sql()["docs_sample_k"]).df()
+    assert (all_got.astype(str).values == o.astype(str).values).all()
+
+
+def test_chunk_dedup_planted(ray_session, tmp_path):
+    """Hand-computed sub-document dedup: docs 1 and 2 are identical (one
+    chunk each at the default window) — doc 1 wins, doc 2's chunk is a
+    dup; doc 3 is unique.  Custom small windows then pin the packed-key
+    first-occurrence rule across doc boundaries; the twin agrees at the
+    default params."""
+    import duckdb
+    import pyarrow as pa
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.text import chunk_dedup
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["a b", "a b", "c"], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    got = chunk_dedup(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got.values.tolist() == [[1, 1, 0], [2, 1, 1], [3, 1, 0]]
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    o = con.execute(e.oracle_sql()["docs_chunk_dedup"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (got.astype(str).values == o.astype(str).values).all()
+
+    # small custom windows: "a b c" spans docs 4 and 5 at chunk 0; doc 5
+    # also repeats it INTERNALLY at chunk 1 — both later copies are dups
+    pq.write_table(
+        pa.table({"doc_id": pa.array([4, 5], pa.int64()),
+                  "text": pa.array(["a b c x y z", "a b c a b c"],
+                                   pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    got = chunk_dedup(str(tmp_path), size=3, stride=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got.values.tolist() == [[4, 2, 0], [5, 2, 2]]

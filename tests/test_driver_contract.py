@@ -117,6 +117,8 @@ SQL_CHECKED = [
     "events_rollup_cube",
     "docs_dedup_keep",
     "events_heavy_users",
+    "docs_sample_k",
+    "docs_chunk_dedup",
 ]
 
 
