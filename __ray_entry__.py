@@ -461,6 +461,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heavy_users": relational.events_heavy_users,
         "docs_sample_k": curation.sample_k,
         "docs_chunk_dedup": text.chunk_dedup,
+        "docs_sample_per_lang": curation.sample_per_lang,
+        "docs_dup_source_matrix": text.dup_source_matrix,
+        "events_lifespan_histogram": relational.events_lifespan_histogram,
         "docs_bm25_topk": text.bm25_topk,
         "embeddings_cluster_sample": similarity.cluster_sample,
         "embeddings_outliers": similarity.cluster_outliers,
@@ -603,6 +606,31 @@ def oracle_sql() -> dict[str, str]:
     assert eval_preds == EVAL_PREDS_PATH
     transcripts = f"read_parquet('{_SF01_CORPUS}/*.parquet')"
     extracted = f"read_parquet('{_EXTRACT_OUT_ROOT}/sf0.01/part_id=*/data.parquet')"
+    # jaccard near-dup pairs: shared verbatim between docs_jaccard_pairs
+    # and docs_dup_source_matrix (and embedded in _dedup_clusters_sql)
+    _jaccard_pairs_sql = r"""
+            WITH tok AS (
+                SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS ts
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+                FROM (SELECT doc_id, ts,
+                             unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+                      FROM tok)),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            cold AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= """ + str(_JACCARD_HOT_CAP) + r"""),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                WHERE a.s IN (SELECT s FROM cold)
+                GROUP BY 1, 2)
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = doc_a
+            JOIN cnt cb ON cb.doc_id = doc_b
+            WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+        """
     # near-dup connected components (jaccard pairs -> min-label CC):
     # shared verbatim between docs_dedup_clusters and docs_dedup_keep
     _dedup_clusters_sql = r"""
@@ -1400,28 +1428,16 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
         """,
-        "docs_jaccard_pairs": r"""
-            WITH tok AS (
-                SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
-                                   x -> x <> '') AS ts
-                FROM documents),
-            sh AS (
-                SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
-                FROM (SELECT doc_id, ts,
-                             unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
-                      FROM tok)),
-            cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-            cold AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= """ + str(_JACCARD_HOT_CAP) + r"""),
-            inter AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                WHERE a.s IN (SELECT s FROM cold)
-                GROUP BY 1, 2)
-            SELECT doc_a, doc_b
-            FROM inter
-            JOIN cnt ca ON ca.doc_id = doc_a
-            JOIN cnt cb ON cb.doc_id = doc_b
-            WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+        "docs_jaccard_pairs": _jaccard_pairs_sql,
+        # near-dup provenance matrix: the jaccard pair CTE verbatim,
+        # sources joined on each side, unordered-pair rollup
+        "docs_dup_source_matrix": "WITH p AS (" + _jaccard_pairs_sql + r"""),
+            s AS (SELECT da.source AS sa, db.source AS sb
+                  FROM p JOIN documents da ON da.doc_id = p.doc_a
+                         JOIN documents db ON db.doc_id = p.doc_b)
+            SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b,
+                   COUNT(*)::BIGINT AS n_pairs
+            FROM s GROUP BY 1, 2
         """,
         "docs_chunks": r"""
             WITH tok AS (
@@ -1483,6 +1499,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(nc.n_chunks - COALESCE(nw.n_win, 0) AS BIGINT)
                        AS n_dup_chunks
             FROM nc LEFT JOIN nw USING (doc_id)
+        """,
+        # exactly-k per language: the sample_k key, partitioned rank
+        "docs_sample_per_lang": f"""
+            SELECT doc_id, lang, rk FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5('{_curation.SAMPLE_K_SEED}:'
+                                        || CAST(doc_id AS VARCHAR)),
+                                    doc_id)::BIGINT AS rk
+                FROM documents)
+            WHERE rk <= {_curation.SAMPLE_PER_LANG_K}
+        """,
+        # per-user active lifespan (days first->last event), histogram
+        "events_lifespan_histogram": """
+            SELECT date_diff('day', tmin, tmax)::BIGINT AS span_days,
+                   COUNT(*)::BIGINT AS n_users
+            FROM (SELECT user_id, MIN(ts) AS tmin, MAX(ts) AS tmax
+                  FROM events GROUP BY user_id)
+            GROUP BY 1
         """,
         "docs_repetition": r"""
             WITH l AS (

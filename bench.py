@@ -157,7 +157,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      "embeddings_quantize", "customers_without_orders",
                      "docs_bpe_merges", "events_rollup_cube",
                      "docs_dedup_keep", "events_heavy_users",
-                     "docs_sample_k", "docs_chunk_dedup"):
+                     "docs_sample_k", "docs_chunk_dedup",
+                     "docs_sample_per_lang", "docs_dup_source_matrix",
+                     "events_lifespan_histogram"):
             t0 = time.monotonic()
             res = q[name](sf_dir)
             if hasattr(res, "to_pandas"):

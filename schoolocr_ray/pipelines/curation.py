@@ -1269,3 +1269,53 @@ def sample_k(sf_dir: str, k: int = SAMPLE_K,
         "doc_id": parts["doc_id"].to_numpy(np.int64),
         "rk": np.arange(1, len(parts) + 1, dtype=np.int64),
     })
+
+
+SAMPLE_PER_LANG_K = 20
+
+
+def sample_per_lang(sf_dir: str, k: int = SAMPLE_PER_LANG_K,
+                    seed: int = SAMPLE_K_SEED) -> pd.DataFrame:
+    """Exactly-k seeded sample PER LANGUAGE — the balanced-eval-set
+    primitive (`sample_k` draws k from the whole corpus, so low-resource
+    languages can get zero rows; this guarantees min(k, stratum size)
+    from each): within every lang, rank by ``md5(seed ':' doc_id)`` with
+    doc_id ties and keep the k smallest, with the 1-based in-stratum
+    rank.
+
+    Shape: per-block per-lang bottom-k partials — lang is a bounded
+    DIMENSION, so each block emits at most |langs| x k narrow rows and
+    the driver folds blocks x |langs| x k, independent of corpus size.
+    Twin: ``row_number() OVER (PARTITION BY lang ORDER BY md5, doc_id)
+    <= k``."""
+    import hashlib
+
+    out_cols = {"doc_id": "int64", "lang": "object", "rk": "int64"}
+    if docs_empty(sf_dir):
+        return typed_empty(out_cols)
+
+    def bottom_k(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        keys = [hashlib.md5(f"{seed}:{d}".encode()).hexdigest()
+                for d in ids]
+        df = pd.DataFrame({"lang": batch.column("lang").to_pylist(),
+                           "key": keys, "doc_id": ids})
+        df = df.sort_values(["lang", "key", "doc_id"]) \
+               .groupby("lang", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    parts = _read_docs(sf_dir, columns=("doc_id", "lang")) \
+        .map_batches(bottom_k, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None) \
+        .to_pandas()
+    if parts.empty:
+        return typed_empty(out_cols)
+    kept = parts.sort_values(["lang", "key", "doc_id"]) \
+                .groupby("lang", sort=False).head(k)
+    return pd.DataFrame({
+        "doc_id": kept["doc_id"].to_numpy(np.int64),
+        "lang": kept["lang"].to_numpy(),
+        "rk": (kept.groupby("lang", sort=False).cumcount() + 1)
+              .to_numpy(np.int64),
+    })

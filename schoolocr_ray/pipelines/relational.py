@@ -1777,3 +1777,64 @@ def events_heavy_users(sf_dir: str) -> pd.DataFrame:
                         {"user_id": "int64"})
     df = df[df["n_events"] >= t]
     return df.sort_values("user_id").reset_index(drop=True)[list(out_cols)]
+
+
+def events_lifespan_histogram(sf_dir: str, num_buckets: int | None = None,
+                              target_rows_per_bucket: int = 250_000
+                              ) -> pd.DataFrame:
+    """Distribution of per-user active lifespans — days between a user's
+    first and last event (the engagement-longevity rollup behind
+    retention dashboards; complements `events_cohorts`' calendar view
+    with a per-user duration view).
+
+    Shape: per-batch pure-Arrow (user, min_ts, max_ts) partials collapse
+    each user's events within a block BEFORE the exchange, so the ONE
+    user-hash bucket shuffle carries at most one row per (user, block);
+    per-bucket pandas min/max finishes each user (a user's rows all land
+    in its hash bucket), and the span histogram keys are DOMAIN-bounded
+    (the corpus's day range), so count partials fold via
+    `_fold_partials` — the driver sees |days| rows regardless of user
+    count.  Day arithmetic is integer floor-division of epoch-us, which
+    equals DuckDB's `date_diff('day', ...)` boundary count for the
+    positive timestamps the table carries."""
+    out_cols = {"span_days": "int64", "n_users": "int64"}
+    if _events_empty(sf_dir):
+        return _typed_empty(out_cols)
+    if num_buckets is None:
+        n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+        num_buckets = max(32, -(-n // target_rows_per_bucket))
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def minmax_partial(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64())
+        t = pa.table({"user_id": batch.column("user_id"), "us": us})
+        g = t.group_by(["user_id"], use_threads=False).aggregate(
+            [("us", "min"), ("us", "max")])
+        uid = g.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({"bk": pa.array((uid % num_buckets).astype(np.int32)),
+                         "user_id": g.column("user_id"),
+                         "tmin": g.column("us_min"),
+                         "tmax": g.column("us_max")})
+
+    _DAY_US = 86_400_000_000
+    _EMPTY_HIST = {"span_days": pd.Series(dtype="int64"),
+                   "n_users": pd.Series(dtype="int64")}
+
+    def span_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(_EMPTY_HIST)
+        g = df.groupby("user_id", sort=False).agg(
+            tmin=("tmin", "min"), tmax=("tmax", "max"))
+        span = (g["tmax"].to_numpy() // _DAY_US
+                - g["tmin"].to_numpy() // _DAY_US)
+        vc = pd.Series(span).value_counts()
+        return pd.DataFrame({"span_days": vc.index.to_numpy(np.int64),
+                             "n_users": vc.to_numpy(np.int64)})
+
+    partials = ds.map_batches(minmax_partial, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("bk").map_groups(arrow_groups(span_bucket),
+                                  batch_format="pandas")
+    return _fold_partials(partials, ["span_days"], ["n_users"],
+                          {"span_days": "int64"})

@@ -1456,3 +1456,93 @@ def chunk_dedup(sf_dir: str, size: int = 64,
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def dup_source_matrix(sf_dir: str, threshold: float = 0.5,
+                      k: int = 3) -> pd.DataFrame:
+    """Near-duplicate PROVENANCE matrix — which source pairs share
+    near-dup content (the contamination-audit rollup run after any web
+    dedup pass: a hot (src_a, src_b) cell means one crawl mirrors
+    another).  Over the ``jaccard_pairs`` output, count pairs by
+    unordered source pair (src_a <= src_b lexicographically).
+
+    Shape: the pair stream is O(duplicate pairs) and the doc -> source
+    map is corpus-sized, so NEITHER side broadcasts; each pair side
+    resolves its source inside a doc_id-hash bucket shuffle of narrow
+    (id, source) rows (the ``dedup_keep`` anti-join machinery, run once
+    per side with the first side's source riding along as a carry
+    column), then the rollup keys are DIMENSION-bounded (|sources|^2)
+    so count partials fold on the driver."""
+    import pyarrow.parquet as pq
+
+    out_cols = {"src_a": "object", "src_b": "object", "n_pairs": "int64"}
+    if docs_empty(sf_dir):
+        return typed_empty(out_cols)
+    pairs = jaccard_pairs(sf_dir, threshold=threshold, k=k)
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nbk = max(32, -(-n_docs // 65536))
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({"bk": pa.array(ids % nbk), "id": pa.array(ids),
+                         "other": pa.array(np.full(len(ids), -1, np.int64)),
+                         "carry": pa.array([""] * len(ids), pa.string()),
+                         "source": batch.column("source").cast(pa.string())})
+
+    def side_rows(key_col: str, other_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column(key_col).to_numpy().astype(np.int64)
+            carry = (batch.column("carry").cast(pa.string())
+                     if "carry" in batch.column_names
+                     else pa.array([""] * len(ids), pa.string()))
+            return pa.table({"bk": pa.array(ids % nbk), "id": pa.array(ids),
+                             "other": batch.column(other_col).cast(pa.int64()),
+                             "carry": carry,
+                             "source": pa.array([""] * len(ids), pa.string())})
+        return fn
+
+    _EMPTY_S1 = {"doc_b": pd.Series(dtype="int64"),
+                 "carry": pd.Series(dtype="object")}
+    _EMPTY_S2 = {"src_a": pd.Series(dtype="object"),
+                 "src_b": pd.Series(dtype="object"),
+                 "n_pairs": pd.Series(dtype="int64")}
+
+    def resolve(out_carry: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            smap = df.loc[df["other"] < 0].set_index("id")["source"]
+            p = df.loc[df["other"] >= 0]
+            if p.empty:              # typed empty — schema must survive
+                return pd.DataFrame(_EMPTY_S1 if out_carry else _EMPTY_S2)
+            src = p["id"].map(smap)
+            if out_carry:            # side 1: emit (doc_b, src_a) rows
+                return pd.DataFrame({"doc_b": p["other"].to_numpy(np.int64),
+                                     "carry": src.to_numpy()})
+            a = p["carry"].to_numpy()          # side 2: bounded partials
+            b = src.to_numpy()
+            g = pd.DataFrame({"src_a": np.minimum(a, b),
+                              "src_b": np.maximum(a, b)}) \
+                  .groupby(["src_a", "src_b"], sort=False) \
+                  .size().reset_index(name="n_pairs")
+            g["n_pairs"] = g["n_pairs"].astype(np.int64)
+            return g
+        return fn
+
+    docs = _read_docs(sf_dir, columns=("doc_id", "source"))
+    side1 = docs.map_batches(doc_rows, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .union(pairs.map_batches(side_rows("doc_a", "doc_b"),
+                                 batch_format="pyarrow")) \
+        .groupby("bk").map_groups(arrow_groups(resolve(True)),
+                                  batch_format="pandas")
+    partials = docs.map_batches(doc_rows, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .union(side1.map_batches(side_rows("doc_b", "doc_b"),
+                                 batch_format="pyarrow")) \
+        .groupby("bk").map_groups(arrow_groups(resolve(False)),
+                                  batch_format="pandas")
+    df = partials.to_pandas()
+    if df.empty:
+        return typed_empty(out_cols)
+    return df.groupby(["src_a", "src_b"], sort=False, as_index=False) \
+             ["n_pairs"].sum()

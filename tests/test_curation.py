@@ -155,6 +155,7 @@ def test_new_docs_ops_survive_empty_table(ray_session, tmp_path):
                curation.length_filter, curation.quality_buckets,
                curation.dsir_score, curation.dsir_select,
                curation.bpe_merges, curation.sample_k, text.chunk_dedup,
+               curation.sample_per_lang, text.dup_source_matrix,
                curation.token_shards, curation.pack_sequences,
                text.bm25_topk, curation.source_cap,
                curation.top_terms, curation.shuffle_shards,
@@ -738,3 +739,82 @@ def test_chunk_dedup_planted(ray_session, tmp_path):
     got = chunk_dedup(str(tmp_path), size=3, stride=3).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert got.values.tolist() == [[4, 2, 0], [5, 2, 2]]
+
+
+def test_sample_per_lang_planted(ray_session, tmp_path):
+    """Per-stratum exactly-k recomputed from the definition: 2 langs,
+    k=2 — each lang keeps its 2 smallest md5 keys with dense in-stratum
+    ranks; a stratum smaller than k keeps everything; the twin agrees at
+    the default k."""
+    import hashlib
+
+    import duckdb
+    import pyarrow as pa
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.curation import (SAMPLE_K_SEED,
+                                                  sample_per_lang)
+
+    ids = [1, 2, 3, 4, 5, 6, 7]
+    langs = ["en", "en", "en", "ru", "ru", "ru", "zh"]  # zh stratum < k
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array([f"t{i}" for i in ids], pa.string()),
+                  "lang": pa.array(langs, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    got = sample_per_lang(str(tmp_path), k=2)
+    want = {}
+    for d, lg in zip(ids, langs):
+        key = hashlib.md5(f"{SAMPLE_K_SEED}:{d}".encode()).hexdigest()
+        want.setdefault(lg, []).append((key, d))
+    rows = []
+    for lg in sorted(want):
+        for rk, (_, d) in enumerate(sorted(want[lg])[:2], 1):
+            rows.append((d, lg, rk))
+    got_rows = sorted(zip(got["doc_id"], got["lang"], got["rk"]),
+                      key=lambda r: (r[1], r[2]))
+    assert got_rows == rows
+    assert sum(1 for _, lg, _ in got_rows if lg == "zh") == 1
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    o = con.execute(e.oracle_sql()["docs_sample_per_lang"]).df()
+    all_got = sample_per_lang(str(tmp_path))
+    a = all_got.sort_values(["lang", "rk"]).reset_index(drop=True)
+    b = o.sort_values(["lang", "rk"]).reset_index(drop=True)
+    assert (a.astype(str).values == b.astype(str).values).all()
+
+
+def test_dup_source_matrix_planted(ray_session, tmp_path):
+    """Hand-computed provenance matrix: three identical docs across
+    sources sA/sB/sB give pairs (sA,sB) x2 and (sB,sB) x1; an unrelated
+    identical pair inside sC gives (sC,sC) x1; a unique doc contributes
+    nothing.  The twin agrees."""
+    import duckdb
+    import pyarrow as pa
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.text import dup_source_matrix
+
+    texts = ["w1 w2 w3 w4 w5", "w1 w2 w3 w4 w5", "w1 w2 w3 w4 w5",
+             "x1 x2 x3 x4", "x1 x2 x3 x4", "only one unique doc here"]
+    srcs = ["sA", "sB", "sB", "sC", "sC", "sD"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(1, 7), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "source": pa.array(srcs, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    got = dup_source_matrix(str(tmp_path)) \
+        .sort_values(["src_a", "src_b"]).reset_index(drop=True)
+    assert got.values.tolist() == [["sA", "sB", 2], ["sB", "sB", 1],
+                                   ["sC", "sC", 1]]
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    o = con.execute(e.oracle_sql()["docs_dup_source_matrix"]).df() \
+        .sort_values(["src_a", "src_b"]).reset_index(drop=True)
+    assert (got.astype(str).values == o.astype(str).values).all()

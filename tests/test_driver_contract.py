@@ -119,6 +119,9 @@ SQL_CHECKED = [
     "events_heavy_users",
     "docs_sample_k",
     "docs_chunk_dedup",
+    "docs_sample_per_lang",
+    "docs_dup_source_matrix",
+    "events_lifespan_histogram",
 ]
 
 
@@ -231,7 +234,8 @@ def test_new_events_ops_survive_empty_table(ray_session, tmp_path):
                # the _events_empty-guarded family: footer short-circuit
                r.events_lag, r.events_rolling_sum, r.events_sessions,
                r.events_asof_purchase, r.events_distinct_users,
-               r.events_rollup_cube, r.events_heavy_users):
+               r.events_rollup_cube, r.events_heavy_users,
+               r.events_lifespan_histogram):
         df = _to_pandas(fn(str(d)))
         assert len(df) == 0 or set(df.get("n_users", [])) == {0}, fn
         assert len(df.columns) > 0, fn      # typed empty, not column-less
@@ -555,4 +559,47 @@ def test_events_rollup_cube_pre_epoch_day(ray_session, tmp_path):
               f"read_parquet('{tmp_path}/events.parquet')")
     o = c.execute(e.oracle_sql()["events_rollup_cube"]).df() \
         .sort_values(["lvl", "event_type", "day"]).reset_index(drop=True)
+    assert (got.astype(str).values == o.astype(str).values).all()
+
+
+def test_events_lifespan_histogram_planted(ray_session, tmp_path):
+    """Hand-computed lifespans with a day-boundary edge: user 1's two
+    events are 2 hours apart but straddle midnight (span 1 day — the
+    boundary-crossing rule, not elapsed time); user 2 fits inside one
+    day (span 0); user 3 spans days 0..5 (span 5); user 4 has ONE event
+    (span 0).  Histogram: span 0 x2, 1 x1, 5 x1.  The date_diff twin
+    agrees."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.relational import events_lifespan_histogram
+
+    day = 86_400_000_000
+    hour = 3_600_000_000
+    us = [23 * hour, 25 * hour,              # user 1: 23:00 d0 -> 01:00 d1
+          2 * day + hour, 2 * day + 5 * hour,      # user 2: inside day 2
+          hour, 5 * day + 2 * hour,                # user 3: d0 -> d5
+          7 * day + hour]                          # user 4: single event
+    users = [1, 1, 2, 2, 3, 3, 4]
+    n = len(us)
+    pq.write_table(
+        pa.table({"event_id": pa.array(range(n), pa.int64()),
+                  "ts": pa.array(np.array(us, "int64"), pa.timestamp("us")),
+                  "user_id": pa.array(users, pa.int64()),
+                  "event_type": pa.array(["view"] * n, pa.string()),
+                  "value": pa.array([1.0] * n, pa.float64()),
+                  "props": pa.array(["{}"] * n, pa.string())}),
+        str(tmp_path / "events.parquet"))
+
+    got = events_lifespan_histogram(str(tmp_path)) \
+        .sort_values("span_days").reset_index(drop=True)
+    assert got.values.tolist() == [[0, 2], [1, 1], [5, 1]]
+
+    c = duckdb.connect()
+    c.execute("CREATE VIEW events AS SELECT * FROM "
+              f"read_parquet('{tmp_path}/events.parquet')")
+    o = c.execute(e.oracle_sql()["events_lifespan_histogram"]).df() \
+        .sort_values("span_days").reset_index(drop=True)
     assert (got.astype(str).values == o.astype(str).values).all()
