@@ -1467,12 +1467,14 @@ def dup_source_matrix(sf_dir: str, threshold: float = 0.5,
     unordered source pair (src_a <= src_b lexicographically).
 
     Shape: the pair stream is O(duplicate pairs) and the doc -> source
-    map is corpus-sized, so NEITHER side broadcasts; each pair side
-    resolves its source inside a doc_id-hash bucket shuffle of narrow
-    (id, source) rows (the ``dedup_keep`` anti-join machinery, run once
-    per side with the first side's source riding along as a carry
-    column), then the rollup keys are DIMENSION-bounded (|sources|^2)
-    so count partials fold on the driver."""
+    map is corpus-sized, so NEITHER side broadcasts.  Each pair explodes
+    into its two endpoint rows, which resolve their sources inside ONE
+    doc_id-hash bucket shuffle of narrow (id, source) rows (the
+    ``dedup_keep`` anti-join machinery) — the corpus-sized table moves
+    exactly once; the resolved endpoints then re-pair inside a
+    pair-hash bucket shuffle that carries only 2 x |pairs| rows, and
+    the rollup keys are DIMENSION-bounded (|sources|^2) so count
+    partials fold on the driver."""
     import pyarrow.parquet as pq
 
     out_cols = {"src_a": "object", "src_b": "object", "n_pairs": "int64"}
@@ -1485,62 +1487,64 @@ def dup_source_matrix(sf_dir: str, threshold: float = 0.5,
 
     def doc_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        neg = pa.array(np.full(len(ids), -1, np.int64))
         return pa.table({"bk": pa.array(ids % nbk), "id": pa.array(ids),
-                         "other": pa.array(np.full(len(ids), -1, np.int64)),
-                         "carry": pa.array([""] * len(ids), pa.string()),
+                         "da": neg, "db": neg,
                          "source": batch.column("source").cast(pa.string())})
 
-    def side_rows(key_col: str, other_col: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            ids = batch.column(key_col).to_numpy().astype(np.int64)
-            carry = (batch.column("carry").cast(pa.string())
-                     if "carry" in batch.column_names
-                     else pa.array([""] * len(ids), pa.string()))
-            return pa.table({"bk": pa.array(ids % nbk), "id": pa.array(ids),
-                             "other": batch.column(other_col).cast(pa.int64()),
-                             "carry": carry,
-                             "source": pa.array([""] * len(ids), pa.string())})
-        return fn
+    def endpoint_rows(batch: pa.Table) -> pa.Table:
+        da = batch.column("doc_a").to_numpy().astype(np.int64)
+        db = batch.column("doc_b").to_numpy().astype(np.int64)
+        ids = np.concatenate([da, db])       # each pair: two endpoint rows
+        return pa.table({"bk": pa.array(ids % nbk), "id": pa.array(ids),
+                         "da": pa.array(np.concatenate([da, da])),
+                         "db": pa.array(np.concatenate([db, db])),
+                         "source": pa.array([""] * len(ids), pa.string())})
 
-    _EMPTY_S1 = {"doc_b": pd.Series(dtype="int64"),
-                 "carry": pd.Series(dtype="object")}
-    _EMPTY_S2 = {"src_a": pd.Series(dtype="object"),
-                 "src_b": pd.Series(dtype="object"),
-                 "n_pairs": pd.Series(dtype="int64")}
+    _EMPTY_RES = {"pbk": pd.Series(dtype="int64"),
+                  "da": pd.Series(dtype="int64"),
+                  "db": pd.Series(dtype="int64"),
+                  "src": pd.Series(dtype="object"),
+                  "is_a": pd.Series(dtype="bool")}
+    _EMPTY_OUT = {"src_a": pd.Series(dtype="object"),
+                  "src_b": pd.Series(dtype="object"),
+                  "n_pairs": pd.Series(dtype="int64")}
 
-    def resolve(out_carry: bool):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            smap = df.loc[df["other"] < 0].set_index("id")["source"]
-            p = df.loc[df["other"] >= 0]
-            if p.empty:              # typed empty — schema must survive
-                return pd.DataFrame(_EMPTY_S1 if out_carry else _EMPTY_S2)
-            src = p["id"].map(smap)
-            if out_carry:            # side 1: emit (doc_b, src_a) rows
-                return pd.DataFrame({"doc_b": p["other"].to_numpy(np.int64),
-                                     "carry": src.to_numpy()})
-            a = p["carry"].to_numpy()          # side 2: bounded partials
-            b = src.to_numpy()
-            g = pd.DataFrame({"src_a": np.minimum(a, b),
-                              "src_b": np.maximum(a, b)}) \
-                  .groupby(["src_a", "src_b"], sort=False) \
-                  .size().reset_index(name="n_pairs")
-            g["n_pairs"] = g["n_pairs"].astype(np.int64)
-            return g
-        return fn
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        smap = df.loc[df["da"] < 0].set_index("id")["source"]
+        p = df.loc[df["da"] >= 0]
+        if p.empty:                  # typed empty — schema must survive
+            return pd.DataFrame(_EMPTY_RES)
+        da = p["da"].to_numpy(np.int64)
+        db = p["db"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "pbk": (da * 1_000_003 + db) % nbk,
+            "da": da, "db": db,
+            "src": p["id"].map(smap).to_numpy(),
+            "is_a": (p["id"].to_numpy(np.int64) == da)})
 
-    docs = _read_docs(sf_dir, columns=("doc_id", "source"))
-    side1 = docs.map_batches(doc_rows, batch_format="pyarrow",
-                             zero_copy_batch=True) \
-        .union(pairs.map_batches(side_rows("doc_a", "doc_b"),
-                                 batch_format="pyarrow")) \
-        .groupby("bk").map_groups(arrow_groups(resolve(True)),
+    def pair_up(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(_EMPTY_OUT)
+        a = df.loc[df["is_a"]].set_index(["da", "db"])["src"]
+        b = df.loc[~df["is_a"]].set_index(["da", "db"])["src"]
+        j = pd.concat([a.rename("sa"), b.rename("sb")], axis=1)
+        lo = np.minimum(j["sa"].to_numpy(), j["sb"].to_numpy())
+        hi = np.maximum(j["sa"].to_numpy(), j["sb"].to_numpy())
+        g = pd.DataFrame({"src_a": lo, "src_b": hi}) \
+              .groupby(["src_a", "src_b"], sort=False) \
+              .size().reset_index(name="n_pairs")
+        g["n_pairs"] = g["n_pairs"].astype(np.int64)
+        return g
+
+    resolved = _read_docs(sf_dir, columns=("doc_id", "source")) \
+        .map_batches(doc_rows, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .union(pairs.map_batches(endpoint_rows, batch_format="pyarrow")) \
+        .groupby("bk").map_groups(arrow_groups(resolve),
                                   batch_format="pandas")
-    partials = docs.map_batches(doc_rows, batch_format="pyarrow",
-                                zero_copy_batch=True) \
-        .union(side1.map_batches(side_rows("doc_b", "doc_b"),
-                                 batch_format="pyarrow")) \
-        .groupby("bk").map_groups(arrow_groups(resolve(False)),
-                                  batch_format="pandas")
+    partials = resolved.groupby("pbk").map_groups(arrow_groups(pair_up),
+                                                  batch_format="pandas")
     df = partials.to_pandas()
     if df.empty:
         return typed_empty(out_cols)
