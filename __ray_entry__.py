@@ -560,6 +560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_kmeans": similarity.kmeans,
         "embeddings_pca": similarity.pca_project,
         "docs_bpe_merges": curation.bpe_merges,
+        "docs_bpe_encode": curation.bpe_encode,
         "transcripts_extract": _transcripts_extract,
         "transcripts_wired_cells": _transcripts_wired_cells,
         "glyph_train_report": training.glyph_train_report,

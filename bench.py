@@ -155,7 +155,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      "events_rolling_sum", "docs_dsir_score",
                      "embeddings_pca", "docs_dsir_select",
                      "embeddings_quantize", "customers_without_orders",
-                     "docs_bpe_merges", "events_rollup_cube",
+                     "docs_bpe_merges", "docs_bpe_encode",
+                     "events_rollup_cube",
                      "docs_dedup_keep", "events_heavy_users",
                      "docs_sample_k", "docs_chunk_dedup",
                      "docs_sample_per_lang", "docs_dup_source_matrix",

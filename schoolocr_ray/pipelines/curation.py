@@ -1319,3 +1319,49 @@ def sample_per_lang(sf_dir: str, k: int = SAMPLE_PER_LANG_K,
         "rk": (kept.groupby("lang", sort=False).cumcount() + 1)
               .to_numpy(np.int64),
     })
+
+
+def bpe_encode(sf_dir: str, n_merges: int = BPE_MERGES) -> ray.data.Dataset:
+    """Tokenize the corpus under the LEARNED merges — the apply half of
+    the tokenizer loop (`bpe_merges` trains it; every LLM pipeline then
+    runs exactly this pass to size its training set): per document,
+    (n_words, n_bpe_tokens) where n_bpe_tokens counts the subword
+    symbols `_bpe_apply` yields under the corpus's own top-`n_merges`
+    merge table — the compression-ratio signal tokenizer ablations
+    threshold on.
+
+    Shape: the merge table is learned once (one corpus scan + the
+    vocab-bounded merge loop) and broadcast as a KB-scale tuple; the
+    encode pass is then ZERO-shuffle — each block dictionary-encodes
+    its word stream so every DISTINCT word is segmented exactly once
+    (the md5-per-distinct-gram precedent), subword counts map back by
+    dictionary code and segment-sum per doc.  No SQL twin (the merge
+    recursion is not SQL-expressible — the bpe_merges precedent);
+    pinned by a whole-corpus serial-reference equality in pytest."""
+    from .text import _segment_sums, _word_tokens
+
+    out_cols = {"doc_id": "int64", "n_words": "int64",
+                "n_bpe_tokens": "int64"}
+    if docs_empty(sf_dir):
+        return typed_empty(out_cols)
+
+    m = bpe_merges(sf_dir, n_merges)
+    mref = ray.put(tuple(zip(m["left"].tolist(), m["right"].tolist())))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ms = cached_get(mref)
+        flat, offs = _word_tokens(batch.column("text"))
+        d = flat.dictionary_encode()
+        dic = d.dictionary.to_pylist()
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        sub_lens = np.array([len(_bpe_apply(w, ms)) if w else 0
+                             for w in dic], np.int64)
+        word_flags = np.array([1 if w else 0 for w in dic], np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(_segment_sums(word_flags[codes], offs)),
+            "n_bpe_tokens": pa.array(_segment_sums(sub_lens[codes], offs)),
+        })
+
+    return _read_docs(sf_dir).map_batches(encode, batch_format="pyarrow",
+                                          zero_copy_batch=True)

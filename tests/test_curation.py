@@ -156,6 +156,7 @@ def test_new_docs_ops_survive_empty_table(ray_session, tmp_path):
                curation.dsir_score, curation.dsir_select,
                curation.bpe_merges, curation.sample_k, text.chunk_dedup,
                curation.sample_per_lang, text.dup_source_matrix,
+               curation.bpe_encode,
                curation.token_shards, curation.pack_sequences,
                text.bm25_topk, curation.source_cap,
                curation.top_terms, curation.shuffle_shards,
@@ -818,3 +819,42 @@ def test_dup_source_matrix_planted(ray_session, tmp_path):
     o = con.execute(e.oracle_sql()["docs_dup_source_matrix"]).df() \
         .sort_values(["src_a", "src_b"]).reset_index(drop=True)
     assert (got.astype(str).values == o.astype(str).values).all()
+
+
+def test_bpe_encode_planted_and_serial(ray_session, tmp_path):
+    """Hand-computed apply: with corpus ["aa aa", "a"] and one merge,
+    the learned merge is (a,a) so doc 1's two "aa" words become one
+    subword each; then the whole-sf0.01-corpus per-doc counts equal a
+    serial re-encode under the engine's own learned merge table (the
+    encode pass is pinned GIVEN merges; the merge table itself is
+    pinned by test_bpe_merges_matches_serial_reference)."""
+    import re
+
+    import pyarrow as pa
+
+    from schoolocr_ray.pipelines.curation import (_bpe_apply, bpe_encode,
+                                                  bpe_merges)
+    from schoolocr_ray.pipelines.text import WORD_RE
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["aa aa", "a"], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    got = bpe_encode(str(tmp_path), n_merges=1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got.values.tolist() == [[1, 2, 2], [2, 1, 1]]
+
+    merges = [tuple(r) for r in
+              bpe_merges(SF_DIR)[["left", "right"]].itertuples(index=False)]
+    got = bpe_encode(SF_DIR).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    src = pq.read_table(f"{SF_DIR}/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    nonword = re.compile(WORD_RE)
+    for i in range(len(src)):
+        words = [w for w in nonword.split(src["text"][i].lower()) if w]
+        assert int(got["doc_id"][i]) == int(src["doc_id"][i])
+        assert int(got["n_words"][i]) == len(words), src["doc_id"][i]
+        assert int(got["n_bpe_tokens"][i]) == sum(
+            len(_bpe_apply(w, merges)) for w in words), src["doc_id"][i]

@@ -145,7 +145,8 @@ ROWS_ONLY = ["knn_lsh", "knn_ivf",
              "docs_embedding_neardup_lsh", "docs_embedding_neardup_ivf",
              "transcripts_wired_cells",
              "transcripts_extract", "glyph_train_report",
-             "embeddings_kmeans", "embeddings_pca", "docs_bpe_merges"]
+             "embeddings_kmeans", "embeddings_pca", "docs_bpe_merges",
+             "docs_bpe_encode"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
