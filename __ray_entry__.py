@@ -464,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_per_lang": curation.sample_per_lang,
         "docs_dup_source_matrix": text.dup_source_matrix,
         "events_lifespan_histogram": relational.events_lifespan_histogram,
+        "events_gap_percentiles": relational.events_gap_percentiles,
         "docs_bm25_topk": text.bm25_topk,
         "embeddings_cluster_sample": similarity.cluster_sample,
         "embeddings_outliers": similarity.cluster_outliers,
@@ -1512,6 +1513,21 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id)::BIGINT AS rk
                 FROM documents)
             WHERE rk <= {_curation.SAMPLE_PER_LANG_K}
+        """,
+        # inter-event-gap percentiles: lag over (user, ts, event_id),
+        # whole-minute floor-division, quantile_disc
+        "events_gap_percentiles": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
+                       FROM events),
+            g AS (SELECT (us - lag(us) OVER (
+                              PARTITION BY user_id
+                              ORDER BY us, event_id)) // 60000000 AS m
+                  FROM e),
+            mm AS (SELECT m FROM g WHERE m IS NOT NULL)
+            SELECT quantile_disc(m, 0.5)::BIGINT AS p50_min,
+                   quantile_disc(m, 0.95)::BIGINT AS p95_min,
+                   quantile_disc(m, 0.99)::BIGINT AS p99_min
+            FROM mm
         """,
         # per-user active lifespan (days first->last event), histogram
         "events_lifespan_histogram": """

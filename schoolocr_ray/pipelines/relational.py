@@ -1838,3 +1838,77 @@ def events_lifespan_histogram(sf_dir: str, num_buckets: int | None = None,
                                   batch_format="pandas")
     return _fold_partials(partials, ["span_days"], ["n_users"],
                           {"span_days": "int64"})
+
+
+def events_gap_percentiles(sf_dir: str,
+                           qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+                           num_buckets: int | None = None,
+                           target_rows_per_bucket: int = 250_000
+                           ) -> pd.DataFrame:
+    """Exact inter-event-gap percentiles — p50/p95/p99 of the
+    whole-minute gap between each user's consecutive events (the
+    engagement-cadence metric sessionization thresholds are tuned
+    against; `events_sessions` ASSUMES a 30-min gap rule, this measures
+    the distribution that justifies it).
+
+    Shape: consecutive-within-user needs co-location, so projected
+    (user, epoch-us, event_id) rows make ONE user-hash bucket shuffle;
+    each bucket sorts and diffs vectorized.  Gaps quantize to whole
+    minutes, so the histogram keys are DOMAIN-bounded (the corpus span
+    in minutes) and count partials fold via `_fold_partials`; the
+    driver picks DuckDB's `quantile_disc` rank (0-based
+    ``max(0, ceil(q*n) - 1)``, the `events_percentiles` rule) from the
+    tiny folded histogram.  Minute quantization is int64
+    floor-division, matching the twin's BIGINT `//`."""
+    import math
+
+    out_cols = {f"p{int(q * 100)}_min": "int64" for q in qs}
+    if _events_empty(sf_dir):
+        return _typed_empty(out_cols)
+    if num_buckets is None:
+        n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+        num_buckets = max(32, -(-n // target_rows_per_bucket))
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({"bk": pa.array((uid % num_buckets).astype(np.int32)),
+                         "user_id": pa.array(uid),
+                         "us": batch.column("ts").cast(pa.int64()),
+                         "event_id": batch.column("event_id").cast(pa.int64())})
+
+    _EMPTY_H = {"m": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64")}
+
+    def gaps_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame(_EMPTY_H)
+        df = df.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        us = df["us"].to_numpy(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        same = uid[1:] == uid[:-1]
+        m = (us[1:] - us[:-1])[same] // 60_000_000
+        if not len(m):
+            return pd.DataFrame(_EMPTY_H)
+        vc = pd.Series(m).value_counts()
+        return pd.DataFrame({"m": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    partials = ds.map_batches(project, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("bk").map_groups(arrow_groups(gaps_bucket),
+                                  batch_format="pandas")
+    hist = _fold_partials(partials, ["m"], ["n"], {"m": "int64"})
+    if hist.empty:
+        return _typed_empty(out_cols)
+    hist = hist.sort_values("m")
+    vals = hist["m"].to_numpy(np.int64)
+    cum = hist["n"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1])
+    row = {}
+    for q in qs:
+        r = max(0, math.ceil(q * n) - 1)      # duckdb quantile_disc rank
+        row[f"p{int(q * 100)}_min"] = np.int64(
+            vals[np.searchsorted(cum, r + 1, side="left")])
+    return pd.DataFrame([row]).astype("int64")

@@ -122,6 +122,7 @@ SQL_CHECKED = [
     "docs_sample_per_lang",
     "docs_dup_source_matrix",
     "events_lifespan_histogram",
+    "events_gap_percentiles",
 ]
 
 
@@ -236,7 +237,7 @@ def test_new_events_ops_survive_empty_table(ray_session, tmp_path):
                r.events_lag, r.events_rolling_sum, r.events_sessions,
                r.events_asof_purchase, r.events_distinct_users,
                r.events_rollup_cube, r.events_heavy_users,
-               r.events_lifespan_histogram):
+               r.events_lifespan_histogram, r.events_gap_percentiles):
         df = _to_pandas(fn(str(d)))
         assert len(df) == 0 or set(df.get("n_users", [])) == {0}, fn
         assert len(df.columns) > 0, fn      # typed empty, not column-less
@@ -603,4 +604,42 @@ def test_events_lifespan_histogram_planted(ray_session, tmp_path):
               f"read_parquet('{tmp_path}/events.parquet')")
     o = c.execute(e.oracle_sql()["events_lifespan_histogram"]).df() \
         .sort_values("span_days").reset_index(drop=True)
+    assert (got.astype(str).values == o.astype(str).values).all()
+
+
+def test_events_gap_percentiles_planted(ray_session, tmp_path):
+    """Hand-computed gaps with the two edge rules pinned: sub-minute
+    gaps floor to 0 (user 1's 30-second gap), and same-timestamp events
+    order by event_id (user 3's tie -> gap 0).  Gaps are [10, 0, 65, 0],
+    sorted [0, 0, 10, 65], n=4: p50 = rank ceil(2)-1 = 1 -> 0,
+    p95 = rank ceil(3.8)-1 = 3 -> 65, p99 -> 65.  The lag twin agrees."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.relational import events_gap_percentiles
+
+    mn = 60_000_000
+    us = [0, 10 * mn, 10 * mn + 30_000_000,       # user 1: gaps 10, 0
+          0, 65 * mn,                             # user 2: gap 65
+          5 * mn, 5 * mn]                         # user 3: ts tie -> gap 0
+    users = [1, 1, 1, 2, 2, 3, 3]
+    n = len(us)
+    pq.write_table(
+        pa.table({"event_id": pa.array(range(n), pa.int64()),
+                  "ts": pa.array(np.array(us, "int64"), pa.timestamp("us")),
+                  "user_id": pa.array(users, pa.int64()),
+                  "event_type": pa.array(["view"] * n, pa.string()),
+                  "value": pa.array([1.0] * n, pa.float64()),
+                  "props": pa.array(["{}"] * n, pa.string())}),
+        str(tmp_path / "events.parquet"))
+
+    got = events_gap_percentiles(str(tmp_path))
+    assert got.values.tolist() == [[0, 65, 65]]
+
+    c = duckdb.connect()
+    c.execute("CREATE VIEW events AS SELECT * FROM "
+              f"read_parquet('{tmp_path}/events.parquet')")
+    o = c.execute(e.oracle_sql()["events_gap_percentiles"]).df()
     assert (got.astype(str).values == o.astype(str).values).all()
