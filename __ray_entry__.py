@@ -465,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_source_matrix": text.dup_source_matrix,
         "events_lifespan_histogram": relational.events_lifespan_histogram,
         "events_gap_percentiles": relational.events_gap_percentiles,
+        "embeddings_dist_hist": similarity.dist_hist,
         "docs_bm25_topk": text.bm25_topk,
         "embeddings_cluster_sample": similarity.cluster_sample,
         "embeddings_outliers": similarity.cluster_outliers,
@@ -1513,6 +1514,34 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id)::BIGINT AS rk
                 FROM documents)
             WHERE rk <= {_curation.SAMPLE_PER_LANG_K}
+        """,
+        # quantized pairwise-dot histogram over the md5-ranked bottom-k
+        # sample: the quantize twin's code CTE restricted to the sample,
+        # integer dots per i<j pair, value histogram
+        "embeddings_dist_hist": f"""
+            WITH x AS (
+                SELECT vec_id,
+                       UNNEST(CAST(embedding AS DOUBLE[])) AS v,
+                       generate_subscripts(embedding, 1) AS d
+                FROM embeddings),
+            s AS (SELECT d, MAX(ABS(v)) AS sc FROM x GROUP BY d),
+            kset AS (SELECT vec_id FROM embeddings
+                     ORDER BY md5('{_similarity.DIST_HIST_SEED}:'
+                                  || CAST(vec_id AS VARCHAR)), vec_id
+                     LIMIT {_similarity.DIST_HIST_K}),
+            c AS (
+                SELECT x.vec_id, x.d,
+                       CAST(FLOOR(x.v / (CASE WHEN s.sc = 0 THEN 1.0
+                                               ELSE s.sc END)
+                                  * 127.0 + 0.5)
+                            AS BIGINT) AS code
+                FROM x JOIN s USING (d)
+                WHERE x.vec_id IN (SELECT vec_id FROM kset)),
+            dots AS (
+                SELECT SUM(a.code * b.code)::BIGINT AS dot
+                FROM c a JOIN c b ON a.d = b.d AND a.vec_id < b.vec_id
+                GROUP BY a.vec_id, b.vec_id)
+            SELECT dot, COUNT(*)::BIGINT AS n_pairs FROM dots GROUP BY 1
         """,
         # inter-event-gap percentiles: lag over (user, ts, event_id),
         # whole-minute floor-division, quantile_disc

@@ -990,3 +990,67 @@ def quantize(sf_dir: str) -> ray.data.Dataset:
 
     return ds.map_batches(quant, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+DIST_HIST_K = 64
+DIST_HIST_SEED = 23
+
+
+def dist_hist(sf_dir: str, k: int = DIST_HIST_K,
+              seed: int = DIST_HIST_SEED) -> pd.DataFrame:
+    """Quantized pairwise-similarity DISTRIBUTION over a seeded exact-k
+    embedding sample — the calibration diagnostic that picks near-dup /
+    ANN thresholds (before choosing `embedding_neardup`'s cosine cutoff
+    you look at this histogram): int8-code dot products (the `quantize`
+    codes, so every dot is an exact int64) over all C(k,2) pairs of the
+    md5-ranked bottom-k sample, histogrammed.
+
+    Shape: pass 1 is the quantize |x|-max fold (one dim-length float row
+    per block, KB driver fold); pass 2 emits each block's k smallest
+    (md5 key, vec_id, embedding) rows — the `sample_k` bottom-k fold, so
+    the exchange is blocks x k rows at any corpus size; the driver
+    quantizes the k winners with the SAME IEEE op sequence as `quantize`
+    (bit-exact vs the twin) and folds the k x k integer Gram matrix
+    locally.  O(k^2 dim) driver work at k=64 is microseconds; the corpus
+    is never paired."""
+    import hashlib
+
+    out_cols = {"dot": "int64", "n_pairs": "int64"}
+    if pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows == 0:
+        import pandas as _pd
+
+        return _pd.DataFrame({c: _pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    ds = read_embeddings(sf_dir)
+
+    def max_partial(batch: pa.Table) -> pa.Table:
+        em = embedding_matrix(batch.column("embedding"))
+        return pa.table({"m": pa.array([np.abs(em).max(axis=0)],
+                                       pa.list_(pa.float64()))})
+
+    def bottom_k(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        keys = np.array([hashlib.md5(f"{seed}:{v}".encode()).hexdigest()
+                         for v in ids])
+        order = np.lexsort((ids, keys))[:k]
+        return pa.table({"key": pa.array(keys[order]),
+                         "vec_id": pa.array(ids[order]),
+                         "embedding": batch.column("embedding").take(
+                             pa.array(order))})
+
+    mp = ds.map_batches(max_partial, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None).to_pandas()
+    scale = np.max(np.stack(mp["m"].to_numpy()), axis=0)
+    scale = np.where(scale == 0.0, 1.0, scale)
+
+    parts = ds.map_batches(bottom_k, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None) \
+              .to_pandas()
+    parts = parts.sort_values(["key", "vec_id"]).head(k)
+    em = np.stack(parts["embedding"].to_numpy())
+    codes = np.floor(em / scale * float(QUANT_LEVELS) + 0.5).astype(np.int64)
+    gram = codes @ codes.T                       # exact int64 dots
+    iu = np.triu_indices(len(codes), 1)          # vec_id-ordered i < j
+    vc = pd.Series(gram[iu]).value_counts()
+    return pd.DataFrame({"dot": vc.index.to_numpy(np.int64),
+                         "n_pairs": vc.to_numpy(np.int64)})

@@ -123,6 +123,7 @@ SQL_CHECKED = [
     "docs_dup_source_matrix",
     "events_lifespan_histogram",
     "events_gap_percentiles",
+    "embeddings_dist_hist",
 ]
 
 

@@ -285,7 +285,8 @@ def test_similarity_family_survives_empty_embeddings(ray_session, tmp_path):
                      (similarity.knn_graph,
                       {"vec_id", "in_deg", "mutual_deg"}),
                      (similarity.pca_project, {"vec_id", "proj"}),
-                     (similarity.quantize, {"vec_id", "codes"})]:
+                     (similarity.quantize, {"vec_id", "codes"}),
+                     (similarity.dist_hist, {"dot", "n_pairs"})]:
         res = fn(str(d))
         # typed pandas empty (a zero-row Dataset would lose its columns
         # through to_pandas — the guard returns the surviving shape)
@@ -735,3 +736,36 @@ def test_quantize_roundtrip_error_bound(ray_session):
     err = np.abs(recon - m[order])
     assert (err <= s / 254.0 + 1e-12).all()
     assert np.abs(codes).max() <= 127
+
+
+def test_dist_hist_planted(ray_session, tmp_path):
+    """Hand-computed quantized Gram histogram: scales are per-dim
+    |x|-max ([2, 4, 1 -> all-zero dim]), codes floor(x/s*127+0.5), and
+    the three pairwise integer dots land in the histogram with the
+    all-zero dimension coding to 0 (the s=0 guard).  The twin agrees."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.similarity import dist_hist
+
+    vecs = [[2.0, 0.0, 0.0], [0.0, 4.0, 0.0], [1.0, 2.0, 0.0]]
+    pq.write_table(
+        pa.table({"vec_id": pa.array([1, 2, 3], pa.int64()),
+                  "embedding": pa.array(vecs, pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+
+    # codes: v1 -> [127, 0, 0]; v2 -> [0, 127, 0];
+    # v3 -> [floor(63.5+0.5), floor(63.5+0.5), 0] = [64, 64, 0]
+    # dots: (1,2)=0, (1,3)=127*64=8128, (2,3)=8128
+    got = dist_hist(str(tmp_path)) \
+        .sort_values("dot").reset_index(drop=True)
+    assert got.values.tolist() == [[0, 1], [8128, 2]]
+
+    c = duckdb.connect()
+    c.execute("CREATE VIEW embeddings AS SELECT * FROM "
+              f"read_parquet('{tmp_path}/embeddings.parquet')")
+    o = c.execute(e.oracle_sql()["embeddings_dist_hist"]).df() \
+        .sort_values("dot").reset_index(drop=True)
+    assert (got.astype(str).values == o.astype(str).values).all()
