@@ -466,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lifespan_histogram": relational.events_lifespan_histogram,
         "events_gap_percentiles": relational.events_gap_percentiles,
         "embeddings_dist_hist": similarity.dist_hist,
+        "region_nation_revenue": relational.region_nation_revenue,
         "docs_bm25_topk": text.bm25_topk,
         "embeddings_cluster_sample": similarity.cluster_sample,
         "embeddings_outliers": similarity.cluster_outliers,
@@ -1514,6 +1515,23 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id)::BIGINT AS rk
                 FROM documents)
             WHERE rk <= {_curation.SAMPLE_PER_LANG_K}
+        """,
+        # Q5-shaped multi-way join: local-supplier revenue per nation
+        # inside one region, integer cents
+        "region_nation_revenue": """
+            SELECT n_name,
+                   COUNT(*)::BIGINT AS n,
+                   SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))::BIGINT
+                       AS revenue_cents
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND s_nationkey = c_nationkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
         """,
         # quantized pairwise-dot histogram over the md5-ranked bottom-k
         # sample: the quantize twin's code CTE restricted to the sample,

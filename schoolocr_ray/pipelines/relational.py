@@ -1912,3 +1912,111 @@ def events_gap_percentiles(sf_dir: str,
         row[f"p{int(q * 100)}_min"] = np.int64(
             vals[np.searchsorted(cum, r + 1, side="left")])
     return pd.DataFrame([row]).astype("int64")
+
+
+def region_nation_revenue(sf_dir: str, region_name: str = "ASIA",
+                          num_partitions: int | None = None) -> pd.DataFrame:
+    """TPC-H Q5-shaped MULTI-WAY join — local-supplier revenue per
+    customer nation inside one region: lineitem ⋈ orders ⋈ customer ⋈
+    supplier with s_nationkey = c_nationkey, nations restricted to
+    ``region_name``, rolled up to (n_name, line-item count, cents).
+
+    Scale shape: the three data-scaled tables chain through native
+    hash-partitioned joins (at TPC-H ratios supplier is SF x 10k rows
+    and customer SF x 150k — NEITHER is broadcastable at 100 TB, so
+    unlike `customers_per_region` they join, not ship); only the TRUE
+    dimensions (nation ⋈ region, <= 25 rows) broadcast, and the region
+    + local-supplier predicates apply vectorized in the post-join
+    rollup.
+
+    Why the region filter does NOT push down (measured Ray trap,
+    operator-level pin in test_driver_contract): Ray's hash-join
+    aggregator builds each partition's table from the shards it
+    receives, so a join side that leaves some hash partition with no
+    schema-carrying shard fails with "No match or multiple matches for
+    key field reference".  Two observed routes there: over-split
+    `read_parquet` blocks (a 100-row table read as 16 blocks emits 6
+    COLUMNLESS zero-row blocks — every join-side read here coalesces
+    via the `read_embeddings` clamp to kill those; a no-op at corpus
+    scale), and a pre-join FILTER sparse enough to empty a partition
+    outright (the smallest tier has exactly ONE in-region supplier).
+    Dense unfiltered sides occupy every partition, so the region cut
+    runs post-join; at 100 TB push it down with the bucket-shuffle
+    semi-join machinery (`lineitem_semi_join`) rather than a pre-join
+    filter.  Lineitem pre-aggregates per (l_orderkey, l_suppkey) per
+    block (the `lineitem_order_join` r4 rule; same caveat —
+    compression needs a clustered layout), with the line-item count
+    riding the partials."""
+    sizes = {t: pq.ParquetFile(f"{sf_dir}/{t}.parquet").metadata.num_rows
+             for t in ("lineitem", "orders", "customer", "supplier")}
+    out_cols = {"n_name": "object", "n": "int64", "revenue_cents": "int64"}
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkeys = set(region.loc[region["r_name"] == region_name, "r_regionkey"])
+    nat = nation[nation["n_regionkey"].isin(rkeys)]
+    keep_keys = tuple(int(k) for k in nat["n_nationkey"])
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    # Ray's native hash join can't key an empty side; every empty case is
+    # knowable up front (footers + the dimension filter), so answer typed
+    if not keep_keys or min(sizes.values()) == 0:
+        return _typed_empty(out_cols)
+    if num_partitions is None:
+        num_partitions = max(2, min(64, sizes["lineitem"] // 150_000))
+
+    def coalesced(name: str, columns: list[str]) -> ray.data.Dataset:
+        ds = _read(sf_dir, name, columns=columns)
+        n = sizes[name]
+        if n < 1_000_000:            # kill columnless over-split blocks
+            ds = ds.repartition(min(32, max(2, n // 65536)))
+        return ds
+
+    cust = coalesced("customer", ["c_custkey", "c_nationkey"])
+    supp = coalesced("supplier", ["s_suppkey", "s_nationkey"])
+
+    li = coalesced("lineitem",
+                   ["l_orderkey", "l_suppkey", "l_extendedprice"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        return _count_sum_partial(
+            pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "l_suppkey": batch.column("l_suppkey"),
+                      "cents": pa.array(
+                          _cents(batch.column("l_extendedprice").to_numpy()),
+                          pa.int64())}),
+            ["l_orderkey", "l_suppkey"], "cents", "n", "cents")
+
+    li = li.map_batches(li_partial, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None)
+    orders = coalesced("orders", ["o_orderkey", "o_custkey"])
+    j = li.join(orders, join_type="inner", num_partitions=num_partitions,
+                on=("l_orderkey",), right_on=("o_orderkey",)) \
+          .join(cust, join_type="inner", num_partitions=num_partitions,
+                on=("o_custkey",), right_on=("c_custkey",)) \
+          .join(supp, join_type="inner", num_partitions=num_partitions,
+                on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def local_rollup(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hit = batch.filter(pc.equal(
+            batch.column("c_nationkey").cast(pa.int64()),
+            batch.column("s_nationkey").cast(pa.int64())))
+        nk = pa.array(list(names.keys()), pa.int64())
+        nm = pa.array([names[k] for k in names], pa.string())
+        idx = pc.index_in(hit.column("c_nationkey").cast(pa.int64()), nk)
+        hit = hit.filter(pc.is_valid(idx))    # region cut (null = outside)
+        idx = idx.filter(pc.is_valid(idx))
+        g = pa.table({"n_name": pc.take(nm, idx),
+                      "n": hit.column("n"),
+                      "cents": hit.column("cents")}) \
+            .group_by(["n_name"], use_threads=False) \
+            .aggregate([("n", "sum"), ("cents", "sum")])
+        return pa.table({"n_name": g.column("n_name"),
+                         "n": g.column("n_sum"),
+                         "revenue_cents": g.column("cents_sum")})
+
+    parts = j.map_batches(local_rollup, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+    return _fold_partials(parts, ["n_name"], ["n", "revenue_cents"],
+                          {"n_name": "object"})

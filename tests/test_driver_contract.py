@@ -124,6 +124,7 @@ SQL_CHECKED = [
     "events_lifespan_histogram",
     "events_gap_percentiles",
     "embeddings_dist_hist",
+    "region_nation_revenue",
 ]
 
 
@@ -644,3 +645,93 @@ def test_events_gap_percentiles_planted(ray_session, tmp_path):
               f"read_parquet('{tmp_path}/events.parquet')")
     o = c.execute(e.oracle_sql()["events_gap_percentiles"]).df()
     assert (got.astype(str).values == o.astype(str).values).all()
+
+
+def test_region_nation_revenue_sparse_region_planted(ray_session, tmp_path):
+    """Operator-level pin for the join-robustness design: a region whose
+    supplier membership is SPARSE (4 of 40 suppliers) must still join —
+    the coalesced reads keep every block schema-carrying and the region
+    cut stays post-join (the observed failure modes were read_parquet's
+    over-split columnless zero-row blocks, and a pre-join filter sparse
+    enough to leave a hash partition with no schema-carrying shard —
+    both poison the hash-join aggregator).  Values check against the Q5
+    twin on the same planted multi-block tables."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.relational import region_nation_revenue
+
+    rng = np.random.RandomState(5)
+    n_li, n_ord, n_cust, n_supp = 2000, 500, 100, 40
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int64()),
+        "r_name": pa.array(["ASIA", "EUROPE"], pa.string())}),
+        str(tmp_path / "region.parquet"))
+    # nations 0,1 in ASIA; 2..24 in EUROPE -> ASIA suppliers are sparse
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(range(25), pa.int64()),
+        "n_name": pa.array([f"NAT{i}" for i in range(25)], pa.string()),
+        "n_regionkey": pa.array([0 if i < 2 else 1 for i in range(25)],
+                                pa.int64())}),
+        str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(range(n_supp), pa.int64()),
+        "s_nationkey": pa.array([i % 25 for i in range(n_supp)],
+                                pa.int64())}),
+        str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(n_cust), pa.int64()),
+        "c_nationkey": pa.array([i % 25 for i in range(n_cust)],
+                                pa.int64())}),
+        str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(n_ord), pa.int64()),
+        "o_custkey": pa.array(rng.randint(0, n_cust, n_ord), pa.int64())}),
+        str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(rng.randint(0, n_ord, n_li), pa.int64()),
+        "l_suppkey": pa.array(rng.randint(0, n_supp, n_li), pa.int64()),
+        "l_extendedprice": pa.array(
+            np.round(rng.uniform(1, 1000, n_li), 2), pa.float64())}),
+        str(tmp_path / "lineitem.parquet"))
+
+    got = region_nation_revenue(str(tmp_path)) \
+        .sort_values("n_name").reset_index(drop=True)
+    assert len(got) > 0                     # the sparse region matched
+
+    c = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier",
+              "nation", "region"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{tmp_path}/{t}.parquet')")
+    o = c.execute(e.oracle_sql()["region_nation_revenue"]).df() \
+        .sort_values("n_name").reset_index(drop=True)
+    assert (got.astype(str).values == o.astype(str).values).all()
+
+
+def test_region_nation_revenue_guards(ray_session, tmp_path):
+    """Typed-empty short-circuits: an unknown region and an empty
+    lineitem shard both answer from footers/dimensions without touching
+    the join (the join itself cannot key an empty side)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from schoolocr_ray.pipelines.relational import region_nation_revenue
+
+    got = region_nation_revenue(SF_DIR, region_name="ATLANTIS")
+    assert len(got) == 0 and set(got.columns) == {"n_name", "n",
+                                                  "revenue_cents"}
+
+    d = tmp_path / "empty_li"
+    d.mkdir()
+    sch = pq.read_schema(os.path.join(SF_DIR, "lineitem.parquet"))
+    pq.write_table(sch.empty_table(), str(d / "lineitem.parquet"))
+    for t in ("orders", "customer", "supplier", "nation", "region"):
+        shutil.copy(os.path.join(SF_DIR, f"{t}.parquet"),
+                    str(d / f"{t}.parquet"))
+    got = region_nation_revenue(str(d))
+    assert len(got) == 0 and set(got.columns) == {"n_name", "n",
+                                                  "revenue_cents"}
