@@ -467,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_percentiles": relational.events_gap_percentiles,
         "embeddings_dist_hist": similarity.dist_hist,
         "region_nation_revenue": relational.region_nation_revenue,
+        "orders_value_share": relational.orders_value_share,
         "docs_bm25_topk": text.bm25_topk,
         "embeddings_cluster_sample": similarity.cluster_sample,
         "embeddings_outliers": similarity.cluster_outliers,
@@ -1515,6 +1516,19 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id)::BIGINT AS rk
                 FROM documents)
             WHERE rk <= {_curation.SAMPLE_PER_LANG_K}
+        """,
+        # percent-of-group window rescore: SUM OVER (PARTITION BY),
+        # integer basis points, both engines floor-divide
+        "orders_value_share": """
+            WITH o AS (SELECT o_orderkey, o_orderpriority,
+                              CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                                  AS cents
+                       FROM orders)
+            SELECT o_orderkey, o_orderpriority, cents,
+                   CAST(cents * 10000 //
+                        SUM(cents) OVER (PARTITION BY o_orderpriority)
+                        AS BIGINT) AS share_bp
+            FROM o
         """,
         # Q5-shaped multi-way join: local-supplier revenue per nation
         # inside one region, integer cents

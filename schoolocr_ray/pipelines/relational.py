@@ -2020,3 +2020,65 @@ def region_nation_revenue(sf_dir: str, region_name: str = "ASIA",
                           zero_copy_batch=True, batch_size=None)
     return _fold_partials(parts, ["n_name"], ["n", "revenue_cents"],
                           {"n_name": "object"})
+
+
+def orders_value_share(sf_dir: str) -> ray.data.Dataset:
+    """Percent-of-group WINDOW rescore — each order's integer
+    basis-point share of its priority class's total cents
+    (``SUM(x) OVER (PARTITION BY g)`` + a per-row ratio: the window
+    aggregate Ray Data has no native operator for, and the canonical
+    normalize-within-group step of mixture weighting).
+
+    Shape: the window's partition key is DIMENSION-bounded (order
+    priorities), so the group totals are a KB-scale table — pass 1
+    folds per-block (priority, cents) Sum partials via
+    `_fold_partials`, the totals broadcast once (`ray.put`), and pass 2
+    is a ZERO-shuffle vectorized rescore.  No per-partition sort and no
+    row-vs-total co-location at any scale — the row stream is touched
+    exactly twice, moving only partials.  Arithmetic is int64
+    throughout (cents x 10000 // total, both engines floor-divide);
+    the guard raises before the multiply could wrap."""
+    out_cols = {"o_orderkey": "int64", "o_orderpriority": "object",
+                "cents": "int64", "share_bp": "int64"}
+    if pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows == 0:
+        return _typed_empty(out_cols)
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _count_sum_partial(
+            pa.table({"o_orderpriority": batch.column("o_orderpriority"),
+                      "cents": pa.array(
+                          _cents(batch.column("o_totalprice").to_numpy()),
+                          pa.int64())}),
+            ["o_orderpriority"], "cents", "n", "total_cents")
+
+    totals = _fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        ["o_orderpriority"], ["n", "total_cents"],
+        {"o_orderpriority": "object"})
+    if (totals["total_cents"] > (1 << 62) // 10_000).any():
+        raise OverflowError("share_bp multiply would wrap int64")
+    tref = ray.put((tuple(totals["o_orderpriority"]),
+                    totals["total_cents"].to_numpy(np.int64)))
+
+    def rescore(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..util import cached_get
+
+        keys, tots = cached_get(tref)
+        cents = _cents(batch.column("o_totalprice").to_numpy())
+        idx = pc.index_in(batch.column("o_orderpriority"),
+                          pa.array(list(keys), pa.string())) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        share = cents * 10_000 // tots[idx]
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "o_orderpriority": batch.column("o_orderpriority"),
+                         "cents": pa.array(cents),
+                         "share_bp": pa.array(share)})
+
+    return ds.map_batches(rescore, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -125,6 +125,7 @@ SQL_CHECKED = [
     "events_gap_percentiles",
     "embeddings_dist_hist",
     "region_nation_revenue",
+    "orders_value_share",
 ]
 
 
@@ -735,3 +736,46 @@ def test_region_nation_revenue_guards(ray_session, tmp_path):
     got = region_nation_revenue(str(d))
     assert len(got) == 0 and set(got.columns) == {"n_name", "n",
                                                   "revenue_cents"}
+
+
+def test_orders_value_share_planted(ray_session, tmp_path):
+    """Hand-computed window shares with the floor rule pinned:
+    priorities A=[100, 200] cents (total 300) and B=[500] give
+    3333 / 6666 / 10000 basis points (floor division truncates the
+    repeating thirds); shares within a class sum to <= 10000.  The
+    SUM-OVER twin agrees, and an empty orders shard short-circuits
+    typed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.relational import orders_value_share
+
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                  "o_custkey": pa.array([1, 1, 2], pa.int64()),
+                  "o_orderstatus": pa.array(["O"] * 3, pa.string()),
+                  "o_totalprice": pa.array([1.0, 2.0, 5.0], pa.float64()),
+                  "o_orderdate": pa.array(["1996-01-02"] * 3, pa.string()),
+                  "o_orderpriority": pa.array(["A", "A", "B"], pa.string())}),
+        str(tmp_path / "orders.parquet"))
+
+    got = orders_value_share(str(tmp_path)).to_pandas() \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    assert got["share_bp"].tolist() == [3333, 6666, 10000]
+    assert got["cents"].tolist() == [100, 200, 500]
+
+    c = duckdb.connect()
+    c.execute("CREATE VIEW orders AS SELECT * FROM "
+              f"read_parquet('{tmp_path}/orders.parquet')")
+    o = c.execute(e.oracle_sql()["orders_value_share"]).df() \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    assert (got[sorted(got.columns)].astype(str).values
+            == o[sorted(o.columns)].astype(str).values).all()
+
+    d = tmp_path / "empty_orders"
+    d.mkdir()
+    sch = pq.read_schema(os.path.join(SF_DIR, "orders.parquet"))
+    pq.write_table(sch.empty_table(), str(d / "orders.parquet"))
+    empty = orders_value_share(str(d))
+    assert len(empty) == 0 and len(empty.columns) == 4
