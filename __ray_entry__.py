@@ -468,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_dist_hist": similarity.dist_hist,
         "region_nation_revenue": relational.region_nation_revenue,
         "orders_value_share": relational.orders_value_share,
+        "docs_line_dedup": text.line_dedup,
         "docs_bm25_topk": text.bm25_topk,
         "embeddings_cluster_sample": similarity.cluster_sample,
         "embeddings_outliers": similarity.cluster_outliers,
@@ -1516,6 +1517,28 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id)::BIGINT AS rk
                 FROM documents)
             WHERE rk <= {_curation.SAMPLE_PER_LANG_K}
+        """,
+        # C4 line-level dedup: first occurrence by packed (doc, raw
+        # line position) over non-empty lines, counts folded per doc
+        "docs_line_dedup": """
+            WITH l0 AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1)
+                           - 1 AS line_idx
+                FROM documents),
+            l AS (SELECT * FROM l0 WHERE line <> ''),
+            w AS (SELECT line, MIN(doc_id * 1048576 + line_idx) AS packed
+                  FROM l GROUP BY line),
+            nc AS (SELECT doc_id, COUNT(*)::BIGINT AS n_lines
+                   FROM l GROUP BY doc_id),
+            nw AS (SELECT packed // 1048576 AS doc_id,
+                          COUNT(*)::BIGINT AS n_win
+                   FROM w GROUP BY 1)
+            SELECT nc.doc_id, nc.n_lines,
+                   CAST(nc.n_lines - COALESCE(nw.n_win, 0) AS BIGINT)
+                       AS n_dup_lines
+            FROM nc LEFT JOIN nw USING (doc_id)
         """,
         # percent-of-group window rescore: SUM OVER (PARTITION BY),
         # integer basis points, both engines floor-divide

@@ -1400,26 +1400,39 @@ def chunk_dedup(sf_dir: str, size: int = 64,
     groupby-Sum — n_dup = n_chunks - n_winners.  The packed key needs
     chunk_idx < 2^CHUNK_PACK_BITS (window count per doc, asserted);
     the twin packs the same way and groups the raw chunk text."""
-    from ray.data.aggregate import Sum
-
     out_schema = {"doc_id": "int64", "n_chunks": "int64",
                   "n_dup_chunks": "int64"}
     if docs_empty(sf_dir):
         return typed_empty(out_schema)
-    chunks = chunk_documents(sf_dir, size=size, stride=stride)
+    return _first_occurrence_counts(
+        chunk_documents(sf_dir, size=size, stride=stride),
+        "chunk_idx", "chunk_text", "n_chunks", "n_dup_chunks")
+
+
+def _first_occurrence_counts(units: ray.data.Dataset, idx_col: str,
+                             text_col: str, n_name: str,
+                             dup_name: str) -> ray.data.Dataset:
+    """Shared first-occurrence-dedup fold (`chunk_dedup` / `line_dedup`):
+    over a (doc_id, idx, text) unit stream, a unit is a DUP iff an
+    identical text occurs at a smaller packed (doc_id, idx); returns per
+    doc (n_units, n_dup_units).  Units never re-shuffle as text — each
+    leaves its block as a (sha1, packed-key) pair; one hash groupby-Min
+    finds first occurrences; winner counts fold back per doc join-free
+    by unioning two summable partial streams into one doc groupby-Sum."""
+    from ray.data.aggregate import Sum
 
     def hash_pack(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy().astype(np.int64)
-        idx = batch.column("chunk_idx").to_numpy().astype(np.int64)
+        idx = batch.column(idx_col).to_numpy().astype(np.int64)
         if len(idx) and int(idx.max()) >= (1 << CHUNK_PACK_BITS):
-            raise ValueError("chunk_idx exceeds the packed-key range")
+            raise ValueError(f"{idx_col} exceeds the packed-key range")
         hs = [hashlib.sha1(t.encode()).hexdigest()
-              for t in batch.column("chunk_text").to_pylist()]
+              for t in batch.column(text_col).to_pylist()]
         return pa.table({"h": pa.array(hs, pa.string()),
                          "packed": pa.array((ids << CHUNK_PACK_BITS) | idx)})
 
-    winners = chunks.map_batches(hash_pack, batch_format="pyarrow",
-                                 zero_copy_batch=True) \
+    winners = units.map_batches(hash_pack, batch_format="pyarrow",
+                                zero_copy_batch=True) \
         .groupby("h").aggregate(Min("packed", alias_name="packed"))
 
     def win_partial(batch: pa.Table) -> pa.Table:
@@ -1428,34 +1441,77 @@ def chunk_dedup(sf_dir: str, size: int = 64,
         g = t.group_by(["doc_id"], use_threads=False).aggregate(
             [([], "count_all")])
         return pa.table({"doc_id": g.column("doc_id"),
-                         "n_chunks": pa.array(
-                             np.zeros(len(g), np.int64)),
+                         "n_units": pa.array(np.zeros(len(g), np.int64)),
                          "n_win": g.column("count_all").cast(pa.int64())})
 
     def count_partial(batch: pa.Table) -> pa.Table:
         g = batch.select(["doc_id"]).group_by(
             ["doc_id"], use_threads=False).aggregate([([], "count_all")])
         return pa.table({"doc_id": g.column("doc_id"),
-                         "n_chunks": g.column("count_all").cast(pa.int64()),
+                         "n_units": g.column("count_all").cast(pa.int64()),
                          "n_win": pa.array(np.zeros(len(g), np.int64))})
 
-    both = chunks.map_batches(count_partial, batch_format="pyarrow",
-                              zero_copy_batch=True) \
+    both = units.map_batches(count_partial, batch_format="pyarrow",
+                             zero_copy_batch=True) \
         .union(winners.map_batches(win_partial, batch_format="pyarrow",
                                    zero_copy_batch=True))
     agg = both.groupby("doc_id").aggregate(
-        Sum("n_chunks", alias_name="n_chunks"),
+        Sum("n_units", alias_name="n_units"),
         Sum("n_win", alias_name="n_win"))
 
     def finish(batch: pa.Table) -> pa.Table:
-        n = batch.column("n_chunks").to_numpy()
+        n = batch.column("n_units").to_numpy()
         w = batch.column("n_win").to_numpy()
         return pa.table({"doc_id": batch.column("doc_id").cast(pa.int64()),
-                         "n_chunks": pa.array(n.astype(np.int64)),
-                         "n_dup_chunks": pa.array((n - w).astype(np.int64))})
+                         n_name: pa.array(n.astype(np.int64)),
+                         dup_name: pa.array((n - w).astype(np.int64))})
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def line_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Cross-document LINE dedup — the C4 rule itself (C4 deduplicates
+    the web corpus at the line level; `chunk_dedup` is the fixed-window
+    variant): over newline-delimited NON-EMPTY lines, a line is a DUP
+    iff an identical line occurs earlier in the corpus (smaller packed
+    (doc_id, line_idx), raw positions); output per doc
+    (n_lines, n_dup_lines) — the boilerplate-share signal C4 thresholds
+    on.
+
+    Shape: the line explode is zero-shuffle (split_pattern + list
+    offsets, the `transcripts_fragments` idiom), then the shared
+    `_first_occurrence_counts` fold — lines leave blocks as
+    (sha1, packed) pairs, one hash groupby-Min, join-free per-doc fold.
+    Docs whose every line is empty produce no row (no units), matching
+    the twin's group-over-kept-lines."""
+    import pyarrow.compute as pc
+
+    out_schema = {"doc_id": "int64", "n_lines": "int64",
+                  "n_dup_lines": "int64"}
+    if docs_empty(sf_dir):
+        return typed_empty(out_schema)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        lines = pc.split_pattern(txt, "\n")
+        offs = lines.offsets.to_numpy()
+        rep = np.repeat(batch.column("doc_id").to_numpy().astype(np.int64),
+                        np.diff(offs))
+        flat = lines.flatten()
+        idx = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            offs[:-1].astype(np.int64), np.diff(offs))
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(rep[mask]),
+                         "line_idx": pa.array(idx[mask]),
+                         "line": flat.filter(pa.array(mask))})
+
+    units = _read_docs(sf_dir).map_batches(explode, batch_format="pyarrow",
+                                           zero_copy_batch=True)
+    return _first_occurrence_counts(units, "line_idx", "line",
+                                    "n_lines", "n_dup_lines")
 
 
 def dup_source_matrix(sf_dir: str, threshold: float = 0.5,

@@ -156,7 +156,7 @@ def test_new_docs_ops_survive_empty_table(ray_session, tmp_path):
                curation.dsir_score, curation.dsir_select,
                curation.bpe_merges, curation.sample_k, text.chunk_dedup,
                curation.sample_per_lang, text.dup_source_matrix,
-               curation.bpe_encode,
+               curation.bpe_encode, text.line_dedup,
                curation.token_shards, curation.pack_sequences,
                text.bm25_topk, curation.source_cap,
                curation.top_terms, curation.shuffle_shards,
@@ -858,3 +858,38 @@ def test_bpe_encode_planted_and_serial(ray_session, tmp_path):
         assert int(got["n_words"][i]) == len(words), src["doc_id"][i]
         assert int(got["n_bpe_tokens"][i]) == sum(
             len(_bpe_apply(w, merges)) for w in words), src["doc_id"][i]
+
+
+def test_line_dedup_planted(ray_session, tmp_path):
+    """Hand-computed C4-style line dedup: doc 1's boilerplate line
+    reappears in docs 2 and 3 (dups there), doc 1 also repeats it
+    INTERNALLY (second copy a dup), empty lines are skipped entirely
+    (doc 3's blank line is not a unit, so its all-blank sibling doc 4
+    produces NO row), unique lines are clean.  The twin agrees."""
+    import duckdb
+    import pyarrow as pa
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.text import line_dedup
+
+    texts = ["subscribe now\nreal content A\nsubscribe now",
+             "subscribe now\nreal content B",
+             "\nreal content C\nsubscribe now",
+             "\n\n"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    got = line_dedup(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # doc 1: 3 lines, internal repeat -> 1 dup; doc 2: 2 lines, 1 dup;
+    # doc 3: 2 kept lines (blank skipped), 1 dup; doc 4: no units
+    assert got.values.tolist() == [[1, 3, 1], [2, 2, 1], [3, 2, 1]]
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    o = con.execute(e.oracle_sql()["docs_line_dedup"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (got.astype(str).values == o.astype(str).values).all()

@@ -126,6 +126,7 @@ SQL_CHECKED = [
     "embeddings_dist_hist",
     "region_nation_revenue",
     "orders_value_share",
+    "docs_line_dedup",
 ]
 
 
