@@ -469,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_nation_revenue": relational.region_nation_revenue,
         "orders_value_share": relational.orders_value_share,
         "docs_line_dedup": text.line_dedup,
+        "docs_cluster_size_hist": text.cluster_size_hist,
         "docs_bm25_topk": text.bm25_topk,
         "embeddings_cluster_sample": similarity.cluster_sample,
         "embeddings_outliers": similarity.cluster_outliers,
@@ -1682,6 +1683,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN clusters c ON c.doc_id = d.doc_id
             WHERE c.doc_id IS NULL OR c.cluster = c.doc_id
+        """,
+        # dedup report: cluster-size distribution over the same CTE
+        "docs_cluster_size_hist": "WITH clusters AS ("
+                                  + _dedup_clusters_sql + r"""),
+            cs AS (SELECT cluster, COUNT(*)::BIGINT AS n
+                   FROM clusters GROUP BY cluster)
+            SELECT n AS cluster_size, COUNT(*)::BIGINT AS n_clusters
+            FROM cs GROUP BY n
         """,
         # stratified sampling: Knuth multiplicative hash mod 2^32 vs the
         # per-language integer threshold (HUGEINT keeps the product exact;

@@ -162,7 +162,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      "docs_sample_per_lang", "docs_dup_source_matrix",
                      "events_lifespan_histogram", "events_gap_percentiles",
                      "embeddings_dist_hist", "region_nation_revenue",
-                     "orders_value_share", "docs_line_dedup"):
+                     "orders_value_share", "docs_line_dedup",
+                     "docs_cluster_size_hist"):
             t0 = time.monotonic()
             res = q[name](sf_dir)
             if hasattr(res, "to_pandas"):

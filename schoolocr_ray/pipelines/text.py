@@ -1606,3 +1606,50 @@ def dup_source_matrix(sf_dir: str, threshold: float = 0.5,
         return typed_empty(out_cols)
     return df.groupby(["src_a", "src_b"], sort=False, as_index=False) \
              ["n_pairs"].sum()
+
+
+def cluster_size_hist(sf_dir: str, threshold: float = 0.5,
+                      k: int = 3, mode: str = "auto") -> pd.DataFrame:
+    """The dedup REPORT — the cluster-size distribution read after every
+    dedup pass (how much of the duplication is pairs vs mirror farms
+    decides whether near-dup removal is worth its cost): over the
+    ``dedup_clusters`` output, (cluster_size, n_clusters) — e.g. one row
+    "size 2 x 117 clusters, size 40 x 1".
+
+    Shape: the clusters table is O(duplicate docs); sizing it is one
+    groupby over narrow (cluster) rows (per-block count partials ride —
+    pure-Arrow ``group_by`` per batch, then the cluster-keyed
+    groupby-Sum), and the histogram over sizes is DOMAIN-bounded (size
+    <= largest mirror clique) so count partials fold on the driver.
+    The twin shares the clusters CTE with `docs_dedup_clusters` and
+    `docs_dedup_keep` verbatim."""
+    from ray.data.aggregate import Sum
+
+    out_cols = {"cluster_size": "int64", "n_clusters": "int64"}
+    if docs_empty(sf_dir):
+        return typed_empty(out_cols)
+    cl = dedup_clusters(sf_dir, threshold, k, mode)
+    cl_ds = ray.data.from_arrow(cl) if isinstance(cl, pa.Table) else cl
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["cluster"]).group_by(
+            ["cluster"], use_threads=False).aggregate([([], "count_all")])
+        return pa.table({"cluster": g.column("cluster").cast(pa.int64()),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    sizes = cl_ds.map_batches(size_partial, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("cluster").aggregate(Sum("n", alias_name="n"))
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["n"]).group_by(
+            ["n"], use_threads=False).aggregate([([], "count_all")])
+        return pa.table({"cluster_size": g.column("n").cast(pa.int64()),
+                         "n_clusters": g.column("count_all").cast(pa.int64())})
+
+    df = sizes.map_batches(hist_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    if df.empty:
+        return typed_empty(out_cols)
+    return df.groupby("cluster_size", sort=False, as_index=False) \
+             ["n_clusters"].sum()

@@ -157,6 +157,7 @@ def test_new_docs_ops_survive_empty_table(ray_session, tmp_path):
                curation.bpe_merges, curation.sample_k, text.chunk_dedup,
                curation.sample_per_lang, text.dup_source_matrix,
                curation.bpe_encode, text.line_dedup,
+               text.cluster_size_hist,
                curation.token_shards, curation.pack_sequences,
                text.bm25_topk, curation.source_cap,
                curation.top_terms, curation.shuffle_shards,
@@ -892,4 +893,33 @@ def test_line_dedup_planted(ray_session, tmp_path):
                 f"read_parquet('{tmp_path}/documents.parquet')")
     o = con.execute(e.oracle_sql()["docs_line_dedup"]).df() \
         .sort_values("doc_id").reset_index(drop=True)
+    assert (got.astype(str).values == o.astype(str).values).all()
+
+
+def test_cluster_size_hist_planted(ray_session, tmp_path):
+    """Hand-computed dedup report: a 3-clique of identical docs and a
+    separate identical pair give histogram {3: 1, 2: 1}; singletons
+    contribute nothing.  The shared-CTE twin agrees."""
+    import duckdb
+    import pyarrow as pa
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.text import cluster_size_hist
+
+    texts = ["m1 m2 m3 m4 m5"] * 3 + ["p1 p2 p3 p4"] * 2 + \
+            ["just one unique doc"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(1, 7), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    got = cluster_size_hist(str(tmp_path)) \
+        .sort_values("cluster_size").reset_index(drop=True)
+    assert got.values.tolist() == [[2, 1], [3, 1]]
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    o = con.execute(e.oracle_sql()["docs_cluster_size_hist"]).df() \
+        .sort_values("cluster_size").reset_index(drop=True)
     assert (got.astype(str).values == o.astype(str).values).all()

@@ -127,6 +127,7 @@ SQL_CHECKED = [
     "region_nation_revenue",
     "orders_value_share",
     "docs_line_dedup",
+    "docs_cluster_size_hist",
 ]
 
 
