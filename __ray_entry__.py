@@ -470,6 +470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_value_share": relational.orders_value_share,
         "docs_line_dedup": text.line_dedup,
         "docs_cluster_size_hist": text.cluster_size_hist,
+        "docs_decontaminate_bloom": text.decontaminate_bloom,
         "docs_bm25_topk": text.bm25_topk,
         "embeddings_cluster_sample": similarity.cluster_sample,
         "embeddings_outliers": similarity.cluster_outliers,
@@ -1667,6 +1668,50 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, COUNT(*) AS n_hits
                 FROM sh
                 WHERE doc_id % 50 <> 0 AND s IN (SELECT s FROM eval_sh)
+                GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(h.n_hits, 0) AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            WHERE d.doc_id % 50 <> 0
+        """,
+        # Bloom-sketch decontamination: both 20-bit probes (md5 hex
+        # digits 1-5 / 6-10, strpos decode) reproduced, so the twin is
+        # exact INCLUDING false positives
+        "docs_decontaminate_bloom": r"""
+            WITH tok AS (
+                SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS ts
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+                FROM (SELECT doc_id, ts,
+                             unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+                      FROM tok)),
+            hx AS (SELECT doc_id, s, md5(s) AS h FROM sh),
+            pos AS (
+                SELECT doc_id, s,
+                       ((((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                          + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) * 16
+                          + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)) * 256
+                        + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1)) AS p1,
+                       ((((strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 16
+                          + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1)) * 16
+                          + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)) * 256
+                        + (strpos('0123456789abcdef', substr(h, 9, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(h, 10, 1)) - 1)) AS p2
+                FROM hx),
+            bits AS (SELECT DISTINCT p FROM (
+                SELECT p1 AS p FROM pos WHERE doc_id % 50 = 0
+                UNION ALL
+                SELECT p2 FROM pos WHERE doc_id % 50 = 0)),
+            hits AS (
+                SELECT doc_id, COUNT(*) AS n_hits
+                FROM pos
+                WHERE doc_id % 50 <> 0
+                  AND p1 IN (SELECT p FROM bits)
+                  AND p2 IN (SELECT p FROM bits)
                 GROUP BY doc_id)
             SELECT d.doc_id,
                    COALESCE(h.n_hits, 0) AS n_hits,

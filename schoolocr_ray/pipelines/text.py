@@ -1653,3 +1653,91 @@ def cluster_size_hist(sf_dir: str, threshold: float = 0.5,
         return typed_empty(out_cols)
     return df.groupby("cluster_size", sort=False, as_index=False) \
              ["n_clusters"].sum()
+
+
+BLOOM_BITS = 1 << 20  # 2^20 = 5 md5 hex digits per probe; bitset = 128 KB
+
+
+def decontaminate_bloom(sf_dir: str, k: int = 3,
+                        eval_mod: int = 50) -> ray.data.Dataset:
+    """Sketch decontamination — the Bloom-filter variant of
+    `decontaminate` for when the eval side outgrows a raw-shingle
+    broadcast (multi-benchmark, multi-language suites): the eval
+    shingles compress into a FIXED 128 KB bitset (two probes per
+    shingle — md5 hex digits 1-5 and 6-10, each a 20-bit position)
+    regardless of eval size, and a training shingle is flagged iff BOTH
+    its bits are set.  Superset-safe by construction: every exact hit
+    is a Bloom hit; false positives are possible (quantified against
+    the exact op in pytest) and acceptable for a DROP-side filter.
+
+    Shape: pass 1 explodes only the eval slice and emits distinct BIT
+    POSITIONS (narrow int rows) — the driver ORs a 128 KB bitset and
+    broadcasts it once; pass 2 streams the corpus with zero shuffle,
+    md5 run once per DISTINCT gram per block (dictionary encode, the
+    DSIR trick).  The twin reproduces both probes with the strpos hex
+    decode, so Ray-vs-SQL equality is exact INCLUDING the false
+    positives."""
+    import pyarrow.compute as pc
+
+    out_cols = {"doc_id": "int64", "n_hits": "int64",
+                "contaminated": "bool"}
+    if docs_empty(sf_dir):
+        return typed_empty(out_cols)
+    docs = _read_docs(sf_dir)
+
+    def _positions(grams: list[str]) -> np.ndarray:
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        p1 = np.array([int(h[0:5], 16) for h in hs], np.int64)
+        p2 = np.array([int(h[5:10], 16) for h in hs], np.int64)
+        return p1, p2
+
+    def eval_bits(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sel = (ids % eval_mod) == 0
+        if not sel.any():
+            return pa.table({"pos": pa.array([], pa.int64())})
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        _, grams, _ = _distinct_kgrams(txt.filter(pa.array(sel)), k)
+        u = pc.unique(grams).to_pylist()
+        if not u:
+            return pa.table({"pos": pa.array([], pa.int64())})
+        p1, p2 = _positions(u)
+        return pa.table({"pos": pa.array(
+            np.unique(np.concatenate([p1, p2])))})
+
+    bits = np.zeros(BLOOM_BITS, bool)
+    for b in docs.map_batches(eval_bits, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+                 .iter_batches(batch_format="pyarrow"):
+        bits[b.column("pos").to_numpy()] = True
+    bref = ray.put(bits)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ev = cached_get(bref)
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = (ids % eval_mod) != 0
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        d, grams, _ = _distinct_kgrams(txt.filter(pa.array(keep)), k)
+        n_train = int(keep.sum())
+        if len(grams):
+            enc = grams.dictionary_encode()
+            dic = enc.dictionary.to_pylist()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            p1, p2 = _positions(dic)
+            hit_u = ev[p1] & ev[p2]
+            n_hits = np.bincount(d[hit_u[codes]],
+                                 minlength=n_train).astype(np.int64)
+        else:
+            n_hits = np.zeros(n_train, np.int64)
+        return pa.table({"doc_id": pa.array(ids[keep]),
+                         "n_hits": pa.array(n_hits),
+                         "contaminated": pa.array(n_hits > 0, pa.bool_())})
+
+    return docs.map_batches(probe, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -157,7 +157,7 @@ def test_new_docs_ops_survive_empty_table(ray_session, tmp_path):
                curation.bpe_merges, curation.sample_k, text.chunk_dedup,
                curation.sample_per_lang, text.dup_source_matrix,
                curation.bpe_encode, text.line_dedup,
-               text.cluster_size_hist,
+               text.cluster_size_hist, text.decontaminate_bloom,
                curation.token_shards, curation.pack_sequences,
                text.bm25_topk, curation.source_cap,
                curation.top_terms, curation.shuffle_shards,
@@ -923,3 +923,50 @@ def test_cluster_size_hist_planted(ray_session, tmp_path):
     o = con.execute(e.oracle_sql()["docs_cluster_size_hist"]).df() \
         .sort_values("cluster_size").reset_index(drop=True)
     assert (got.astype(str).values == o.astype(str).values).all()
+
+
+def test_decontaminate_bloom_planted_fp(ray_session, tmp_path):
+    """Pins the Bloom mechanism with a PRECOMPUTED false positive: train
+    shingle 'a18591 b18591 c18591' collides its first 20-bit md5 probe
+    with eval shingle 'a3594 b3594 c3594' (125510) and its second with
+    eval shingle 'a560 b560 c560' (334900) — both its bits are set by
+    DIFFERENT eval shingles, so the sketch flags a doc the exact op
+    proves clean.  A true positive and a clean doc flank it; the twin
+    agrees bit-for-bit (it reproduces the probes, so it reproduces the
+    FP)."""
+    import duckdb
+    import pyarrow as pa
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.text import decontaminate, decontaminate_bloom
+
+    rows = {50: "a3594 b3594 c3594",         # eval: sets p1=125510
+            100: "a560 b560 c560",           # eval: sets p2=334900
+            1: "a18591 b18591 c18591",       # train: the planted FP
+            2: "totally unrelated clean text",
+            3: "a3594 b3594 c3594"}          # train: true positive
+    pq.write_table(
+        pa.table({"doc_id": pa.array(list(rows), pa.int64()),
+                  "text": pa.array(list(rows.values()), pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    bloom = decontaminate_bloom(str(tmp_path)).to_pandas() \
+        .set_index("doc_id")
+    exact = decontaminate(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert bool(bloom.loc[1, "contaminated"])        # the false positive
+    assert not bool(exact.loc[1, "contaminated"])    # exact clears it
+    assert not bool(bloom.loc[2, "contaminated"])
+    assert bool(bloom.loc[3, "contaminated"])        # true positive
+    assert bool(exact.loc[3, "contaminated"])
+    # superset invariant on the full sf0.01 corpus
+    b = decontaminate_bloom(SF_DIR).to_pandas().sort_values("doc_id")
+    x = decontaminate(SF_DIR).to_pandas().sort_values("doc_id")
+    assert (b["n_hits"].to_numpy() >= x["n_hits"].to_numpy()).all()
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    o = con.execute(e.oracle_sql()["docs_decontaminate_bloom"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    g = bloom.reset_index().sort_values("doc_id").reset_index(drop=True)
+    assert (g.astype(str).values == o.astype(str).values).all()

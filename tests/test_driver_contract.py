@@ -128,6 +128,7 @@ SQL_CHECKED = [
     "orders_value_share",
     "docs_line_dedup",
     "docs_cluster_size_hist",
+    "docs_decontaminate_bloom",
 ]
 
 
