@@ -471,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_dedup": text.line_dedup,
         "docs_cluster_size_hist": text.cluster_size_hist,
         "docs_decontaminate_bloom": text.decontaminate_bloom,
+        "events_cms_heavy": relational.events_cms_heavy,
         "docs_bm25_topk": text.bm25_topk,
         "embeddings_cluster_sample": similarity.cluster_sample,
         "embeddings_outliers": similarity.cluster_outliers,
@@ -1277,6 +1278,40 @@ def oracle_sql() -> dict[str, str]:
                         + {relational.HH_DEN} * COUNT(DISTINCT user_id) - 1)
                        // ({relational.HH_DEN} * COUNT(DISTINCT user_id))
                 FROM events)
+        """,
+        # Count-Min sketch read back at the heavy keys: counters rebuilt
+        # with the strpos hex decode, MIN over d rows — bit-exact incl.
+        # collisions
+        "events_cms_heavy": f"""
+            WITH u AS (SELECT user_id, COUNT(*)::BIGINT AS n
+                       FROM events GROUP BY user_id),
+            heavy AS (
+                SELECT user_id, n AS n_events FROM u
+                WHERE n >= (SELECT ({relational.HH_NUM} * SUM(n)
+                                    + {relational.HH_DEN} * COUNT(*) - 1)
+                                   // ({relational.HH_DEN} * COUNT(*))
+                            FROM u)),
+            p AS (
+                SELECT row, user_id, n,
+                       ((((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                          + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) * 16
+                          + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)) * 256
+                        + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1))
+                       % {relational.CMS_W} AS pos
+                FROM (SELECT i.i AS row, u.user_id, u.n,
+                             md5(CAST(i.i AS VARCHAR) || ':'
+                                 || CAST(u.user_id AS VARCHAR)) AS h
+                      FROM u CROSS JOIN
+                           (SELECT unnest(range({relational.CMS_D})) AS i)
+                           AS i)),
+            c AS (SELECT row, pos, SUM(n)::BIGINT AS cnt
+                  FROM p GROUP BY 1, 2)
+            SELECT h.user_id, h.n_events, MIN(c.cnt)::BIGINT AS cms_est
+            FROM heavy h
+            JOIN p ON p.user_id = h.user_id
+            JOIN c ON c.row = p.row AND c.pos = p.pos
+            GROUP BY 1, 2
         """,
         # multi-level rollup in one pass: GROUPING SETS with the engine's
         # 'ALL'/-1 sentinels and lvl disambiguator

@@ -163,7 +163,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
                      "events_lifespan_histogram", "events_gap_percentiles",
                      "embeddings_dist_hist", "region_nation_revenue",
                      "orders_value_share", "docs_line_dedup",
-                     "docs_cluster_size_hist", "docs_decontaminate_bloom"):
+                     "docs_cluster_size_hist", "docs_decontaminate_bloom",
+                     "events_cms_heavy"):
             t0 = time.monotonic()
             res = q[name](sf_dir)
             if hasattr(res, "to_pandas"):

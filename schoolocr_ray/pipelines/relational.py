@@ -2082,3 +2082,72 @@ def orders_value_share(sf_dir: str) -> ray.data.Dataset:
 
     return ds.map_batches(rescore, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+CMS_D, CMS_W = 4, 1024   # 4 x 1024 int64 counters = 32 KB sketch
+
+
+def events_cms_heavy(sf_dir: str) -> pd.DataFrame:
+    """Count-Min frequency sketch, read back at the heavy-hitter keys —
+    the sketch trio's third member (HLL = distinct, Bloom = membership,
+    CMS = frequency): per-user event counts fold into a d x w counter
+    matrix (row i counts at position ``md5(i ':' user)[:5] % w``), and
+    each EXACT heavy user's estimate is the MIN over its d counters.
+    Output (user_id, n_events, cms_est) with the sketch's
+    overestimate-only guarantee auditable per row (cms_est >= n_events
+    always; equality when the user's d cells are collision-free).
+
+    Shape: per-block pure-Arrow (user, count) partials expand to
+    (row, pos, n) counter partials — the counter table is
+    DIMENSION-bounded (d x w = 4096 cells) so it folds via
+    `_fold_partials` and the driver holds a 32 KB matrix at any corpus
+    size; at 100 TB the sketch REPLACES the user-keyed exchange for
+    approximate counting, while the exact side here
+    (`events_heavy_users`, itself pigeonhole-candidates + broadcast
+    verify) rides along as auditable ground truth.  The twin rebuilds
+    the same counters with the strpos hex decode, so estimates match
+    bit-for-bit including collisions."""
+    import hashlib
+
+    out_cols = {"user_id": "int64", "n_events": "int64", "cms_est": "int64"}
+    heavy = events_heavy_users(sf_dir)
+    if heavy.empty:
+        return _typed_empty(out_cols)
+
+    def _pos(i: int, uid: int) -> int:
+        h = hashlib.md5(f"{i}:{uid}".encode()).hexdigest()
+        return int(h[0:5], 16) % CMS_W
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id"], use_threads=False).aggregate(
+            [([], "count_all")])
+        uids = g.column("user_id").to_numpy().astype(np.int64)
+        cnts = g.column("count_all").to_numpy().astype(np.int64)
+        rows = np.repeat(np.arange(CMS_D, dtype=np.int64), len(uids))
+        pos = np.concatenate([
+            [_pos(i, int(u)) for u in uids] for i in range(CMS_D)
+        ]).astype(np.int64) if len(uids) else np.array([], np.int64)
+        t = pa.table({"row": pa.array(rows), "pos": pa.array(pos),
+                      "n": pa.array(np.tile(cnts, CMS_D))})
+        g2 = t.group_by(["row", "pos"], use_threads=False).aggregate(
+            [("n", "sum")])
+        return pa.table({"row": g2.column("row"), "pos": g2.column("pos"),
+                         "n": g2.column("n_sum")})
+
+    counters = _fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        ["row", "pos"], ["n"], {"row": "int64", "pos": "int64"})
+    C = np.zeros((CMS_D, CMS_W), np.int64)
+    C[counters["row"].to_numpy(np.int64),
+      counters["pos"].to_numpy(np.int64)] = counters["n"].to_numpy(np.int64)
+
+    ests = [int(min(C[i, _pos(i, int(u))] for i in range(CMS_D)))
+            for u in heavy["user_id"]]
+    return pd.DataFrame({
+        "user_id": heavy["user_id"].to_numpy(np.int64),
+        "n_events": heavy["n_events"].to_numpy(np.int64),
+        "cms_est": np.array(ests, np.int64),
+    })

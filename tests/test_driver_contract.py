@@ -129,6 +129,7 @@ SQL_CHECKED = [
     "docs_line_dedup",
     "docs_cluster_size_hist",
     "docs_decontaminate_bloom",
+    "events_cms_heavy",
 ]
 
 
@@ -243,7 +244,8 @@ def test_new_events_ops_survive_empty_table(ray_session, tmp_path):
                r.events_lag, r.events_rolling_sum, r.events_sessions,
                r.events_asof_purchase, r.events_distinct_users,
                r.events_rollup_cube, r.events_heavy_users,
-               r.events_lifespan_histogram, r.events_gap_percentiles):
+               r.events_lifespan_histogram, r.events_gap_percentiles,
+               r.events_cms_heavy):
         df = _to_pandas(fn(str(d)))
         assert len(df) == 0 or set(df.get("n_users", [])) == {0}, fn
         assert len(df.columns) > 0, fn      # typed empty, not column-less
@@ -782,3 +784,42 @@ def test_orders_value_share_planted(ray_session, tmp_path):
     pq.write_table(sch.empty_table(), str(d / "orders.parquet"))
     empty = orders_value_share(str(d))
     assert len(empty) == 0 and len(empty.columns) == 4
+
+
+def test_events_cms_heavy_planted(ray_session, tmp_path):
+    """The heavy_users planted skew through the Count-Min read-back: at
+    w=1024 the 10 planted users are collision-free, so both heavy users'
+    estimates EQUAL their exact counts; the overestimate-only invariant
+    holds corpus-wide at sf0.01; the counter-rebuilding twin agrees."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from schoolocr_ray.pipelines.relational import events_cms_heavy
+
+    users = [7] * 12 + [8] * 6 + list(range(10, 18))
+    users = [users[i] for i in np.random.RandomState(3).permutation(len(users))]
+    n = len(users)
+    pq.write_table(
+        pa.table({"event_id": pa.array(range(n), pa.int64()),
+                  "ts": pa.array(np.arange(n, dtype="int64") * 10**6,
+                                 pa.timestamp("us")),
+                  "user_id": pa.array(users, pa.int64()),
+                  "event_type": pa.array(["view"] * n, pa.string()),
+                  "value": pa.array([1.0] * n, pa.float64()),
+                  "props": pa.array(["{}"] * n, pa.string())}),
+        str(tmp_path / "events.parquet"))
+
+    got = events_cms_heavy(str(tmp_path))
+    assert got.values.tolist() == [[7, 12, 12], [8, 6, 6]]
+
+    c = duckdb.connect()
+    c.execute("CREATE VIEW events AS SELECT * FROM "
+              f"read_parquet('{tmp_path}/events.parquet')")
+    o = c.execute(e.oracle_sql()["events_cms_heavy"]).df() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert (got.astype(str).values == o.astype(str).values).all()
+
+    full = events_cms_heavy(SF_DIR)
+    assert (full["cms_est"].to_numpy() >= full["n_events"].to_numpy()).all()
