@@ -2071,6 +2071,12 @@ def orders_value_share(sf_dir: str) -> ray.data.Dataset:
 
         keys, tots = cached_get(tref)
         cents = _cents(batch.column("o_totalprice").to_numpy())
+        if len(cents) and cents.min() < 0:
+            # numpy // floors, DuckDB // truncates — they diverge on
+            # negatives, so a negative price must fail loudly, not
+            # silently disagree with the twin
+            raise ValueError("negative o_totalprice: share_bp floor "
+                             "division is only twin-exact for >= 0")
         idx = pc.index_in(batch.column("o_orderpriority"),
                           pa.array(list(keys), pa.string())) \
                 .to_numpy(zero_copy_only=False).astype(np.int64)

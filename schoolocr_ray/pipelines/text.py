@@ -1426,6 +1426,12 @@ def _first_occurrence_counts(units: ray.data.Dataset, idx_col: str,
         idx = batch.column(idx_col).to_numpy().astype(np.int64)
         if len(idx) and int(idx.max()) >= (1 << CHUNK_PACK_BITS):
             raise ValueError(f"{idx_col} exceeds the packed-key range")
+        if len(ids) and int(ids.min()) < 0:
+            # a negative doc_id would make the twin's packed-key
+            # truncating division diverge from the engine's shift —
+            # fail loudly instead of silently disagreeing
+            raise ValueError("negative doc_id: the packed first-"
+                             "occurrence key requires doc_id >= 0")
         hs = [hashlib.sha1(t.encode()).hexdigest()
               for t in batch.column(text_col).to_pylist()]
         return pa.table({"h": pa.array(hs, pa.string()),

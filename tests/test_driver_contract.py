@@ -823,3 +823,37 @@ def test_events_cms_heavy_planted(ray_session, tmp_path):
 
     full = events_cms_heavy(SF_DIR)
     assert (full["cms_est"].to_numpy() >= full["n_events"].to_numpy()).all()
+
+
+def test_signed_input_guards_raise(ray_session, tmp_path):
+    """The session-14 division-semantics guards: DuckDB's `//` TRUNCATES
+    while numpy floors (verified: -7//2 = -3 vs -4), so operators whose
+    twins floor-divide potentially-signed quantities must RAISE on
+    contract-violating inputs rather than silently disagree — a
+    negative o_totalprice through orders_value_share, and a negative
+    doc_id through the packed first-occurrence key (chunk/line
+    dedup)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from schoolocr_ray.pipelines.relational import orders_value_share
+    from schoolocr_ray.pipelines.text import chunk_dedup
+
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([1, 2], pa.int64()),
+                  "o_custkey": pa.array([1, 1], pa.int64()),
+                  "o_orderstatus": pa.array(["O"] * 2, pa.string()),
+                  "o_totalprice": pa.array([5.0, -1.0], pa.float64()),
+                  "o_orderdate": pa.array(["1996-01-02"] * 2, pa.string()),
+                  "o_orderpriority": pa.array(["A", "A"], pa.string())}),
+        str(tmp_path / "orders.parquet"))
+    with pytest.raises(Exception, match="negative o_totalprice"):
+        orders_value_share(str(tmp_path)).to_pandas()
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([-1, 2], pa.int64()),
+                  "text": pa.array(["a b c", "a b c"], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    with pytest.raises(Exception, match="negative doc_id"):
+        chunk_dedup(str(tmp_path)).to_pandas()
